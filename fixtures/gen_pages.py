@@ -1,0 +1,305 @@
+"""Deterministic synthetic `pages` corpus generator (FIXTURES.md section 1).
+
+Schema (BASELINE.json input_hint):
+    url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string
+
+Everything is a pure function of the row index via counter-based SHA-256
+hashing — no ``random`` state, no wall clock — so any scale regenerates
+byte-identically anywhere, and smaller tables are prefixes of larger
+ones (prefix property).
+
+Template mix per ``i % 100`` (FIXTURES.md):
+    0-54   article (boilerplate-rich)     55-64  wikitable page
+    65-74  namespaced MODS-like XML       75-82  tag soup
+    83-87  nested boilerplate             88-91  encoding cases
+    92-94  edge sizes                     95-97  entity/whitespace
+    98-99  giant articles (64KiB+; i%1000==0 gets the full giant_cap)
+
+Generation is parallelized with Ray Data (`range -> map_batches ->
+write_parquet`) for large scales; small tables build in-process.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import pyarrow as pa
+
+try:  # ship this module by value too (workers may not have it on sys.path)
+    from ray import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+_WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt labore et dolore magna aliqua enim ad minim veniam "
+    "quis nostrud exercitation ullamco laboris nisi aliquip ex ea commodo "
+    "consequat duis aute irure reprehenderit voluptate velit esse cillum "
+    "fugiat nulla pariatur excepteur sint occaecat cupidatat non proident "
+    "sunt culpa qui officia deserunt mollit anim id est laborum"
+).split()
+
+_LANGS = ["en"] * 12 + ["de", "de", "fr", "fr", "es", "zh", "", ""]
+
+_EPOCH_2025_US = 1735689600000000  # 2025-01-01T00:00:00Z in microseconds
+_DAY_US = 86400000000
+
+
+def _h(i: int, salt: str) -> int:
+    return int.from_bytes(
+        hashlib.sha256(f"{salt}:{i}".encode()).digest()[:8], "big"
+    )
+
+
+def _words(i: int, salt: str, n: int) -> str:
+    seed = _h(i, salt)
+    out = []
+    for k in range(n):
+        seed = (seed * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+        out.append(_WORDS[seed % len(_WORDS)])
+    return " ".join(out)
+
+
+def _host(i: int) -> str:
+    r = _h(i, "host") % 1000
+    if r < 100:  # hot host: ~10% of rows (realistic skew)
+        return "host-0"
+    return f"host-{r}"
+
+
+def url_of(i: int) -> tuple[str, int]:
+    """(url, warc_ts_us); ~0.5% of rows duplicate an earlier url (+1 day)."""
+    if i % 200 == 199 and i >= 200:
+        j = i - 199
+        u, _ = url_of(j)
+        return u, _EPOCH_2025_US + j * 1000000 + _DAY_US
+    section = ["news", "blog", "wiki", "docs", "shop"][_h(i, "sect") % 5]
+    return (
+        f"https://{_host(i)}.example.com/{section}/doc-{i:08d}",
+        _EPOCH_2025_US + i * 1000000,
+    )
+
+
+# ---------------------------------------------------------------------------
+# templates
+# ---------------------------------------------------------------------------
+
+
+def _article(i: int, n_paras: int, extra: str = "") -> bytes:
+    paras = "".join(
+        f"<p>{_words(i, f'p{k}', 8 + (_h(i, f'pl{k}') % 7))}.</p>"
+        for k in range(n_paras)
+    )
+    title = _words(i, "title", 4)
+    return (
+        f'<html><head><title>{title}</title>'
+        f'<script>var t = "<div>{i}</div>";</script>'
+        f"<style>p {{ margin: 0 }}</style></head>"
+        f'<body><nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+        f'<div class="ads banner">{_words(i, "ad", 5)}</div>'
+        f'<header>{_words(i, "hdr", 3)}</header>'
+        f"<article><h1>{title}</h1>{paras}{extra}</article>"
+        f'<aside class="sidebar">{_words(i, "side", 6)}</aside>'
+        f"<footer>&copy; 2025 {_host(i)}</footer></body></html>"
+    ).encode()
+
+
+def _table_page(i: int) -> bytes:
+    n_rows = 5 + (_h(i, "trows") % 46)
+    rows = "".join(
+        f"<tr><td>{_words(i, f'c{r}0', 2)}</td>"
+        f"<td>{(_h(i, f'c{r}1') % 1000)}</td>"
+        f"<td>{_words(i, f'c{r}2', 3)}</td></tr>"
+        for r in range(n_rows)
+    )
+    return (
+        f"<html><head><title>tbl {i}</title></head><body>"
+        f'<nav>menu</nav><table class="wikitable">'
+        f"<tr><th>Name</th><th>Count</th><th>Note</th></tr>{rows}</table>"
+        f"<footer>f</footer></body></html>"
+    ).encode()
+
+
+def _mods_xml(i: int) -> bytes:
+    n_names = 1 + (_h(i, "nn") % 3)
+    names = "".join(
+        f'<mods:name type="personal"><mods:namePart>'
+        f"{_words(i, f'np{k}', 2)}</mods:namePart></mods:name>"
+        for k in range(n_names)
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<mods:mods xmlns:mods="http://www.loc.gov/mods/v3" '
+        'xmlns:xlink="http://www.w3.org/1999/xlink">'
+        f"<mods:titleInfo><mods:title>{_words(i, 'mt', 5)}</mods:title>"
+        f"</mods:titleInfo>{names}"
+        f"<mods:originInfo><mods:dateIssued>{1900 + _h(i, 'yr') % 126}"
+        f"</mods:dateIssued></mods:originInfo></mods:mods>"
+    ).encode()
+
+
+def _tag_soup(i: int) -> bytes:
+    return (
+        f"<html><body><div><p>{_words(i, 's1', 6)}"
+        f"<p>{_words(i, 's2', 5)}<ul><li>{_words(i, 's3', 2)}"
+        f"<li>{_words(i, 's4', 2)}</ul></div></span>"
+        f"<table><tr><td>{_words(i, 's5', 2)}<td>unquoted</tr></table>"
+        f"<p>bare & ampersand <b>bold {_words(i, 's6', 3)}</body>"
+    ).encode()
+
+
+def _nested_boilerplate(i: int) -> bytes:
+    return (
+        f"<html><body><!-- comment with <p>fake</p> tags -->"
+        f"<script>if (a<b) {{ document.write('<div class=x>'); }}</script>"
+        f"<style>.x:before {{ content: '</style-ish>' }}</style>"
+        f"<div><![CDATA[raw <cdata> text]]></div>"
+        f"<article><p>{_words(i, 'nb', 10)}</p>"
+        f"<!-- inner --><p>{_words(i, 'nb2', 8)}</p></article></body></html>"
+    ).encode()
+
+
+def _encoding_case(i: int) -> bytes:
+    k = _h(i, "enc") % 4
+    body = _words(i, "encw", 8)
+    if k == 0:  # latin-1, honest meta
+        return (
+            f'<html><head><meta charset="iso-8859-1"></head>'
+            f"<body><p>caf\xe9 m\xfcnchen {body}</p></body></html>"
+        ).encode("latin-1")
+    if k == 1:  # UTF-8 with BOM
+        return b"\xef\xbb\xbf" + (
+            f"<html><body><p>böm {body}</p></body></html>"
+        ).encode()
+    if k == 2:  # meta lies: declares utf-8, content is latin-1
+        return (
+            f'<html><head><meta charset="utf-8"></head>'
+            f"<body><p>caf\xe9 {body}</p></body></html>"
+        ).encode("latin-1")
+    # invalid UTF-8 byte, no declaration -> latin-1 fallback
+    return (
+        f"<html><body><p>{body} bad:".encode() + b"\xff" + b"</p></body></html>"
+    )
+
+
+def _edge_size(i: int) -> bytes:
+    k = _h(i, "edge") % 3
+    if k == 0:
+        return b""
+    if k == 1:
+        return b"   \n\t  \n "
+    return _words(i, "solo", 12).encode()
+
+
+def _entity_ws(i: int) -> bytes:
+    return (
+        f"<html><body><p>&amp; &lt;tag&gt; &#x41;&#66; &nbsp;x</p>\r\n"
+        f"<div>\r\n  <p>  {_words(i, 'ew', 6)}  </p>\r\n</div>"
+        f"<pre>  spaced   out  </pre></body></html>"
+    ).encode()
+
+
+def _giant(i: int, giant_cap: int) -> bytes:
+    if i % 1000 == 0:
+        target = giant_cap
+    else:
+        target = 65536 + (_h(i, "gsz") % 131072)  # 64-192 KiB
+    para = f"<p>{_words(i, 'g', 24)}.</p>"
+    n = max(1, target // len(para))
+    return _article(i, 1, extra=para * n)
+
+
+def html_of(i: int, giant_cap: int = 1 << 20) -> bytes:
+    t = i % 100
+    if t < 55:
+        return _article(i, 1 + (i % 20))
+    if t < 65:
+        return _table_page(i)
+    if t < 75:
+        return _mods_xml(i)
+    if t < 83:
+        return _tag_soup(i)
+    if t < 88:
+        return _nested_boilerplate(i)
+    if t < 92:
+        return _encoding_case(i)
+    if t < 95:
+        return _edge_size(i)
+    if t < 98:
+        return _entity_ws(i)
+    return _giant(i, giant_cap)
+
+
+def lang_of(i: int) -> str:
+    return _LANGS[_h(i, "lang") % len(_LANGS)]
+
+
+def gen_batch(indices, giant_cap: int = 1 << 20) -> pa.Table:
+    urls, tss, htmls, langs = [], [], [], []
+    for i in indices:
+        u, ts = url_of(int(i))
+        urls.append(u)
+        tss.append(ts)
+        htmls.append(html_of(int(i), giant_cap))
+        langs.append(lang_of(int(i)))
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp("us")),
+            pa.array(htmls, pa.binary()),
+            pa.array([""] * len(urls), pa.string()),
+            pa.array(langs, pa.string()),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+
+
+def generate_table(n_rows: int, giant_cap: int = 1 << 20) -> pa.Table:
+    """In-process generation (small scales / tests)."""
+    return gen_batch(range(n_rows), giant_cap)
+
+
+def ensure_pages_parquet(
+    path: str, n_rows: int, giant_cap: int = 1 << 20, use_ray: bool = False
+) -> str:
+    """Write the corpus to ``path`` once; later calls are no-ops.
+
+    ``use_ray=True`` fans generation out with Ray Data (for bench-scale
+    tables); requires an initialised Ray session.
+    """
+    if os.path.exists(path):
+        return path
+    tmp = path + ".tmp"
+    if use_ray:
+        import ray.data as rd
+
+        def gen(batch):
+            return gen_batch(batch["id"].to_pylist(), giant_cap)
+
+        ds = rd.range(n_rows).map_batches(
+            gen, batch_format="pyarrow", batch_size=2000
+        )
+        os.makedirs(tmp, exist_ok=True)
+        ds.write_parquet(tmp)
+        os.rename(tmp, path)
+    else:
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        pq.write_table(generate_table(n_rows, giant_cap), tmp)
+        os.rename(tmp, path)
+    return path

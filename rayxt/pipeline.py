@@ -1,0 +1,336 @@
+"""Ray Data pipeline operators around the extraction kernel (SURVEY P1-P17).
+
+Design notes (100 TB scale):
+
+* the extract stage is an ACTOR POOL (`map_batches(ExtractDocs, ...)`):
+  the compiled rule program + signature caches are built once per actor
+  in ``__init__`` and stay warm across batches (BASELINE.json north
+  star); batches are zero-copy Arrow in and Arrow out;
+* column pruning happens at the read (`columns=[url, warc_ts, html,
+  lang]`); the heavy ``html`` column never survives past the extract
+  stage, so the url-hash shuffle moves only extracted text (small);
+* ``part_id = crc32(url) % P`` is the ONE partitioning key reused by
+  dedup, the sink and resume — a single all-to-all exchange end-to-end;
+* giant-row skew: rows above ``hard_cap`` are never parsed (status
+  ``too_large``); the optional two-tier mode routes big rows to a
+  dedicated pool with ``batch_size=1`` — note this forks the lazy DAG,
+  so the parquet read runs once per tier (an explicit, documented
+  tradeoff: at multi-TB scale prefer tiering at the file layout level
+  or a single pool with small batches + dynamic block splitting).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Baked at driver import time; worker-side UDFs bootstrap their import
+# path from it (the UDF objects themselves travel by value — see
+# rayxt.__init__._register_pickle_by_value — but runtime imports inside
+# methods still resolve through the filesystem).  On a real multi-node
+# cluster ship the package with `runtime_env={"py_modules": [rayxt]}`.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def ensure_worker_importable() -> None:
+    if (
+        os.path.isdir(os.path.join(_REPO_ROOT, "rayxt"))
+        and _REPO_ROOT not in sys.path
+    ):
+        sys.path.insert(0, _REPO_ROOT)
+
+from . import __version__
+from .kernel import DEFAULT_HARD_CAP, extract_one
+from .manifest import scan_done, write_partition
+from .programs import get_program_factory
+
+RULE_HITS_TYPE = pa.list_(
+    pa.struct([("rule", pa.string()), ("hits", pa.int32())])
+)
+SPANS_TYPE = pa.list_(
+    pa.struct([("start", pa.int64()), ("end", pa.int64()), ("kind", pa.string())])
+)
+
+EXTRACT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("text", pa.string()),
+        ("n_chars", pa.int64()),
+        ("html_len", pa.int64()),
+        ("status", pa.string()),
+        ("error", pa.string()),
+        ("rule_hits", RULE_HITS_TYPE),
+        ("spans", SPANS_TYPE),
+    ]
+)
+
+PAGES_COLUMNS = ["url", "warc_ts", "html", "lang"]
+
+
+def read_pages(path, columns=PAGES_COLUMNS, **kwargs):
+    """P1: parquet source with column pruning (html read only here)."""
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=list(columns), **kwargs)
+
+
+class ExtractDocs:
+    """P3: stateful parse+extract batch operator (actor pool member).
+
+    ``program`` is a NAME from :mod:`rayxt.programs` — the actor
+    compiles its own program once; only the small string crosses the
+    process boundary.
+    """
+
+    def __init__(self, program: str = "main_content", hard_cap: int = DEFAULT_HARD_CAP):
+        # NOTE: get_program_factory is a module-level import captured in
+        # the by-value pickle payload — do NOT re-import rayxt here: a
+        # filesystem re-import would create a second copy of the class
+        # hierarchy and break isinstance checks inside the kernel.
+        ensure_worker_importable()
+        self.program = get_program_factory(program)()
+        self.hard_cap = hard_cap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        n = len(urls)
+        texts = [""] * n
+        n_chars = [0] * n
+        html_len = [0] * n
+        status = [""] * n
+        error = [""] * n
+        rule_hits = [None] * n
+        spans = [None] * n
+        program = self.program
+        cap = self.hard_cap
+        for k in range(n):
+            html = htmls[k]
+            html_len[k] = len(html) if html is not None else 0
+            r = extract_one(html, program, cap)
+            texts[k] = r["text"]
+            n_chars[k] = r["n_chars"]
+            status[k] = r["status"]
+            error[k] = r["error"]
+            rule_hits[k] = [{"rule": a, "hits": b} for a, b in r["rule_hits"]]
+            spans[k] = [
+                {"start": s, "end": e, "kind": kind} for s, e, kind in r["spans"]
+            ]
+        return pa.Table.from_arrays(
+            [
+                batch.column("url"),
+                batch.column("warc_ts"),
+                batch.column("lang"),
+                pa.array(texts, pa.string()),
+                pa.array(n_chars, pa.int64()),
+                pa.array(html_len, pa.int64()),
+                pa.array(status, pa.string()),
+                pa.array(error, pa.string()),
+                pa.array(rule_hits, RULE_HITS_TYPE),
+                pa.array(spans, SPANS_TYPE),
+            ],
+            schema=EXTRACT_SCHEMA,
+        )
+
+
+def extract_pages(
+    ds,
+    program: str = "main_content",
+    *,
+    batch_size: int = 64,
+    concurrency=(2, 8),
+    hard_cap: int = DEFAULT_HARD_CAP,
+    two_tier: bool = False,
+    size_threshold: int = 256 * 1024,
+):
+    """P3 + P15: run the extraction actor pool over a pages Dataset.
+
+    ``two_tier=True`` splits rows at ``size_threshold`` html bytes: the
+    big tier runs with ``batch_size=1`` so one multi-MB document never
+    blocks a whole batch (head-of-line) and memory per in-flight batch
+    stays bounded.  See module docstring for the DAG-fork tradeoff.
+    """
+    kwargs = dict(
+        fn_constructor_kwargs={"program": program, "hard_cap": hard_cap},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    if not two_tier:
+        return ds.map_batches(ExtractDocs, batch_size=batch_size, **kwargs)
+
+    def _len_expr(t: pa.Table, big: bool) -> pa.Table:
+        lens = pc.binary_length(t.column("html"))
+        mask = pc.greater_equal(lens, size_threshold) if big else pc.less(
+            lens, size_threshold
+        )
+        return t.filter(mask)
+
+    small = ds.map_batches(
+        lambda t: _len_expr(t, False), batch_format="pyarrow"
+    ).map_batches(ExtractDocs, batch_size=batch_size, **kwargs)
+    big = ds.map_batches(
+        lambda t: _len_expr(t, True), batch_format="pyarrow"
+    ).map_batches(ExtractDocs, batch_size=1, **kwargs)
+    return small.union(big)
+
+
+# ---------------------------------------------------------------------------
+# partitioning / dedup / stats
+# ---------------------------------------------------------------------------
+
+
+def add_part_id(ds, num_partitions: int):
+    """P6: deterministic url-hash partition key (crc32(url) % P)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pid = np.fromiter(
+            (zlib.crc32(u.encode("utf-8")) % num_partitions
+             for u in batch.column("url").to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return batch.append_column("part_id", pa.array(pid, pa.int64()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def dedup_latest_by_url(ds):
+    """P7: keep one row per url — max ``warc_ts`` (ties: first seen).
+
+    Hash-partitioned ``groupby(url)``; the payload through the shuffle
+    is extracted text, not html.
+    """
+    import pandas as pd
+
+    def keep_latest(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.sort_values("warc_ts", kind="stable").tail(1)
+
+    return ds.groupby("url").map_groups(keep_latest, batch_format="pandas")
+
+
+def corpus_stats(ds):
+    """P9: per-language corpus aggregates over the extraction output.
+
+    Partial aggregation happens inside ``map_batches`` (one row per lang
+    per batch), so the shuffle moves partials, not rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.select(["lang", "n_chars", "html_len", "status"]).to_pandas()
+        df["is_ok"] = (df["status"] == "ok").astype("int64")
+        g = (
+            df.groupby("lang", sort=False)
+            .agg(
+                docs=("lang", "size"),
+                ok_docs=("is_ok", "sum"),
+                chars_out=("n_chars", "sum"),
+                bytes_in=("html_len", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("docs", alias_name="docs"),
+            Sum("ok_docs", alias_name="ok_docs"),
+            Sum("chars_out", alias_name="chars_out"),
+            Sum("bytes_in", alias_name="bytes_in"),
+        )
+    )
+
+
+def rule_hit_totals(ds):
+    """P9: merge per-row rule-hit maps into corpus totals (partial
+    combine inside map_batches, tiny groupby on rule name)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        totals: dict[str, int] = {}
+        for row in t.column("rule_hits").to_pylist():
+            if row:
+                for entry in row:
+                    totals[entry["rule"]] = totals.get(entry["rule"], 0) + entry["hits"]
+        rules = sorted(totals)
+        return pa.table(
+            {
+                "rule": pa.array(rules, pa.string()),
+                "hits": pa.array([totals[r] for r in rules], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("rule")
+        .aggregate(Sum("hits", alias_name="hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# partitioned, resumable sink
+# ---------------------------------------------------------------------------
+
+
+def write_partitioned(
+    ds,
+    out_dir: str,
+    num_partitions: int,
+    *,
+    program_name: str = "main_content",
+    resume: bool = True,
+    drop_columns: tuple = ("rule_hits", "spans"),
+):
+    """P12/P13/P14: url-hash partitioned sink with lineage + manifest.
+
+    Adds ``part_id``, skips partitions whose done-marker exists
+    (resume), then writes each group atomically inside the per-group
+    task.  Returns the list of lineage records for this run.
+    """
+    done = scan_done(out_dir) if resume else set()
+    ds = add_part_id(ds, num_partitions)
+    if done:
+        done_arr = frozenset(done)
+        ds = ds.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t.column("part_id"),
+                                   value_set=pa.array(list(done_arr), pa.int64())))
+            ),
+            batch_format="pyarrow",
+        )
+
+    def write_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"part_id": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        pid = int(group.column("part_id")[0].as_py())
+        table = group.drop_columns(
+            [c for c in drop_columns if c in group.column_names]
+        )
+        rec = write_partition(
+            table,
+            pid,
+            out_dir,
+            engine_version=__version__,
+            program_name=program_name,
+        )
+        return pa.table(
+            {"part_id": pa.array([pid], pa.int64()),
+             "rows": pa.array([rec["row_count"]], pa.int64())}
+        )
+
+    summary = ds.groupby("part_id").map_groups(write_group, batch_format="pyarrow")
+    return summary.to_pandas()

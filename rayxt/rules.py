@@ -1,0 +1,408 @@
+"""Rule engine core: Transformation / Rule / Ref / flow control / traversal.
+
+Reproduces the reference execution semantics (SURVEY.md section 2.1,
+rows C1-C13, reconstructed from funkyfuture/inxs):
+
+* a :class:`Transformation` is an ordered program of steps over ONE
+  document; steps are :class:`Rule` objects (traverse + match + handler
+  chain) or bare handlers ("simple steps", run once per document);
+* handlers are plain callables whose parameters are dependency-injected
+  BY NAME from the run's symbol table (``element``, ``context``,
+  ``previous_result``, ``root``, ``tree``, ``config``,
+  ``transformation``, ``nsmap``);
+* each handler's return value becomes ``previous_result``;
+* :class:`AbortRule` / :class:`AbortTransformation` implement early
+  exit at rule / program level;
+* ``config.result_object`` is a dotted path into the run namespace
+  (default ``'context'`` -> the root, see ``_resolve_result``).
+
+Differences from the reference that are deliberate (and safe because
+semantics are defined per single-threaded run): run state lives in a
+per-call :class:`_Run` object, never on the Transformation instance, so
+one compiled Transformation is reusable concurrently across actor
+threads / rows (SURVEY C2 notes the reference is NOT thread-safe).
+
+Signature inspection happens once per callable (cached), so the
+per-element cost is plain dict lookups — this is the "compiled
+transformation table" the north star asks for (BASELINE.json:6).
+"""
+
+from __future__ import annotations
+
+import copy as _copy
+import inspect
+from types import SimpleNamespace
+
+from .dom import Node
+from .matchers import compile_conditions
+
+__all__ = [
+    "Ref",
+    "AbortRule",
+    "AbortTransformation",
+    "Rule",
+    "Transformation",
+    "TRAVERSE_DEPTH_FIRST",
+    "TRAVERSE_LEFT_TO_RIGHT",
+    "TRAVERSE_RIGHT_TO_LEFT",
+    "TRAVERSE_TOP_TO_BOTTOM",
+    "TRAVERSE_BOTTOM_TO_TOP",
+    "TRAVERSE_ROOT_ONLY",
+]
+
+TRAVERSE_DEPTH_FIRST = 1
+TRAVERSE_LEFT_TO_RIGHT = 2
+TRAVERSE_RIGHT_TO_LEFT = 4
+TRAVERSE_TOP_TO_BOTTOM = 8
+TRAVERSE_BOTTOM_TO_TOP = 16
+TRAVERSE_ROOT_ONLY = 32
+
+_DEFAULT_TRAVERSAL = (
+    TRAVERSE_DEPTH_FIRST | TRAVERSE_LEFT_TO_RIGHT | TRAVERSE_TOP_TO_BOTTOM
+)
+
+
+class AbortRule(Exception):
+    """Stop applying the current rule; continue with the next step (C8)."""
+
+
+class AbortTransformation(Exception):
+    """Stop the whole program; return the result object as-is (C9)."""
+
+
+class Ref:
+    """Late-bound dotted lookup into the run namespace (C7).
+
+    ``Ref('previous_result')``, ``Ref('context.records')`` etc.; resolved
+    at handler-execution time against the live run state.
+    """
+
+    __slots__ = ("path",)
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def resolve(self, run: "_Run"):
+        parts = self.path.split(".")
+        head = parts[0]
+        if hasattr(run, head):
+            obj = getattr(run, head)
+            rest = parts[1:]
+        else:
+            obj = run.context
+            rest = parts
+        for p in rest:
+            if isinstance(obj, dict):
+                obj = obj[p]
+            else:
+                obj = getattr(obj, p)
+        return obj
+
+    def __repr__(self):
+        return f"Ref({self.path!r})"
+
+
+def resolve(value, run):
+    """Resolve Refs (including inside lists/tuples) against the run."""
+    if isinstance(value, Ref):
+        return value.resolve(run)
+    if isinstance(value, (list, tuple)):
+        return type(value)(resolve(v, run) for v in value)
+    return value
+
+
+class _Run:
+    """Per-call run state: the injectable symbol table."""
+
+    __slots__ = (
+        "transformation",
+        "config",
+        "context",
+        "previous_result",
+        "root",
+        "tree",
+        "nsmap",
+        "element",
+        "rule_hits",
+    )
+
+    def __init__(self, transformation, config, context, root, nsmap):
+        self.transformation = transformation
+        self.config = config
+        self.context = context
+        self.previous_result = None
+        self.root = root
+        self.tree = root
+        self.nsmap = nsmap or {}
+        self.element = None
+        self.rule_hits = {}
+
+    def symbols(self) -> dict:
+        return {
+            "transformation": self.transformation,
+            "config": self.config,
+            "context": self.context,
+            "previous_result": self.previous_result,
+            "root": self.root,
+            "tree": self.tree,
+            "nsmap": self.nsmap,
+            "element": self.element,
+        }
+
+
+_SIG_CACHE: dict = {}
+
+
+def _param_names(fn):
+    try:
+        key = fn
+        cached = _SIG_CACHE.get(key)
+    except TypeError:
+        key = None
+        cached = None
+    if cached is None:
+        try:
+            sig = inspect.signature(fn)
+        except (TypeError, ValueError):
+            cached = ((), frozenset())
+        else:
+            required, optional = [], []
+            for name, p in sig.parameters.items():
+                if p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD):
+                    continue
+                (optional if p.default is not p.empty else required).append(name)
+            cached = (tuple(required) + tuple(optional), frozenset(optional))
+        if key is not None:
+            _SIG_CACHE[key] = cached
+    return cached
+
+
+def _invoke(fn, run: "_Run", element=None):
+    """Dependency-inject a handler/predicate call by parameter name (C6)."""
+    names, optional = _param_names(fn)
+    if not names:
+        return fn()
+    if element is not None:
+        run.element = element
+    symbols = run.symbols()
+    kwargs = {}
+    for name in names:
+        if name in symbols:
+            kwargs[name] = symbols[name]
+        elif hasattr(run.context, name):
+            kwargs[name] = getattr(run.context, name)
+        elif name not in optional:
+            raise NameError(
+                f"handler {getattr(fn, '__name__', fn)!r} wants unknown symbol {name!r}"
+            )
+    return fn(**kwargs)
+
+
+def _iter_traversal(root: Node, order: int):
+    """Yield live elements per the requested traversal order (C10).
+
+    Implemented combinations (others raise ``NotImplementedError`` like
+    the reference): default pre-order (DF+L2R+T2B), its right-to-left
+    mirror, bottom-to-top post-order, and root-only.  Nodes detached by
+    earlier handlers in the same pass are skipped (their subtrees are
+    not descended into).
+    """
+    if order & TRAVERSE_ROOT_ONLY:
+        yield root
+        return
+    rtl = bool(order & TRAVERSE_RIGHT_TO_LEFT)
+    bottom_up = bool(order & TRAVERSE_BOTTOM_TO_TOP)
+    if not (order & TRAVERSE_DEPTH_FIRST):
+        raise NotImplementedError(f"unsupported traversal order {order}")
+
+    def children_of(n):
+        kids = [c for c in n.children if c.is_element()]
+        return list(reversed(kids)) if rtl else kids
+
+    if not bottom_up:
+        # pre-order over the live tree; re-read children after each yield
+        stack = [iter([root])]
+        while stack:
+            it = stack[-1]
+            node = next(it, None)
+            if node is None:
+                stack.pop()
+                continue
+            if node.detached:
+                continue
+            yield node
+            if not node.detached:
+                stack.append(iter(children_of(node)))
+    else:
+        def post(n):
+            for c in children_of(n):
+                if not c.detached:
+                    yield from post(c)
+            if not n.detached:
+                yield n
+
+        yield from post(root)
+
+
+class Rule:
+    """Element-wise step: traversal + AND-ed conditions + handler chain (C3)."""
+
+    def __init__(self, conditions, handlers, name=None, traversal_order=None):
+        self.conditions = conditions
+        self.handlers = handlers if isinstance(handlers, (list, tuple)) else (handlers,)
+        self.name = name
+        self.traversal_order = traversal_order
+        self._matchers = compile_conditions(conditions)
+
+    def __repr__(self):
+        return f"Rule(name={self.name!r}, conditions={self.conditions!r})"
+
+
+class _CompiledRule:
+    __slots__ = ("rule", "matchers", "handlers", "traversal", "label")
+
+    def __init__(self, rule: Rule, extra_matchers, default_traversal, index):
+        self.rule = rule
+        self.matchers = list(extra_matchers) + list(rule._matchers)
+        self.handlers = rule.handlers
+        self.traversal = (
+            rule.traversal_order
+            if rule.traversal_order is not None
+            else default_traversal
+        )
+        self.label = rule.name or f"rule_{index}"
+
+
+class _CompiledSimpleStep:
+    __slots__ = ("handlers", "label")
+
+    def __init__(self, handlers, index):
+        self.handlers = handlers if isinstance(handlers, (list, tuple)) else (handlers,)
+        self.label = f"step_{index}"
+
+
+class Transformation:
+    """An ordered, reusable, picklable-free program over one document (C1).
+
+    Config keys (reference defaults reconstructed):
+
+    * ``copy`` (default True): deep-copy the source tree before mutating;
+    * ``context``: initial context mapping;
+    * ``common_rule_conditions``: conditions AND-ed onto every rule (C12);
+    * ``result_object``: dotted path resolved over the run namespace at
+      the end (default ``'context.root'`` == the transformed tree); ``None``
+      returns ``None``;
+    * ``traversal_order``: default traversal for rules without their own;
+    * ``name``: diagnostic label.
+    """
+
+    config_defaults = {
+        "copy": True,
+        "context": None,
+        "common_rule_conditions": None,
+        "result_object": "context.root",
+        "traversal_order": _DEFAULT_TRAVERSAL,
+        "name": None,
+    }
+
+    def __init__(self, *steps, **config):
+        cfg = dict(self.config_defaults)
+        cfg.update(config)
+        self.config = SimpleNamespace(**cfg)
+        common = compile_conditions(cfg["common_rule_conditions"])
+        self.steps = []
+        for i, step in enumerate(steps):
+            if isinstance(step, Rule):
+                self.steps.append(
+                    _CompiledRule(step, common, self.config.traversal_order, i)
+                )
+            elif isinstance(step, Transformation):
+                self.steps.append(step)  # sub-transformation as a step
+            elif callable(step) or isinstance(step, (list, tuple)):
+                self.steps.append(_CompiledSimpleStep(step, i))
+            else:
+                raise TypeError(f"unsupported step {step!r}")
+
+    # -- execution ---------------------------------------------------------
+    def __call__(self, source, nsmap=None, **context_kwargs):
+        result, _stats = self.call_with_stats(source, nsmap=nsmap, **context_kwargs)
+        return result
+
+    def call_with_stats(self, source, nsmap=None, **context_kwargs):
+        """Run and also return per-rule hit counts ``{label: n}``."""
+        root = source
+        if not isinstance(root, Node):
+            raise TypeError(f"source must be a rayxt.dom.Node, got {type(source)!r}")
+        if self.config.copy:
+            root = root.deepcopy()
+        base_ctx = dict(self.config.context or {})
+        base_ctx.update(context_kwargs)
+        context = SimpleNamespace(**base_ctx)
+        run = _Run(self, self.config, context, root, nsmap)
+        # the (possibly copied) tree is reachable through the context too,
+        # so the default result_object 'context.root' resolves (C11)
+        context.root = root
+        context.tree = root
+        try:
+            for step in self.steps:
+                if isinstance(step, Transformation):
+                    run.previous_result = step(
+                        run.root, nsmap=run.nsmap, **vars(run.context)
+                    )
+                    continue
+                if isinstance(step, _CompiledSimpleStep):
+                    try:
+                        self._run_handlers(step.handlers, run)
+                    except AbortRule:
+                        continue
+                    continue
+                self._run_rule(step, run)
+        except AbortTransformation:
+            pass
+        return self._resolve_result(run), run.rule_hits
+
+    def _run_rule(self, crule: _CompiledRule, run: _Run):
+        for m in crule.matchers:
+            m.prepare(run)
+        hits = 0
+        try:
+            for element in _iter_traversal(run.root, crule.traversal):
+                if element.detached:
+                    continue
+                matched = True
+                for m in crule.matchers:
+                    if not m.matches(element, run):
+                        matched = False
+                        break
+                if not matched:
+                    continue
+                hits += 1
+                run.element = element
+                self._run_handlers(crule.handlers, run, element=element)
+        except AbortRule:
+            pass
+        finally:
+            run.element = None
+            if hits:
+                run.rule_hits[crule.label] = run.rule_hits.get(crule.label, 0) + hits
+
+    @staticmethod
+    def _run_handlers(handlers, run: _Run, element=None):
+        if callable(handlers):
+            handlers = (handlers,)
+        for h in handlers:
+            run.previous_result = _invoke(h, run, element=element)
+
+    def _resolve_result(self, run: _Run):
+        path = self.config.result_object
+        if path is None:
+            return None
+        obj = run
+        for part in path.split("."):
+            if isinstance(obj, dict):
+                obj = obj.get(part)
+            else:
+                obj = getattr(obj, part, None)
+            if obj is None:
+                return None
+        return obj

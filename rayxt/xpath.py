@@ -1,0 +1,465 @@
+"""XPath / CSS selector subset over :mod:`rayxt.dom` trees.
+
+Implements exactly the subset needed by the rule programs and the
+conformance corpus (SURVEY.md section 7.4 / M3); anything outside the
+subset raises :class:`SelectorError` at *compile* time rather than
+silently mis-evaluating.
+
+XPath subset::
+
+    /a/b   //a   a/b   .//a   *   .   ..   text()
+    predicates: [n] [last()] [@attr] [@attr='v'] [tag] [text()='v']
+                plus 'and' / 'or' of those
+    unions: p1 | p2
+    names: local, prefix:local (resolved against the nsmap), {uri}local
+
+CSS subset (compiled onto the same AST)::
+
+    tag  .class  #id  [attr]  [attr=v]  *
+    descendant (space), child (>), comma (union), compounds (div.a#b)
+
+Evaluation returns elements in document order without duplicates.
+Namespace resolution of ``prefix:local`` happens at evaluation time via
+the supplied nsmap (so one compiled selector serves many documents).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .dom import Node
+
+__all__ = ["SelectorError", "XPath", "parse_xpath", "css_to_xpath", "parse_css"]
+
+
+class SelectorError(ValueError):
+    """Selector outside the supported subset (raised at compile time)."""
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<dslash>//)
+  | (?P<slash>/)
+  | (?P<lbrack>\[)
+  | (?P<rbrack>\])
+  | (?P<union>\|)
+  | (?P<at>@)
+  | (?P<eq>=)
+  | (?P<string>'[^']*'|"[^"]*")
+  | (?P<number>\d+)
+  | (?P<dotdot>\.\.)
+  | (?P<dot>\.)
+  | (?P<star>\*)
+  | (?P<name>\{[^}]*\}[\w.\-]+|[\w.\-]+(?::[\w.\-]+)?(?:\(\))?)
+  | (?P<ws>\s+)
+""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(s: str):
+    tokens = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            raise SelectorError(f"cannot tokenize xpath {s!r} at offset {pos}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        tokens.append((kind, m.group()))
+    return tokens
+
+
+# -- AST --------------------------------------------------------------------
+
+
+class _Pred:
+    def matches(self, node, position, size, nsmap):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class _PosPred(_Pred):
+    def __init__(self, n):
+        self.n = n
+
+    def matches(self, node, position, size, nsmap):
+        return position == self.n
+
+
+class _LastPred(_Pred):
+    def matches(self, node, position, size, nsmap):
+        return position == size
+
+
+class _AttrPred(_Pred):
+    def __init__(self, name, value=None):
+        self.name = name
+        self.value = value
+
+    def matches(self, node, position, size, nsmap):
+        if self.value is None:
+            return self.name in node.attrs
+        return node.attrs.get(self.name) == self.value
+
+
+class _ClassWordPred(_Pred):
+    """CSS ``.cls``: class attribute contains the word."""
+
+    def __init__(self, word):
+        self.word = word
+
+    def matches(self, node, position, size, nsmap):
+        return self.word in (node.attrs.get("class") or "").split()
+
+
+class _ChildTagPred(_Pred):
+    def __init__(self, name):
+        self.name = name
+
+    def matches(self, node, position, size, nsmap):
+        return any(
+            c.is_element() and _tag_matches(c, self.name, nsmap)
+            for c in node.children
+        )
+
+
+class _TextEqPred(_Pred):
+    def __init__(self, value):
+        self.value = value
+
+    def matches(self, node, position, size, nsmap):
+        return (node.text or "") == self.value
+
+
+class _BoolPred(_Pred):
+    def __init__(self, op, parts):
+        self.op = op
+        self.parts = parts
+
+    def matches(self, node, position, size, nsmap):
+        it = (p.matches(node, position, size, nsmap) for p in self.parts)
+        return all(it) if self.op == "and" else any(it)
+
+
+class _Step:
+    __slots__ = ("axis", "name", "preds")
+
+    def __init__(self, axis, name, preds):
+        self.axis = axis  # 'child' | 'descendant' | 'self' | 'parent'
+        self.name = name  # '*' | 'text()' | tag name (plain/prefix/clark)
+        self.preds = preds
+
+
+def _resolve_name(name: str, nsmap) -> str:
+    """prefix:local -> Clark notation via nsmap; others pass through."""
+    if name.startswith("{") or ":" not in name:
+        if not name.startswith("{") and nsmap and "" in nsmap and nsmap[""]:
+            # default namespace applies to unprefixed names in XML mode
+            return "{%s}%s" % (nsmap[""], name)
+        return name
+    prefix, local = name.split(":", 1)
+    if nsmap and prefix in nsmap:
+        return "{%s}%s" % (nsmap[prefix], local)
+    raise SelectorError(f"undeclared namespace prefix {prefix!r}")
+
+
+def _tag_matches(node: Node, name: str, nsmap) -> bool:
+    if name == "*":
+        return node.is_element()
+    return node.tag == _resolve_name(name, nsmap)
+
+
+class XPath:
+    """A compiled selector: a union of absolute/relative location paths."""
+
+    def __init__(self, paths, source: str):
+        self._paths = paths  # list of (absolute: bool, [steps])
+        self.source = source
+
+    def __repr__(self):
+        return f"XPath({self.source!r})"
+
+    def evaluate(self, start: Node, nsmap=None):
+        """Select elements; ``start`` is both context node and tree root."""
+        result = []
+        seen = set()
+        for absolute, steps in self._paths:
+            nodes = self._eval_path(start, absolute, steps, nsmap)
+            for n in nodes:
+                if id(n) not in seen:
+                    seen.add(id(n))
+                    result.append(n)
+        if len(self._paths) > 1:
+            order = {id(n): i for i, n in enumerate(_document_order(start))}
+            result.sort(key=lambda n: order.get(id(n), 1 << 30))
+        return result
+
+    def _eval_path(self, start, absolute, steps, nsmap):
+        if absolute:
+            virtual = Node("#document-virtual")
+            virtual.children = [start]
+            current = [virtual]
+        else:
+            current = [start]
+        for step in steps:
+            current = self._apply_step(current, step, nsmap)
+            if not current:
+                return []
+        # note: the virtual document node never sets start.parent (children
+        # assigned directly), so the real tree is untouched.
+        return [n for n in current if isinstance(n, Node)]
+
+    def _apply_step(self, nodes, step, nsmap):
+        out = []
+        seen = set()
+        for ctx in nodes:
+            if step.axis == "self":
+                cands = [ctx]
+                self._filter_into(cands, step, nsmap, out, seen)
+            elif step.axis == "parent":
+                if ctx.parent is not None and id(ctx.parent) not in seen:
+                    seen.add(id(ctx.parent))
+                    out.append(ctx.parent)
+            elif step.axis == "child":
+                cands = [c for c in ctx.children if c.is_element()]
+                self._filter_into(cands, step, nsmap, out, seen)
+            else:  # descendant-or-self then name test (the '//' semantics)
+                groups = {}
+                order = []
+                for d in ctx.iter():
+                    for c in d.children:
+                        if c.is_element():
+                            key = id(d)
+                            if key not in groups:
+                                groups[key] = []
+                                order.append(key)
+                            groups[key].append(c)
+                # include ctx itself as candidate under '//name' from virtual? no:
+                # '//x' expands to /descendant-or-self::node()/child::x per spec.
+                for key in order:
+                    self._filter_into(groups[key], step, nsmap, out, seen)
+        return out
+
+    @staticmethod
+    def _filter_into(cands, step, nsmap, out, seen):
+        named = [c for c in cands if _tag_matches(c, step.name, nsmap)] \
+            if step.name not in ("*",) else [c for c in cands if c.is_element()]
+        size = len(named)
+        for pos, c in enumerate(named, 1):
+            ok = all(p.matches(c, pos, size, nsmap) for p in step.preds)
+            if ok and id(c) not in seen:
+                seen.add(id(c))
+                out.append(c)
+
+
+def _document_order(root: Node):
+    return list(root.iter())
+
+
+# -- parser -----------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, tokens, source):
+        self.toks = tokens
+        self.i = 0
+        self.source = source
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind):
+        k, v = self.next()
+        if k != kind:
+            raise SelectorError(f"expected {kind} in {self.source!r}, got {v!r}")
+        return v
+
+    def parse(self):
+        paths = [self.parse_path()]
+        while self.peek()[0] == "union":
+            self.next()
+            paths.append(self.parse_path())
+        if self.peek()[0] is not None:
+            raise SelectorError(f"trailing tokens in xpath {self.source!r}")
+        return paths
+
+    def parse_path(self):
+        absolute = False
+        steps = []
+        kind, _ = self.peek()
+        if kind == "dslash":
+            self.next()
+            absolute = True
+            steps.append(self.parse_step("descendant"))
+        elif kind == "slash":
+            self.next()
+            absolute = True
+            steps.append(self.parse_step("child"))
+        else:
+            steps.append(self.parse_step("child"))
+        while True:
+            kind, _ = self.peek()
+            if kind == "dslash":
+                self.next()
+                steps.append(self.parse_step("descendant"))
+            elif kind == "slash":
+                self.next()
+                steps.append(self.parse_step("child"))
+            else:
+                break
+        return absolute, steps
+
+    def parse_step(self, axis):
+        kind, val = self.next()
+        if kind == "dot":
+            return _Step("self", "*", [])
+        if kind == "dotdot":
+            return _Step("parent", "*", [])
+        if kind == "star":
+            name = "*"
+        elif kind == "name":
+            if val.endswith("()"):
+                if val != "text()":
+                    raise SelectorError(f"unsupported function {val!r}")
+                name = "text()"
+                raise SelectorError("text() as a location step is not selectable")
+            name = val
+        else:
+            raise SelectorError(f"unexpected token {val!r} in {self.source!r}")
+        preds = []
+        while self.peek()[0] == "lbrack":
+            self.next()
+            preds.append(self.parse_pred_expr())
+            self.expect("rbrack")
+        return _Step(axis, name, preds)
+
+    def parse_pred_expr(self):
+        parts = [self.parse_pred_atom()]
+        op = None
+        while self.peek() == ("name", "and") or self.peek() == ("name", "or"):
+            _, word = self.next()
+            if op is not None and word != op:
+                raise SelectorError("mixed and/or without parentheses unsupported")
+            op = word
+            parts.append(self.parse_pred_atom())
+        if op is None:
+            return parts[0]
+        return _BoolPred(op, parts)
+
+    def parse_pred_atom(self):
+        kind, val = self.peek()
+        if kind == "number":
+            self.next()
+            return _PosPred(int(val))
+        if kind == "at":
+            self.next()
+            attr = self.expect("name")
+            if self.peek()[0] == "eq":
+                self.next()
+                s = self.expect("string")
+                return _AttrPred(attr, s[1:-1])
+            return _AttrPred(attr)
+        if kind == "name":
+            self.next()
+            if val == "last()":
+                return _LastPred()
+            if val == "text()":
+                self.expect("eq")
+                s = self.expect("string")
+                return _TextEqPred(s[1:-1])
+            if val.endswith("()"):
+                raise SelectorError(f"unsupported predicate function {val!r}")
+            return _ChildTagPred(val)
+        raise SelectorError(f"unsupported predicate near {val!r} in {self.source!r}")
+
+
+def parse_xpath(source: str) -> XPath:
+    return XPath(_Parser(_tokenize(source), source).parse(), source)
+
+
+# -- CSS --------------------------------------------------------------------
+
+_CSS_TOKEN_RE = re.compile(
+    r"""
+    (?P<comma>,)
+  | (?P<gt>\s*>\s*)
+  | (?P<ws>\s+)
+  | (?P<hash>\#[\w\-]+)
+  | (?P<class>\.[\w\-]+)
+  | (?P<attr>\[\s*[\w\-]+\s*(?:=\s*(?:'[^']*'|"[^"]*"|[\w\-]+)\s*)?\])
+  | (?P<star>\*)
+  | (?P<tag>[\w\-]+(?:\|[\w\-]+)?)
+""",
+    re.VERBOSE,
+)
+
+_CSS_ATTR_RE = re.compile(
+    r"""\[\s*(?P<name>[\w\-]+)\s*(?:=\s*(?P<val>'[^']*'|"[^"]*"|[\w\-]+)\s*)?\]"""
+)
+
+
+def parse_css(source: str) -> XPath:
+    """Compile the CSS subset straight onto the XPath AST."""
+    paths = []
+    for selector in source.split(","):
+        selector = selector.strip()
+        if not selector:
+            raise SelectorError(f"empty selector in {source!r}")
+        steps = []
+        axis = "descendant"  # top-level CSS selectors match anywhere
+        pos = 0
+        cur = None  # current compound: [name, preds]
+
+        def flush():
+            nonlocal cur
+            if cur is not None:
+                steps.append(_Step(cur[2], cur[0], cur[1]))
+                cur = None
+
+        while pos < len(selector):
+            m = _CSS_TOKEN_RE.match(selector, pos)
+            if not m:
+                raise SelectorError(f"cannot parse css {source!r} at {pos}")
+            pos = m.end()
+            kind = m.lastgroup
+            text = m.group()
+            if kind == "ws":
+                flush()
+                axis = "descendant"
+            elif kind == "gt":
+                flush()
+                axis = "child"
+            elif kind in ("tag", "star"):
+                flush()
+                cur = ["*" if kind == "star" else text, [], axis]
+            else:
+                if cur is None:
+                    cur = ["*", [], axis]
+                if kind == "hash":
+                    cur[1].append(_AttrPred("id", text[1:]))
+                elif kind == "class":
+                    cur[1].append(_ClassWordPred(text[1:]))
+                elif kind == "attr":
+                    am = _CSS_ATTR_RE.match(text)
+                    if not am:
+                        raise SelectorError(f"bad attr selector {text!r}")
+                    val = am.group("val")
+                    if val and val[0] in "'\"":
+                        val = val[1:-1]
+                    cur[1].append(_AttrPred(am.group("name"), val))
+        flush()
+        if not steps:
+            raise SelectorError(f"empty selector in {source!r}")
+        paths.append((True, steps))
+    return XPath(paths, source)
+
+
+def css_to_xpath(source: str) -> XPath:
+    return parse_css(source)

@@ -1,0 +1,123 @@
+"""Ray Data pipeline tests (SURVEY P1-P15): extract, dedup, stats,
+partitioned sink, manifest resume, two-tier skew split."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from fixtures.gen_pages import ensure_pages_parquet, generate_table
+from rayxt.manifest import marker_path, read_lineage, scan_done
+from rayxt.pipeline import (
+    ExtractDocs,
+    corpus_stats,
+    dedup_latest_by_url,
+    extract_pages,
+    read_pages,
+    rule_hit_totals,
+    write_partitioned,
+)
+
+N_ROWS = 400
+GIANT_CAP = 131072
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pages") / "pages.parquet")
+    return ensure_pages_parquet(path, N_ROWS, giant_cap=GIANT_CAP)
+
+
+def test_extract_docs_batch_direct():
+    # smoke the actor class in-process (init errors surface early)
+    batch = generate_table(50, GIANT_CAP)
+    out = ExtractDocs()(batch.select(["url", "warc_ts", "html", "lang"]))
+    assert out.num_rows == 50
+    assert set(out.column("status").to_pylist()) <= {"ok", "empty", "error", "too_large"}
+    ok = [t for t, s in zip(out.column("text").to_pylist(),
+                            out.column("status").to_pylist()) if s == "ok"]
+    assert any(ok)
+
+
+def test_extract_pipeline_and_stats(ray_session, pages_path):
+    ds = read_pages(pages_path)
+    ex = extract_pages(ds, concurrency=2, batch_size=32)
+    stats = corpus_stats(ex).to_pandas()
+    assert stats["docs"].sum() == N_ROWS
+    assert stats["ok_docs"].sum() > 0.9 * N_ROWS
+    hits = rule_hit_totals(
+        extract_pages(read_pages(pages_path), concurrency=2)
+    ).to_pandas()
+    assert set(hits["rule"]) >= {"drop_tag", "drop_class"}
+    assert (hits["hits"] > 0).all()
+
+
+def test_two_tier_matches_single_tier(ray_session, pages_path):
+    base = extract_pages(read_pages(pages_path), concurrency=1)
+    # concurrency=1 per tier: the test session has 4 CPUs and two actor
+    # pools plus task operators must all fit without starving each other
+    tiered = extract_pages(
+        read_pages(pages_path), concurrency=1, two_tier=True,
+        size_threshold=32 * 1024,
+    )
+    a = base.select_columns(["url", "warc_ts", "text", "status"]).to_pandas()
+    b = tiered.select_columns(["url", "warc_ts", "text", "status"]).to_pandas()
+    key = ["url", "warc_ts"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_dedup_latest_by_url(ray_session, pages_path):
+    ex = extract_pages(read_pages(pages_path), concurrency=2)
+    before = ex.count()
+    deduped = dedup_latest_by_url(ex)
+    df = deduped.to_pandas()
+    assert len(df) < before  # corpus contains duplicate urls by construction
+    assert df["url"].is_unique
+    # the kept row per duplicated url is the max-warc_ts one
+    raw = extract_pages(read_pages(pages_path), concurrency=2).to_pandas()
+    expected = raw.sort_values("warc_ts", kind="stable").groupby("url").tail(1)
+    got = df.set_index("url")["warc_ts"].sort_index()
+    want = expected.set_index("url")["warc_ts"].sort_index()
+    assert got.equals(want)
+
+
+def test_write_partitioned_lineage_and_resume(ray_session, pages_path, tmp_path):
+    out_dir = str(tmp_path / "out")
+    P = 8
+    ex = extract_pages(read_pages(pages_path), concurrency=2)
+    summary = write_partitioned(ex, out_dir, P, program_name="main_content")
+    assert summary["rows"].sum() == N_ROWS
+    assert scan_done(out_dir) == set(summary["part_id"])
+    lineage = read_lineage(out_dir)
+    assert sum(r["row_count"] for r in lineage) == N_ROWS
+    assert all(r["engine_version"] and r["program"] == "main_content" for r in lineage)
+
+    # all rows present, partitioned by crc32(url) % P
+    total = 0
+    for rec in lineage:
+        pdir = os.path.join(out_dir, f"part_id={rec['part_id']:04d}", "part.parquet")
+        t = pq.read_table(pdir)
+        total += t.num_rows
+    assert total == N_ROWS
+
+    # resume: delete two markers, rerun -> only those partitions rewritten
+    victims = sorted(scan_done(out_dir))[:2]
+    mtimes_before = {}
+    for pid in sorted(scan_done(out_dir)):
+        f = os.path.join(out_dir, f"part_id={pid:04d}", "part.parquet")
+        mtimes_before[pid] = os.stat(f).st_mtime_ns
+    for pid in victims:
+        os.remove(marker_path(out_dir, pid))
+    ex2 = extract_pages(read_pages(pages_path), concurrency=2)
+    summary2 = write_partitioned(ex2, out_dir, P, program_name="main_content")
+    assert set(summary2["part_id"]) == set(victims)
+    for pid, before_mtime in mtimes_before.items():
+        f = os.path.join(out_dir, f"part_id={pid:04d}", "part.parquet")
+        after = os.stat(f).st_mtime_ns
+        if pid in victims:
+            assert after != before_mtime
+        else:
+            assert after == before_mtime  # untouched partitions not rewritten

@@ -1,0 +1,115 @@
+"""Selector subset tests (SURVEY M3)."""
+
+import pytest
+
+from rayxt.dom import parse_html, parse_xml
+from rayxt.xpath import SelectorError, parse_css, parse_xpath
+
+HTML = (
+    b"<html><body>"
+    b'<div id="main"><p class="lead big">one</p><p>two</p>'
+    b"<span><p>deep</p></span></div>"
+    b'<div class="side"><p>three</p></div>'
+    b"</body></html>"
+)
+
+
+def _texts(nodes):
+    return [n.text for n in nodes]
+
+
+def test_descendant_and_child():
+    root = parse_html(HTML)
+    assert _texts(parse_xpath("//p").evaluate(root)) == ["one", "two", "deep", "three"]
+    assert _texts(parse_xpath('//div[@id="main"]/p').evaluate(root)) == ["one", "two"]
+    assert _texts(parse_xpath('//div[@id="main"]//p').evaluate(root)) == [
+        "one", "two", "deep",
+    ]
+
+
+def test_absolute_path_and_star():
+    root = parse_html(HTML)
+    assert parse_xpath("/html/body").evaluate(root)[0].tag == "body"
+    assert parse_xpath("/html").evaluate(root)[0] is root
+    assert len(parse_xpath("/html/body/*").evaluate(root)) == 2
+    assert parse_xpath("/div").evaluate(root) == []
+
+
+def test_positional_predicates():
+    root = parse_html(HTML)
+    assert _texts(parse_xpath('//div[@id="main"]/p[1]').evaluate(root)) == ["one"]
+    assert _texts(parse_xpath('//div[@id="main"]/p[2]').evaluate(root)) == ["two"]
+    assert _texts(parse_xpath('//div[@id="main"]/p[last()]').evaluate(root)) == ["two"]
+    # position is computed among same-named siblings, per parent
+    assert _texts(parse_xpath("//p[1]").evaluate(root)) == ["one", "deep", "three"]
+
+
+def test_attribute_predicates():
+    root = parse_html(HTML)
+    assert _texts(parse_xpath("//p[@class]").evaluate(root)) == ["one"]
+    assert _texts(parse_xpath('//p[@class="lead big"]').evaluate(root)) == ["one"]
+    assert parse_xpath('//p[@class="lead"]').evaluate(root) == []
+
+
+def test_child_tag_and_text_predicates():
+    root = parse_html(HTML)
+    assert [n.attrs.get("id") for n in parse_xpath("//div[span]").evaluate(root)] == ["main"]
+    assert _texts(parse_xpath('//p[text()="two"]').evaluate(root)) == ["two"]
+
+
+def test_and_or_predicates():
+    root = parse_html(b'<html><body><a x="1" y="2">a</a><a x="1">b</a></body></html>')
+    assert _texts(parse_xpath('//a[@x and @y]').evaluate(root)) == ["a"]
+    assert _texts(parse_xpath('//a[@y or @x]').evaluate(root)) == ["a", "b"]
+
+
+def test_union_document_order():
+    root = parse_html(HTML)
+    got = parse_xpath('//div[@class="side"]/p | //div[@id="main"]/p[1]').evaluate(root)
+    assert _texts(got) == ["one", "three"]  # document order, deduped
+
+
+def test_relative_path_and_dot_dotdot():
+    root = parse_html(HTML)
+    body = root.children[0]
+    main = parse_xpath('div[@id="main"]').evaluate(body)[0]
+    assert main.attrs["id"] == "main"
+    assert parse_xpath(".").evaluate(main) == [main]
+    assert parse_xpath("..").evaluate(main) == [body]
+    assert _texts(parse_xpath(".//p").evaluate(main)) == ["one", "two", "deep"]
+
+
+def test_namespaced_xpath():
+    root, nsmap = parse_xml(
+        b'<m:r xmlns:m="urn:m"><m:kid>a</m:kid><m:kid>b</m:kid></m:r>'
+    )
+    assert _texts(parse_xpath("//m:kid").evaluate(root, nsmap)) == ["a", "b"]
+    assert _texts(parse_xpath("//{urn:m}kid").evaluate(root, nsmap)) == ["a", "b"]
+    with pytest.raises(SelectorError):
+        parse_xpath("//zz:kid").evaluate(root, nsmap)
+
+
+def test_out_of_subset_raises_at_compile():
+    for bad in ["//p[contains(@class,'x')]", "//p/following-sibling::a",
+                "count(//p)", "//p[position()<3]"]:
+        with pytest.raises(SelectorError):
+            parse_xpath(bad)
+
+
+def test_css_subset():
+    root = parse_html(HTML)
+    assert _texts(parse_css("p").evaluate(root)) == ["one", "two", "deep", "three"]
+    assert _texts(parse_css("#main > p").evaluate(root)) == ["one", "two"]
+    assert _texts(parse_css("div.side p").evaluate(root)) == ["three"]
+    assert _texts(parse_css("p.lead").evaluate(root)) == ["one"]
+    assert _texts(parse_css("p.big").evaluate(root)) == ["one"]  # class word match
+    assert _texts(parse_css("p[class]").evaluate(root)) == ["one"]
+    assert _texts(parse_css('p[class="lead big"]').evaluate(root)) == ["one"]
+    assert _texts(parse_css("div.side p, #main p.lead").evaluate(root)) == ["one", "three"]
+
+
+def test_css_errors():
+    with pytest.raises(SelectorError):
+        parse_css("p:hover")
+    with pytest.raises(SelectorError):
+        parse_css("")
