@@ -1,0 +1,177 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — one numpy matmul per batch against
+a BROADCAST query matrix (``ray.put`` once on the driver, ``ray.get``
+once per actor in ``__init__``), partial top-k per batch, final merge
+via a small ``groupby(query_id)`` over partials.  The shuffle therefore
+moves at most ``n_queries * k`` rows per batch, never embeddings.
+
+Scale path: an LSH-bucketed variant (random-hyperplane signs) that
+prunes each batch to rows sharing a hash bucket with some query —
+same partial-top-k merge afterwards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["brute_force_topk", "lsh_topk", "hyperplane_bucket"]
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return m / norms[:, None]
+
+
+class _PartialTopK:
+    """Actor-pool stage: per-batch cosine top-k against the broadcast
+    query matrix; emits (query_id, id, cos) partials."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        import ray
+
+        qids, qmat = ray.get(queries_ref)  # fetched once per actor
+        self.qids = qids
+        self.qmat = _normalize(qmat)
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        m = _normalize(_as_matrix(batch[self.vec_col].to_pylist()))
+        sims = self.qmat @ m.T  # (n_queries, batch)
+        k = min(self.k, sims.shape[1])
+        out_q, out_i, out_c = [], [], []
+        for qi in range(sims.shape[0]):
+            # top-k by (cos desc, id asc) — deterministic tie-break
+            idx = np.lexsort((ids, -sims[qi]))[:k]
+            out_q.extend([self.qids[qi]] * len(idx))
+            out_i.extend(ids[idx].tolist())
+            out_c.extend(sims[qi][idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "id": pa.array(out_i, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+
+def _merge_topk_factory(k: int):
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cos"] = np.round(g["cos"], 6)
+        return g[["query_id", "id", "rank", "cos"]]
+
+    return merge
+
+
+def brute_force_topk(ds, queries, *, id_col: str = "vec_id",
+                     vec_col: str = "embedding", k: int = 10,
+                     concurrency=(1, 4), batch_size: int = 4096):
+    """Exact cosine top-k for each query vector.
+
+    ``queries``: list of (query_id, vector).  Returns
+    (query_id, id, rank, cos) with rank 1..k by (cos desc, id asc).
+    """
+    import ray
+
+    qids = [int(q) for q, _ in queries]
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])
+    queries_ref = ray.put((qids, qmat))
+    partial = ds.select_columns([id_col, vec_col]).map_batches(
+        _PartialTopK,
+        fn_constructor_kwargs=dict(
+            queries_ref=queries_ref, id_col=id_col, vec_col=vec_col, k=k
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pandas"
+    )
+
+
+def hyperplane_bucket(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Random-hyperplane LSH bucket ids (sign bits packed to ints)."""
+    signs = (m @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return signs @ weights
+
+
+class _LshPartialTopK(_PartialTopK):
+    """Prunes each batch to rows whose LSH bucket matches some query's
+    bucket before the matmul (recall < 1.0; the scale path)."""
+
+    def __init__(self, queries_ref, id_col, vec_col, k, planes_ref):
+        super().__init__(queries_ref, id_col, vec_col, k)
+        import ray
+
+        self.planes = ray.get(planes_ref)
+        self.qbuckets = set(
+            hyperplane_bucket(self.qmat, self.planes).tolist()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        m = _normalize(_as_matrix(batch[self.vec_col].to_pylist()))
+        buckets = hyperplane_bucket(m, self.planes)
+        mask = np.isin(buckets, list(self.qbuckets))
+        if not mask.any():
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        ids, m = ids[mask], m[mask]
+        sims = self.qmat @ m.T
+        k = min(self.k, sims.shape[1])
+        out_q, out_i, out_c = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.lexsort((ids, -sims[qi]))[:k]
+            out_q.extend([self.qids[qi]] * len(idx))
+            out_i.extend(ids[idx].tolist())
+            out_c.extend(sims[qi][idx].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "id": pa.array(out_i, pa.int64()),
+             "cos": pa.array(out_c, pa.float64())}
+        )
+
+
+def lsh_topk(ds, queries, *, id_col: str = "vec_id", vec_col: str = "embedding",
+             k: int = 10, n_planes: int = 8, seed: int = 11,
+             concurrency=(1, 4), batch_size: int = 4096):
+    """LSH-pruned cosine top-k (approximate; bucket-collision recall)."""
+    import ray
+
+    qids = [int(q) for q, _ in queries]
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])
+    dim = qmat.shape[1]
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    queries_ref = ray.put((qids, qmat))
+    planes_ref = ray.put(planes)
+    partial = ds.select_columns([id_col, vec_col]).map_batches(
+        _LshPartialTopK,
+        fn_constructor_kwargs=dict(
+            queries_ref=queries_ref, id_col=id_col, vec_col=vec_col, k=k,
+            planes_ref=planes_ref,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pandas"
+    )

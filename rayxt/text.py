@@ -1,0 +1,143 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All operators are Ray-Data-first: vectorized `map_batches` bodies
+(pyarrow.compute / pandas) for the cheap columns, an actor-pool class
+for the stateful language-ID stage (profiles compiled once per actor).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "add_token_count",
+    "add_quality_columns",
+    "LangId",
+    "add_fingerprint",
+    "token_count_table",
+    "fingerprint_of",
+]
+
+
+# ---------------------------------------------------------------------------
+# token counting (vectorized; SQL-parity: array_length(string_split(text,' ')))
+# ---------------------------------------------------------------------------
+
+
+def token_count_table(batch: pa.Table, col: str = "text",
+                      out: str = "n_tokens") -> pa.Table:
+    toks = pc.list_value_length(pc.split_pattern(batch[col], " "))
+    return batch.append_column(out, pc.cast(toks, pa.int64()))
+
+
+def add_token_count(ds, col: str = "text", out: str = "n_tokens"):
+    return ds.map_batches(
+        lambda t: token_count_table(t, col, out), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (vectorized arithmetic; every column SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def quality_table(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Adds n_tokens, avg_word_len (round 6), the_count (substring
+    occurrences of 'the' — SQL parity: (len - len(replace))/3)."""
+    text = batch[col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_tokens = pc.cast(
+        pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+    )
+    ntf = pc.cast(n_tokens, pa.float64())
+    # tokens are single-space separated: total word chars = n_chars - (n_tokens-1)
+    awl = pc.round(
+        pc.divide(pc.subtract(n_chars, pc.subtract(ntf, 1.0)), ntf), ndigits=6
+    )
+    the_count = pc.cast(pc.count_substring(text, "the"), pa.int64())
+    out = batch.append_column("n_tokens", n_tokens)
+    out = out.append_column("avg_word_len", awl)
+    return out.append_column("the_count", the_count)
+
+
+def add_quality_columns(ds, col: str = "text"):
+    return ds.map_batches(lambda t: quality_table(t, col), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# language identification (stateful actor stage; heuristic stopword +
+# character-class profiles — rows-only oracle, not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "que", "de", "por"},
+}
+
+
+class LangId:
+    """Heuristic language-ID: stopword-profile votes + CJK codepoint share.
+
+    Actor-pool stage: regexes and profiles are built once per actor in
+    ``__init__`` (the stateful-stage pattern); ``__call__`` is per batch.
+    """
+
+    def __init__(self, col: str = "text", out: str = "lang_guess"):
+        self.col = col
+        self.out = out
+        self.word_re = re.compile(r"[a-zA-Z]+")
+        self.cjk_re = re.compile(r"[一-鿿぀-ヿ]")
+        self.profiles = {k: frozenset(v) for k, v in _PROFILES.items()}
+
+    def _guess(self, text: str) -> str:
+        if not text:
+            return ""
+        if len(self.cjk_re.findall(text)) * 2 > len(text) * 0.05:
+            return "zh"
+        words = [w.lower() for w in self.word_re.findall(text[:4000])]
+        if not words:
+            return ""
+        best, best_score = "", 0
+        for lang, stops in self.profiles.items():
+            score = sum(1 for w in words if w in stops)
+            if score > best_score:
+                best, best_score = lang, score
+        return best if best_score > 0 else "en"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        guesses = [self._guess(t or "") for t in batch[self.col].to_pylist()]
+        return batch.append_column(self.out, pa.array(guesses, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (rolling polynomial hash over tokens, 64-bit)
+# ---------------------------------------------------------------------------
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_OFFSET = np.uint64(14695981039346656037)
+
+
+def fingerprint_of(text: str) -> int:
+    """FNV-1a-style rolling hash over whitespace tokens (deterministic)."""
+    h = int(_FP_OFFSET)
+    for tok in text.split():
+        for b in tok.encode("utf-8"):
+            h = ((h ^ b) * int(_FP_BASE)) & 0xFFFFFFFFFFFFFFFF
+        h = ((h ^ 0x20) * int(_FP_BASE)) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def add_fingerprint(ds, col: str = "text", out: str = "fingerprint"):
+    def batch_fp(t: pa.Table) -> pa.Table:
+        fps = [format(fingerprint_of(x or ""), "016x") for x in t[col].to_pylist()]
+        return t.append_column(out, pa.array(fps, pa.string()))
+
+    return ds.map_batches(batch_fp, batch_format="pyarrow")

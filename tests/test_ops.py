@@ -1,0 +1,262 @@
+"""Training-data operator tests: text analysis, dedup, ANN, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+# -- text analysis ----------------------------------------------------------
+
+def test_token_count_matches_split(ray_session, docs):
+    from rayxt.text import add_token_count
+
+    df = add_token_count(docs).select_columns(["doc_id", "text", "n_tokens"]).to_pandas()
+    expect = df["text"].str.split(" ").str.len()
+    assert (df["n_tokens"] == expect).all()
+
+
+def test_quality_columns(ray_session, docs):
+    from rayxt.text import add_quality_columns
+
+    df = add_quality_columns(docs).to_pandas().head(50)
+    for _, r in df.iterrows():
+        toks = r["text"].split(" ")
+        assert r["n_tokens"] == len(toks)
+        awl = round((len(r["text"]) - (len(toks) - 1)) / len(toks), 6)
+        assert abs(r["avg_word_len"] - awl) < 1e-9
+        assert r["the_count"] == r["text"].count("the")
+
+
+def test_langid_stage(ray_session):
+    import ray.data as rd
+
+    from rayxt.text import LangId
+
+    ds = rd.from_items(
+        [
+            {"text": "the cat and the dog of a house that is big"},
+            {"text": "der hund und die katze ist nicht ein vogel"},
+            {"text": "le chat et la maison est une grande pour les"},
+            {"text": "el perro y la casa es una grande que por"},
+            {"text": "这是一个中文句子 这是一个中文句子"},
+            {"text": ""},
+        ]
+    )
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert out["lang_guess"].tolist() == ["en", "de", "fr", "es", "zh", ""]
+
+
+def test_fingerprint_deterministic(ray_session, docs):
+    from rayxt.text import add_fingerprint, fingerprint_of
+
+    df = add_fingerprint(docs).select_columns(["text", "fingerprint"]).to_pandas().head(20)
+    for _, r in df.iterrows():
+        assert r["fingerprint"] == format(fingerprint_of(r["text"]), "016x")
+    # same text -> same fp; different text -> different fp (w.h.p.)
+    assert fingerprint_of("a b c") == fingerprint_of("a b c")
+    assert fingerprint_of("a b c") != fingerprint_of("a b d")
+
+
+# -- dedup ------------------------------------------------------------------
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    from rayxt.dedup import exact_dedup
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "aaa"},
+            {"doc_id": 2, "text": "bbb"},
+            {"doc_id": 3, "text": "aaa"},
+            {"doc_id": 4, "text": "aaa"},
+        ]
+    )
+    out = exact_dedup(ds, "doc_id").to_pandas().sort_values("rep_doc_id")
+    assert out["rep_doc_id"].tolist() == [1, 2]
+    assert out["n_dups"].tolist() == [3, 1]
+
+
+def test_minhash_lsh_finds_neardups(ray_session):
+    import ray.data as rd
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest while birds sing songs").split()
+    near = list(base)
+    near[5] = "leaps"  # one-token edit -> high jaccard
+    far = ("completely different words describing unrelated things like "
+           "mathematics chemistry physics biology and astronomy topics").split()
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": " ".join(base)},
+            {"doc_id": 2, "text": " ".join(near)},
+            {"doc_id": 3, "text": " ".join(far)},
+            {"doc_id": 4, "text": " ".join(base)},  # exact dup
+        ]
+    )
+    from rayxt.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(ds, "doc_id", threshold=0.5, concurrency=1).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (1, 4) in got  # exact dup estimated jaccard 1.0
+    assert (1, 2) in got and (2, 4) in got
+    assert not any(3 in p for p in got)
+    exact = pairs[(pairs.id_a == 1) & (pairs.id_b == 4)]["jaccard"].iloc[0]
+    assert exact == 1.0
+
+
+def test_simhash_pairs(ray_session):
+    import ray.data as rd
+
+    from rayxt.dedup import simhash_of, simhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    near = base.replace(" pi ", " phi ")
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": near},
+            {"doc_id": 3, "text": "unrelated totally different content here now"},
+            {"doc_id": 4, "text": base},  # exact dup: guaranteed hamming 0
+        ]
+    )
+    d12 = bin(simhash_of(base) ^ simhash_of(near)).count("1")
+    pairs = simhash_pairs(ds, "doc_id", max_hamming=max(3, d12)).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (1, 4) in got
+    if d12 <= 3:  # banding guarantees a collision only within 3 bits
+        assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_ngram_jaccard_values():
+    from rayxt.dedup import ngram_jaccard
+
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+    assert 0.0 < ngram_jaccard("a b c d e", "a b c d x") < 1.0
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data as rd
+
+    from rayxt.dedup import embedding_neardup_pairs
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.999, 0.01, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    ds = rd.from_items(
+        [
+            {"vec_id": 1, "embedding": v, "label": 0},
+            {"vec_id": 2, "embedding": v2, "label": 0},
+            {"vec_id": 3, "embedding": w, "label": 0},
+            {"vec_id": 4, "embedding": v, "label": 1},  # other bucket: unseen pair
+        ]
+    )
+    pairs = embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert got == {(1, 2)}
+
+
+# -- ANN --------------------------------------------------------------------
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from rayxt.ann import brute_force_topk
+
+    rng = np.random.default_rng(3)
+    n, dim, k = 300, 16, 5
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(n)]
+    )
+    queries = [(0, mat[0].tolist()), (1, mat[1].tolist())]
+    out = brute_force_topk(ds, queries, k=k, concurrency=1, batch_size=64).to_pandas()
+
+    m64 = mat.astype(np.float64)
+    mn = m64 / np.linalg.norm(m64, axis=1)[:, None]
+    for qid in (0, 1):
+        sims = mn @ mn[qid]
+        expect = np.lexsort((np.arange(n), -sims))[:k]
+        got = out[out.query_id == qid].sort_values("rank")["id"].tolist()
+        assert got == expect.tolist()
+        assert out[out.query_id == qid]["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_lsh_topk_recall(ray_session):
+    import ray.data as rd
+
+    from rayxt.ann import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(5)
+    n, dim, k = 400, 16, 10
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(n)]
+    )
+    queries = [(0, mat[0].tolist())]
+    exact = set(
+        brute_force_topk(ds, queries, k=k, concurrency=1).to_pandas()["id"]
+    )
+    approx = set(
+        lsh_topk(ds, queries, k=k, n_planes=4, concurrency=1).to_pandas()["id"]
+    )
+    # the query itself always collides with its own bucket
+    assert 0 in approx
+    assert len(exact & approx) >= 2  # nonzero recall at 4 planes
+
+
+# -- multimodal -------------------------------------------------------------
+
+def test_media_decode_and_stages(ray_session, tmp_path):
+    import ray.data as rd
+
+    from fixtures.gen_media import ensure_media_parquet, media_row
+    from rayxt.multimodal import decode_media, resize_images, sample_frames
+
+    path = ensure_media_parquet(str(tmp_path / "media.parquet"), 30)
+    ds = rd.read_parquet(path)
+    out = decode_media(ds, concurrency=1).to_pandas()
+    assert len(out) == 30
+    assert (out["decode_status"] == "ok").all()
+    assert (out["width"] == out["declared_w"]).all()
+    assert (out["n_frames"] == out["declared_frames"]).all()
+    assert "payload" not in out.columns  # heavy bytes dropped at decode
+
+    resized = decode_media(
+        resize_images(rd.read_parquet(path), 8, 8, concurrency=1), concurrency=1
+    ).to_pandas()
+    assert (resized["width"] == 8).all() and (resized["height"] == 8).all()
+
+    sampled = decode_media(
+        sample_frames(rd.read_parquet(path), stride=2, concurrency=1), concurrency=1
+    ).to_pandas()
+    vids = sampled[sampled.kind == "video"]
+    orig = out[out.kind == "video"].set_index("media_id")
+    for _, r in vids.iterrows():
+        assert r["n_frames"] == (orig.loc[r["media_id"], "n_frames"] + 1) // 2
+
+
+def test_media_unsupported_codec_is_graceful(ray_session):
+    import ray.data as rd
+
+    from rayxt.multimodal import decode_media
+
+    ds = rd.from_items(
+        [{"media_id": 1, "kind": "image", "payload": b"\x89PNG\r\n" + b"x" * 64,
+          "declared_w": 0, "declared_h": 0, "declared_frames": 0}]
+    )
+    out = decode_media(ds, concurrency=1).to_pandas()
+    assert out["decode_status"].tolist() == ["unsupported_codec"]
