@@ -45,6 +45,7 @@ def ensure_worker_importable() -> None:
         sys.path.insert(0, _REPO_ROOT)
 
 from . import __version__
+from .dom import parse_html, parse_xml
 from .kernel import DEFAULT_HARD_CAP, extract_one
 from .manifest import scan_done, write_partition
 from .programs import get_program_factory
@@ -180,6 +181,73 @@ def extract_pages(
         lambda t: _len_expr(t, True), batch_format="pyarrow"
     ).map_batches(ExtractDocs, batch_size=1, **kwargs)
     return small.union(big)
+
+
+class ExtractWikitables:
+    """Actor-pool stage: wikitable record extraction (doc -> rows).
+
+    Flattens the wikipedia_table program's per-document record list into
+    one output row per table row: (url, table_idx, row_idx, name, count,
+    note) — the fixed template headers lowercased.  Rows without a
+    'wikitable' byte marker are skipped before parsing (cheap prefilter).
+    """
+
+    def __init__(self):
+        ensure_worker_importable()
+        self.program = get_program_factory("wikipedia_table")()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # parse_html is module-level: the by-value pickle graph must stay
+        # self-consistent (see ExtractDocs.__init__ note)
+        urls_out, t_idx, r_idx, names, counts, notes = [], [], [], [], [], []
+        for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            if not html or b"wikitable" not in html:
+                continue
+            try:
+                records = self.program(parse_html(html)) or []
+            except Exception:  # noqa: BLE001 — poison rows yield no records
+                continue
+            for rec in records:
+                urls_out.append(url)
+                t_idx.append(rec.get("table_idx", 0))
+                r_idx.append(rec.get("row_idx", 0))
+                names.append(rec.get("Name", ""))
+                counts.append(rec.get("Count", ""))
+                notes.append(rec.get("Note", ""))
+        return pa.table(
+            {
+                "url": pa.array(urls_out, pa.string()),
+                "table_idx": pa.array(t_idx, pa.int64()),
+                "row_idx": pa.array(r_idx, pa.int64()),
+                "name": pa.array(names, pa.string()),
+                "count": pa.array(counts, pa.string()),
+                "note": pa.array(notes, pa.string()),
+            }
+        )
+
+
+class ExtractModsTei:
+    """Actor-pool stage: MODS->TEI doc-to-doc transformation (url, tei_xml)."""
+
+    def __init__(self):
+        ensure_worker_importable()
+        self.program = get_program_factory("mods_to_tei")()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls_out, xml_out = [], []
+        for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            if not html or b"loc.gov/mods" not in html:
+                continue
+            try:
+                root, nsmap = parse_xml(html)
+                xml_out.append(self.program(root, nsmap=nsmap))
+                urls_out.append(url)
+            except Exception:  # noqa: BLE001
+                continue
+        return pa.table(
+            {"url": pa.array(urls_out, pa.string()),
+             "tei_xml": pa.array(xml_out, pa.string())}
+        )
 
 
 # ---------------------------------------------------------------------------
