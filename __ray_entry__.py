@@ -328,6 +328,59 @@ def _q_lineitem_filter(sf_dir):
     )
 
 
+def _q_order_priority_revenue(sf_dir):
+    """Large-to-large hash join via Dataset.join (both sides shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    li = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: "pa.Table") -> "pa.Table":
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+
+    li = li.map_batches(revenue, batch_format="pyarrow")
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = li.join(orders, "inner", num_partitions=4,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    df = joined.groupby("o_orderpriority").aggregate(
+        Sum("revenue", alias_name="revenue"), Count(alias_name="n_items")
+    ).to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
+def _q_customers_without_orders(sf_dir):
+    """Anti join via Dataset.join(left_anti): customers with no 1998-H2 orders."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    cutoff = pa.scalar(datetime.datetime(1998, 6, 1), pa.timestamp("us"))
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["o_orderdate"], cutoff)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    df = cust.join(orders, "left_anti", num_partitions=4,
+                   on=("c_custkey",), right_on=("o_custkey",)).to_pandas()
+    if "c_custkey" not in df.columns:  # empty result loses its schema
+        df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return df[["c_custkey"]]
+
+
 # -- pages (conformance corpus; byte-identity gate) -------------------------
 
 
@@ -521,6 +574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_customers": _q_region_customers,
         "part_brand_stats": _q_part_brand_stats,
         "lineitem_filter": _q_lineitem_filter,
+        "order_priority_revenue": _q_order_priority_revenue,
+        "customers_without_orders": _q_customers_without_orders,
         "pages_extract_text": _q_pages_extract_text,
         "pages_wikitable": _q_pages_wikitable,
         "pages_mods_tei": _q_pages_mods_tei,
@@ -625,6 +680,17 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_filter":
             "SELECT l_orderkey, l_linenumber FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.05",
+        "order_priority_revenue": """
+            SELECT o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "customers_without_orders":
+            "SELECT c_custkey FROM customer "
+            "EXCEPT SELECT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1998-06-01'",
         "pages_extract_text":
             f"SELECT url, warc_ts, text, status FROM '{_GOLDEN_EXTRACT}'",
         "pages_wikitable":

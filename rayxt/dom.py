@@ -404,9 +404,10 @@ def parse_html(data) -> Node:
     """Parse HTML bytes/str into a Node tree rooted at ``html``."""
     text, _enc = decode_html(data)
     line_offsets = [0]
-    for i, ch in enumerate(text):
-        if ch == "\n":
-            line_offsets.append(i + 1)
+    pos = text.find("\n")
+    while pos != -1:
+        line_offsets.append(pos + 1)
+        pos = text.find("\n", pos + 1)
     builder = _TreeBuilder(line_offsets)
     builder.feed(text)
     builder.close()

@@ -144,9 +144,25 @@ class _CombinatorBase(Matcher):
 
 
 class Any(_CombinatorBase):
-    """E1: OR combinator."""
+    """E1: OR combinator.
+
+    Fast path: when every sub-condition is a plain (non-namespaced) tag
+    matcher the OR collapses to one frozenset membership test — the hot
+    case for boilerplate tag lists (this is the tag-bucketed
+    "transformation table" lookup of SURVEY D2)."""
+
+    def __init__(self, *conditions):
+        super().__init__(*conditions)
+        self._tag_set = None
+        if all(
+            isinstance(p, _TagMatcher) and p._resolved is not None
+            for p in self.parts
+        ):
+            self._tag_set = frozenset(p._resolved for p in self.parts)
 
     def matches(self, element, run):
+        if self._tag_set is not None:
+            return element.tag in self._tag_set
         return any(p.matches(element, run) for p in self.parts)
 
 
