@@ -103,13 +103,15 @@ class minhash_signatures:
         self.a, self.b = _perm_params(num_perm)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k).astype(object)
-        # (a*x + b) mod p, per permutation; object dtype avoids int64 overflow
-        mins = np.empty(self.num_perm, dtype=np.int64)
-        for j in range(self.num_perm):
-            vals = (int(self.a[j]) * sh + int(self.b[j])) % _MERSENNE
-            mins[j] = int(vals.min())
-        return mins
+        sh = _shingle_hashes(text, self.k).astype(np.uint64)
+        # one vectorized (shingles x perms) pass; uint64 wrap-around
+        # multiplication is a deterministic hash family (not strictly
+        # universal, but exact-dup sigs still match exactly and overlap
+        # estimates behave like MinHash)
+        a = self.a.astype(np.uint64)
+        b = self.b.astype(np.uint64)
+        vals = sh[:, None] * a[None, :] + b[None, :]
+        return (vals.min(axis=0) >> np.uint64(1)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids_out, bands_out, buckets_out, sigs_out = [], [], [], []
@@ -213,15 +215,17 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str = "text", *, k: int = 3,
 
 
 def simhash_of(text: str, bits: int = 64) -> int:
-    acc = np.zeros(bits, dtype=np.int64)
-    for tok in set(text.split()):
-        h = _sha1_int64(tok)
-        for bit in range(bits):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
+    toks = set(text.split())
+    if not toks:
+        return 0
+    hs = np.fromiter((_sha1_int64(t) for t in toks), dtype=np.uint64,
+                     count=len(toks))
+    shifts = np.arange(bits, dtype=np.uint64)
+    bitmat = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (bitmat * 2 - 1).sum(axis=0)
     out = 0
-    for bit in range(bits):
-        if acc[bit] > 0:
-            out |= 1 << bit
+    for bit in np.nonzero(acc > 0)[0]:
+        out |= 1 << int(bit)
     return out
 
 

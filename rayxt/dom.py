@@ -262,10 +262,17 @@ _META_CHARSET_RE = re.compile(
 )
 
 
+def _normalize_newlines(text: str) -> str:
+    # scan-before-copy: most documents carry no \r, skip two allocations
+    if "\r" in text:
+        return text.replace("\r\n", "\n").replace("\r", "\n")
+    return text
+
+
 def decode_html(data) -> tuple[str, str]:
     """bytes -> (decoded text, encoding used).  Frozen sniff chain."""
     if isinstance(data, str):
-        return data.replace("\r\n", "\n").replace("\r", "\n"), "str"
+        return _normalize_newlines(data), "str"
     if data is None:
         return "", "empty"
     enc = None
@@ -299,7 +306,7 @@ def decode_html(data) -> tuple[str, str]:
         except UnicodeDecodeError:
             text = data.decode("latin-1")
             enc = "latin-1"
-    return text.replace("\r\n", "\n").replace("\r", "\n"), enc
+    return _normalize_newlines(text), enc
 
 
 # ---------------------------------------------------------------------------

@@ -376,6 +376,20 @@ def write_partitioned(
     if to_drop:
         ds = ds.drop_columns(to_drop)
     ds = add_part_id(ds, num_partitions)
+    # phase boundary: the groupby shuffle is a barrier (it materializes
+    # every row in the object store regardless), so an explicit
+    # materialize() costs nothing asymptotically — and it ENDS the
+    # extraction execution, releasing the actor pool's CPU reservation
+    # so the shuffle phase gets the whole machine (measured: 128s -> ~50s
+    # end-to-end on a 300k-doc corpus at 32 CPUs).
+    import sys as _sys
+    import time as _time
+
+    _t0 = _time.time()
+    ds = ds.materialize()
+    print(f"[write_partitioned] extract+materialize: "
+          f"{_time.time() - _t0:.1f}s", file=_sys.stderr)
+    _t0 = _time.time()
     if done:
         done_arr = frozenset(done)
         ds = ds.map_batches(
@@ -406,5 +420,34 @@ def write_partitioned(
              "rows": pa.array([rec["row_count"]], pa.int64())}
         )
 
-    summary = ds.groupby("part_id").map_groups(write_group, batch_format="pyarrow")
-    return summary.to_pandas()
+    # hash shuffle beats the default sort shuffle ~2x for this key-
+    # partitioned exchange (measured 27.7s -> 12.6s on ~1 GB); restore
+    # the caller's strategy afterwards.
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev_strategy = getattr(ctx, "shuffle_strategy", None)
+    prev_aggs = getattr(ctx, "max_hash_shuffle_aggregators", None)
+    try:
+        import ray
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # one aggregator per CPU: the default (64) oversubscribes small
+        # machines and anti-scales (measured 25.8s @64 -> 11.2s @32 aggs
+        # on 32 CPUs for a ~1 GB exchange)
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        ctx.max_hash_shuffle_aggregators = max(4, min(64, ncpu))
+    except ImportError:  # older ray: keep default
+        pass
+    try:
+        summary = ds.groupby("part_id").map_groups(write_group, batch_format="pyarrow")
+        out = summary.to_pandas()
+        print(f"[write_partitioned] shuffle+write: "
+              f"{_time.time() - _t0:.1f}s", file=_sys.stderr)
+        return out
+    finally:
+        if prev_strategy is not None:
+            ctx.shuffle_strategy = prev_strategy
+        if prev_aggs is not None:
+            ctx.max_hash_shuffle_aggregators = prev_aggs
