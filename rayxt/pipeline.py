@@ -361,6 +361,7 @@ def write_partitioned(
     program_name: str = "main_content",
     resume: bool = True,
     drop_columns: tuple = ("rule_hits", "spans"),
+    materialize_boundary: bool = True,
 ):
     """P12/P13/P14: url-hash partitioned sink with lineage + manifest.
 
@@ -386,10 +387,11 @@ def write_partitioned(
     import time as _time
 
     _t0 = _time.time()
-    ds = ds.materialize()
-    print(f"[write_partitioned] extract+materialize: "
-          f"{_time.time() - _t0:.1f}s", file=_sys.stderr)
-    _t0 = _time.time()
+    if materialize_boundary:
+        ds = ds.materialize()
+        print(f"[write_partitioned] extract+materialize: "
+              f"{_time.time() - _t0:.1f}s", file=_sys.stderr)
+        _t0 = _time.time()
     if done:
         done_arr = frozenset(done)
         ds = ds.map_batches(
