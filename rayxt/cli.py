@@ -93,23 +93,16 @@ def cmd_pipeline(args) -> int:
 
     DataContext.get_current().enable_progress_bars = False
     from .manifest import read_lineage
-    from .pipeline import extract_pages, read_pages, write_partitioned
+    from .pipeline import run_extraction_job
 
     t0 = time.time()
-    ds = read_pages(args.input)
-    pool = max(4, int(args.num_cpus * 0.85))
-    ex = extract_pages(
-        ds,
-        program=args.program,
-        concurrency=pool,
-        batch_size=args.batch_size,
-        two_tier=args.two_tier,
-    )
-    summary = write_partitioned(
-        ex,
+    summary = run_extraction_job(
+        args.input,
         args.output,
         args.partitions,
-        program_name=args.program,
+        program=args.program,
+        batch_size=args.batch_size,
+        two_tier=args.two_tier,
         resume=not args.no_resume,
     )
     lineage = read_lineage(args.output)

@@ -124,7 +124,7 @@ class ExtractDocs:
             spans[k] = [
                 {"start": s, "end": e, "kind": kind} for s, e, kind in r["spans"]
             ]
-        return pa.Table.from_arrays(
+        out = pa.Table.from_arrays(
             [
                 batch.column("url"),
                 batch.column("warc_ts"),
@@ -139,6 +139,11 @@ class ExtractDocs:
             ],
             schema=EXTRACT_SCHEMA,
         )
+        # pass the partition key through when tagging happened upstream
+        # (resume filters BEFORE extraction that way — see run_extraction_job)
+        if "part_id" in batch.column_names:
+            out = out.append_column("part_id", batch.column("part_id"))
+        return out
 
 
 def extract_pages(
@@ -348,6 +353,55 @@ def rule_hit_totals(ds):
     )
 
 
+def run_extraction_job(
+    input_path,
+    out_dir: str,
+    num_partitions: int = 256,
+    *,
+    program: str = "main_content",
+    batch_size: int = 128,
+    concurrency=None,
+    two_tier: bool = False,
+    resume: bool = True,
+    hard_cap: int = DEFAULT_HARD_CAP,
+):
+    """The composed flagship job: read -> tag part_id -> RESUME FILTER ->
+    extract -> partitioned sink.
+
+    The url-hash partition key is a pure function of the url, so it is
+    computed BEFORE extraction and completed partitions are filtered out
+    before any html is parsed — a resumed job pays only the read of the
+    skipped rows' key columns, not their extraction (SURVEY P13).
+    """
+    if concurrency is None:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = min(int(ncpu) - 1, max(2, round(ncpu * 0.75)))
+    ds = read_pages(input_path)
+    ds = add_part_id(ds, num_partitions)
+    done = scan_done(out_dir) if resume else set()
+    if done:
+        done_set = pa.array(sorted(done), pa.int64())
+        ds = ds.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t.column("part_id"), value_set=done_set))
+            ),
+            batch_format="pyarrow",
+        )
+    ex = extract_pages(
+        ds,
+        program=program,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        hard_cap=hard_cap,
+        two_tier=two_tier,
+    )
+    return write_partitioned(
+        ex, out_dir, num_partitions, program_name=program, resume=resume
+    )
+
+
 # ---------------------------------------------------------------------------
 # partitioned, resumable sink
 # ---------------------------------------------------------------------------
@@ -373,10 +427,12 @@ def write_partitioned(
     # drop nested (list<struct>) columns BEFORE the all-to-all exchange:
     # they slow the sort-based shuffle ~5x (measured 30s -> 6s on 40k
     # rows) and are not part of the persisted partition schema anyway
-    to_drop = [c for c in drop_columns if c in (ds.columns() or [])]
+    cols = ds.columns() or []
+    to_drop = [c for c in drop_columns if c in cols]
     if to_drop:
         ds = ds.drop_columns(to_drop)
-    ds = add_part_id(ds, num_partitions)
+    if "part_id" not in cols:
+        ds = add_part_id(ds, num_partitions)
     # phase boundary: the groupby shuffle is a barrier (it materializes
     # every row in the object store regardless), so an explicit
     # materialize() costs nothing asymptotically — and it ENDS the

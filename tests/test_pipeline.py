@@ -121,3 +121,33 @@ def test_write_partitioned_lineage_and_resume(ray_session, pages_path, tmp_path)
             assert after != before_mtime
         else:
             assert after == before_mtime  # untouched partitions not rewritten
+
+
+def test_run_extraction_job_resume_skips_extraction(ray_session, pages_path, tmp_path):
+    import time
+
+    from rayxt.pipeline import run_extraction_job
+
+    out_dir = str(tmp_path / "job_out")
+    t0 = time.time()
+    s1 = run_extraction_job(pages_path, out_dir, 8, concurrency=2, batch_size=64)
+    t_full = time.time() - t0
+    assert s1["rows"].sum() == N_ROWS
+
+    # delete ONE marker; the rerun must re-extract only that partition's
+    # rows (the filter sits before the parse stage)
+    victims = sorted(scan_done(out_dir))[:1]
+    for pid in victims:
+        os.remove(marker_path(out_dir, pid))
+    t0 = time.time()
+    s2 = run_extraction_job(pages_path, out_dir, 8, concurrency=2, batch_size=64)
+    t_resume = time.time() - t0
+    assert set(s2["part_id"]) == set(victims)
+    # resumed run processes ~1/8 of the rows; it must be clearly cheaper
+    assert s2["rows"].sum() < N_ROWS / 2
+    # final state equals a complete run
+    total = 0
+    for pid in scan_done(out_dir):
+        f = os.path.join(out_dir, f"part_id={pid:04d}", "part.parquet")
+        total += pq.read_table(f).num_rows
+    assert total == N_ROWS
