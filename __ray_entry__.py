@@ -539,6 +539,20 @@ def _q_doc_simhash_pairs(sf_dir):
     return simhash_pairs(ds, "doc_id", max_hamming=3)
 
 
+def _q_doc_neardup_clusters(sf_dir):
+    """MinHash LSH pairs -> connected components (cluster resolution)."""
+    from rayxt.dedup import connected_components, minhash_lsh_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, "doc_id", threshold=0.8, concurrency=(1, 4))
+    return connected_components(pairs)
+
+
+def _q_doc_sample(sf_dir):
+    """Seeded deterministic sample (P8); rows-only (sampler-specific)."""
+    return _docs(sf_dir, columns=["doc_id", "lang"]).random_sample(0.1, seed=42)
+
+
 def _q_media_decode(sf_dir):
     from fixtures.gen_media import ensure_media_parquet
     from rayxt.multimodal import decode_media
@@ -591,6 +605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
+        "doc_neardup_clusters": _q_doc_neardup_clusters,
+        "doc_sample": _q_doc_sample,
         "media_decode": _q_media_decode,
         "pages_rule_hits": _q_pages_rule_hits,
     }

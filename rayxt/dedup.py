@@ -284,6 +284,93 @@ def simhash_pairs(ds, id_col: str, text_col: str = "text", *,
 
 
 # ---------------------------------------------------------------------------
+# connected components over near-dup pairs (cluster resolution)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs_ds, *, max_rounds: int = 10):
+    """Resolve near-dup pairs (id_a, id_b) into clusters (id, cluster_id).
+
+    Distributed min-label propagation: each round every node adopts the
+    minimum cluster id among itself and its neighbours (one groupby per
+    round over (node, candidate-label) edges); converges in O(diameter)
+    rounds — near-dup clusters are tiny, so a handful.  No driver-side
+    union-find state, so the edge set can be arbitrarily large.
+
+    Returns a Dataset (id, cluster_id) where cluster_id is the min
+    member id of the component.  Singleton documents (no pairs) are not
+    listed — callers treat absence as "own cluster".
+    """
+    edges = pairs_ds.select_columns(["id_a", "id_b"])
+
+    def adjacency(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["id_a"].combine_chunks(), t["id_b"].combine_chunks()]
+        )
+        neighs = pa.concat_arrays(
+            [t["id_b"].combine_chunks(), t["id_a"].combine_chunks()]
+        )
+        return pa.table({"id": ids, "neigh": neighs})
+
+    adj = edges.map_batches(adjacency, batch_format="pyarrow").materialize()
+
+    def seed_labels(t: pa.Table) -> pa.Table:
+        lab = pc.min_element_wise(t["id"], t["neigh"])
+        return pa.table({"id": t["id"], "cluster_id": lab})
+
+    from ray.data.aggregate import Min
+
+    labels = (
+        adj.map_batches(seed_labels, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Min("cluster_id", alias_name="cluster_id"))
+        .materialize()
+    )
+    for _ in range(max_rounds):
+        # one groupby per round, no joins: co-group each node's current
+        # label with its adjacency (tagged rows), broadcast the group min
+        # to every neighbour, take per-node min.
+        tagged = adj.map_batches(
+            lambda t: pa.table(
+                {"id": t["id"], "other": t["neigh"],
+                 "cluster_id": pa.nulls(t.num_rows, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).union(
+            labels.map_batches(
+                lambda t: pa.table(
+                    {"id": t["id"], "other": pa.nulls(t.num_rows, pa.int64()),
+                     "cluster_id": t["cluster_id"]}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+        def propagate(g: pd.DataFrame) -> pd.DataFrame:
+            my_label = int(g["cluster_id"].dropna().min())
+            neighs = g["other"].dropna().astype("int64")
+            ids = list(neighs) + [int(g["id"].iloc[0])]
+            return pd.DataFrame(
+                {"id": pd.Series(ids, dtype="int64"),
+                 "cluster_id": pd.Series([my_label] * len(ids), dtype="int64")}
+            )
+
+        new_labels = (
+            tagged.groupby("id")
+            .map_groups(propagate, batch_format="pandas")
+            .groupby("id")
+            .aggregate(Min("cluster_id", alias_name="cluster_id"))
+            .materialize()
+        )
+        old = labels.to_pandas().sort_values("id").reset_index(drop=True)
+        new = new_labels.to_pandas().sort_values("id").reset_index(drop=True)
+        labels = new_labels
+        if old.equals(new):
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup (bucketed by a coarse key to avoid O(n^2))
 # ---------------------------------------------------------------------------
 

@@ -260,3 +260,22 @@ def test_media_unsupported_codec_is_graceful(ray_session):
     )
     out = decode_media(ds, concurrency=1).to_pandas()
     assert out["decode_status"].tolist() == ["unsupported_codec"]
+
+
+def test_connected_components(ray_session):
+    import ray.data as rd
+
+    from rayxt.dedup import connected_components
+
+    # two components: {1,2,3,4} via chain, {10,11}
+    pairs = rd.from_items(
+        [
+            {"id_a": 1, "id_b": 2},
+            {"id_a": 2, "id_b": 3},
+            {"id_a": 3, "id_b": 4},
+            {"id_a": 10, "id_b": 11},
+        ]
+    )
+    out = connected_components(pairs).to_pandas().sort_values("id")
+    got = dict(zip(out["id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
