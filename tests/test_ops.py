@@ -53,7 +53,19 @@ def test_langid_stage(ray_session):
         ]
     )
     out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=1).to_pandas()
-    assert out["lang_guess"].tolist() == ["en", "de", "fr", "es", "zh", ""]
+    # row order is not preserved through the pool; key on the text
+    got = dict(zip(out["text"], out["lang_guess"]))
+    assert got[ds.take_all()[0]["text"]] == "en"
+    expected = {
+        "the cat": "en", "der hund": "de", "le chat": "fr",
+        "el perro": "es", "这是一个中文句子": "zh", "": "",
+    }
+    for prefix, lang in expected.items():
+        if prefix == "":
+            matches = [g for t, g in got.items() if t == ""]
+        else:
+            matches = [g for t, g in got.items() if t.startswith(prefix)]
+        assert matches == [lang], (prefix, matches)
 
 
 def test_fingerprint_deterministic(ray_session, docs):
