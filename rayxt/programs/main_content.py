@@ -60,6 +60,7 @@ def main_content_program() -> Transformation:
         remove_elements("trash"),
         [extract_text_handler(), put_variable("text")],
         copy=False,           # the kernel parses a fresh tree per row
+        fuse_rules=True,      # pure mark-for-removal rules: one tree pass
         result_object="context",
         name="main_content",
     )

@@ -303,6 +303,14 @@ class Transformation:
         "result_object": "context.root",
         "traversal_order": _DEFAULT_TRAVERSAL,
         "name": None,
+        # opt-in optimization: execute consecutive same-traversal Rules
+        # in ONE tree pass (element-major instead of rule-major order).
+        # Only valid when the fused rules' handlers do not mutate the
+        # tree or depend on a prior rule's full pass (e.g. pure
+        # mark-for-removal accumulators); the flagship main_content
+        # program qualifies — its doomed set and extracted bytes are
+        # unchanged (locked by the golden conformance tests).
+        "fuse_rules": False,
     }
 
     def __init__(self, *steps, **config):
@@ -344,7 +352,13 @@ class Transformation:
         context.root = root
         context.tree = root
         try:
-            for step in self.steps:
+            steps = iter(self.steps)
+            pending = None
+            while True:
+                step = pending if pending is not None else next(steps, None)
+                pending = None
+                if step is None:
+                    break
                 if isinstance(step, Transformation):
                     run.previous_result = step(
                         run.root, nsmap=run.nsmap, **vars(run.context)
@@ -356,10 +370,63 @@ class Transformation:
                     except AbortRule:
                         continue
                     continue
+                if self.config.fuse_rules:
+                    group = [step]
+                    while True:
+                        nxt = next(steps, None)
+                        if (
+                            isinstance(nxt, _CompiledRule)
+                            and nxt.traversal == step.traversal
+                        ):
+                            group.append(nxt)
+                        else:
+                            pending = nxt
+                            break
+                    if len(group) > 1:
+                        self._run_fused_rules(group, run)
+                        continue
                 self._run_rule(step, run)
         except AbortTransformation:
             pass
         return self._resolve_result(run), run.rule_hits
+
+    def _run_fused_rules(self, crules, run: _Run):
+        """One traversal, applying each rule's matchers per element in
+        rule order (see fuse_rules in config_defaults for validity)."""
+        for crule in crules:
+            for m in crule.matchers:
+                m.prepare(run)
+        hits = [0] * len(crules)
+        aborted = [False] * len(crules)
+        try:
+            for element in _iter_traversal(run.root, crules[0].traversal):
+                if element.detached:
+                    continue
+                for idx, crule in enumerate(crules):
+                    if aborted[idx]:
+                        continue
+                    matched = True
+                    for m in crule.matchers:
+                        if not m.matches(element, run):
+                            matched = False
+                            break
+                    if not matched:
+                        continue
+                    hits[idx] += 1
+                    run.element = element
+                    try:
+                        self._run_handlers(crule.handlers, run, element=element)
+                    except AbortRule:
+                        aborted[idx] = True
+                    if element.detached:
+                        break
+        finally:
+            run.element = None
+            for idx, crule in enumerate(crules):
+                if hits[idx]:
+                    run.rule_hits[crule.label] = (
+                        run.rule_hits.get(crule.label, 0) + hits[idx]
+                    )
 
     def _run_rule(self, crule: _CompiledRule, run: _Run):
         for m in crule.matchers:

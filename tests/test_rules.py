@@ -325,3 +325,47 @@ def test_rule_hits_collected():
     )
     _, hits = t.call_with_stats(parse_html(DOC))
     assert hits == {"divs": 2}
+
+
+def test_fused_rules_match_unfused():
+    from rayxt.lib import append, remove_elements
+    from rayxt.dom import extract_text
+
+    def build(fused):
+        return Transformation(
+            Rule("i", append("trash", Ref("element")), name="r1"),
+            Rule({"class": "x"}, append("trash", Ref("element")), name="r2"),
+            remove_elements("trash"),
+            copy=False,
+            fuse_rules=fused,
+            result_object="context.root",
+        )
+
+    doc = (b"<html><body><i>a</i><b class='x'>b</b><i class='x'>both</i>"
+           b"<p>keep</p></body></html>")
+    out_a = extract_text(build(False)(parse_html(doc)))
+    out_b = extract_text(build(True)(parse_html(doc)))
+    assert out_a == out_b == "keep"
+    _, hits_a = build(False).call_with_stats(parse_html(doc))
+    _, hits_b = build(True).call_with_stats(parse_html(doc))
+    assert hits_a == hits_b == {"r1": 2, "r2": 2}
+
+
+def test_fused_abort_rule_stops_only_that_rule():
+    from rayxt.lib import append
+
+    def aborting(element, context):
+        context.seen.append(element.tag)
+        raise AbortRule
+
+    t = Transformation(
+        Rule("i", aborting, name="r1"),
+        Rule("b", lambda element, context: context.bs.append(element.text), name="r2"),
+        context={"seen": None, "bs": None},
+        copy=False,
+        fuse_rules=True,
+        result_object="context.bs",
+    )
+    doc = b"<html><body><i>1</i><b>x</b><i>2</i><b>y</b></body></html>"
+    out = t(parse_html(doc), seen=[], bs=[])
+    assert out == ["x", "y"]  # r2 unaffected by r1's abort
