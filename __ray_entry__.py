@@ -48,6 +48,18 @@ def _rd():
     return rd
 
 
+def _pool(cap: int = 8):
+    """Actor-pool bound that never starves the task operators: at most
+    ``cap``, always leaving ~25% of the cluster's CPUs free."""
+    try:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # pragma: no cover
+        ncpu = 4
+    return (1, max(2, min(cap, (ncpu * 3) // 4)))
+
+
 def _docs(sf_dir, columns=None):
     return _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
@@ -62,7 +74,7 @@ def entry() -> Any:
     from rayxt.pipeline import extract_pages, read_pages
 
     ds = read_pages(_PAGES).limit(500)
-    ex = extract_pages(ds, concurrency=(2, 4), batch_size=64)
+    ex = extract_pages(ds, concurrency=_pool(4), batch_size=64)
     return ex.select_columns(["url", "warc_ts", "lang", "text", "n_chars", "status"])
 
 
@@ -387,7 +399,7 @@ def _q_customers_without_orders(sf_dir):
 def _q_pages_extract_text(sf_dir):
     from rayxt.pipeline import extract_pages, read_pages
 
-    ex = extract_pages(read_pages(_PAGES), concurrency=(2, 8), batch_size=64)
+    ex = extract_pages(read_pages(_PAGES), concurrency=_pool(), batch_size=64)
     return ex.select_columns(["url", "warc_ts", "text", "status"])
 
 
@@ -396,7 +408,7 @@ def _q_pages_wikitable(sf_dir):
 
     return _rd().read_parquet(_PAGES, columns=["url", "html"]).map_batches(
         ExtractWikitables, batch_format="pyarrow", batch_size=64,
-        concurrency=(2, 4), num_cpus=1,
+        concurrency=_pool(4), num_cpus=1,
     )
 
 
@@ -405,7 +417,7 @@ def _q_pages_mods_tei(sf_dir):
 
     return _rd().read_parquet(_PAGES, columns=["url", "html"]).map_batches(
         ExtractModsTei, batch_format="pyarrow", batch_size=64,
-        concurrency=(2, 4), num_cpus=1,
+        concurrency=_pool(4), num_cpus=1,
     )
 
 
@@ -466,7 +478,7 @@ def _q_pages_len_topk(sf_dir):
 def _q_pages_stats_by_lang(sf_dir):
     from rayxt.pipeline import corpus_stats, extract_pages, read_pages
 
-    ex = extract_pages(read_pages(_PAGES), concurrency=(2, 8), batch_size=64)
+    ex = extract_pages(read_pages(_PAGES), concurrency=_pool(), batch_size=64)
     return corpus_stats(ex)
 
 
@@ -486,14 +498,14 @@ def _q_emb_ann_topk(sf_dir):
     from rayxt.ann import brute_force_topk
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    return brute_force_topk(ds, _ann_queries(sf_dir), k=_ANN_K, concurrency=(1, 4))
+    return brute_force_topk(ds, _ann_queries(sf_dir), k=_ANN_K, concurrency=_pool(4))
 
 
 def _q_emb_ann_lsh(sf_dir):
     from rayxt.ann import lsh_topk
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(ds, _ann_queries(sf_dir), k=_ANN_K, concurrency=(1, 4))
+    return lsh_topk(ds, _ann_queries(sf_dir), k=_ANN_K, concurrency=_pool(4))
 
 
 def _q_emb_neardup(sf_dir):
@@ -514,7 +526,7 @@ def _q_doc_langid(sf_dir):
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4)
+        LangId, batch_format="pyarrow", concurrency=_pool(4)
     ).select_columns(["doc_id", "lang_guess"])
 
 
@@ -529,7 +541,7 @@ def _q_doc_minhash_pairs(sf_dir):
     from rayxt.dedup import minhash_lsh_pairs
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    return minhash_lsh_pairs(ds, "doc_id", threshold=0.8, concurrency=(1, 4))
+    return minhash_lsh_pairs(ds, "doc_id", threshold=0.8, concurrency=_pool(4))
 
 
 def _q_doc_simhash_pairs(sf_dir):
@@ -544,7 +556,7 @@ def _q_doc_neardup_clusters(sf_dir):
     from rayxt.dedup import connected_components, minhash_lsh_pairs
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    pairs = minhash_lsh_pairs(ds, "doc_id", threshold=0.8, concurrency=(1, 4))
+    pairs = minhash_lsh_pairs(ds, "doc_id", threshold=0.8, concurrency=_pool(4))
     return connected_components(pairs)
 
 
@@ -558,13 +570,13 @@ def _q_media_decode(sf_dir):
     from rayxt.multimodal import decode_media
 
     path = ensure_media_parquet(_MEDIA, 300)
-    return decode_media(_rd().read_parquet(path), concurrency=(1, 4))
+    return decode_media(_rd().read_parquet(path), concurrency=_pool(4))
 
 
 def _q_pages_rule_hits(sf_dir):
     from rayxt.pipeline import extract_pages, read_pages, rule_hit_totals
 
-    ex = extract_pages(read_pages(_PAGES), concurrency=(2, 8), batch_size=64)
+    ex = extract_pages(read_pages(_PAGES), concurrency=_pool(), batch_size=64)
     return rule_hit_totals(ex)
 
 
