@@ -11,10 +11,10 @@ fresh processes at num_cpus=8 vs 32 on the same input):
                                   # records BENCH/BASELINE.md
 
 The headline pipeline is the full read -> actor-pool extract ->
-url-hash shuffle -> partitioned parquet write over the deterministic
-bench pages corpus (generated once, cached in /tmp, excluded from
-timing; one untimed warm read precedes measurement so page-cache state
-is comparable between parallelism levels).
+streaming hive-partitioned shard write (one execution, no exchange)
+over the deterministic bench pages corpus (generated once, cached in
+/tmp, excluded from timing; one untimed warm read precedes measurement
+so page-cache state is comparable between parallelism levels).
 """
 
 from __future__ import annotations
@@ -57,7 +57,11 @@ def run_bench() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from rayxt.pipeline import extract_pages, read_pages, write_partitioned
+    from rayxt.pipeline import (
+        extract_pages,
+        read_pages,
+        write_partitioned_streaming,
+    )
 
     pages = _ensure_corpus()
     # untimed warm read (page cache + ray worker startup)
@@ -77,12 +81,26 @@ def run_bench() -> dict:
     pool = min(NUM_CPUS - 1, max(2, round(NUM_CPUS * 0.75)))
     queries: dict[str, float] = {}
 
+    # headline: ONE streaming execution — read -> actor-pool extract ->
+    # hive-partitioned shard write, zero all-to-all exchanges (the
+    # streaming sink; see rayxt/pipeline.py sink-mode notes)
     t0 = time.time()
     ex = extract_pages(read_pages(pages), concurrency=pool, batch_size=128)
-    summary = write_partitioned(ex, out_dir, num_partitions=128, resume=False)
+    summary = write_partitioned_streaming(
+        ex, out_dir, num_partitions=128, resume=False
+    )
     headline = time.time() - t0
     n_docs = int(summary["rows"].sum())
     queries["extract_write"] = round(headline, 3)
+
+    extract_only = None
+    if os.environ.get("RAYXT_BENCH_EXTRACT") == "1":
+        # extraction-phase-only throughput (consumed by an aggregate, no
+        # sink): the scaling report's "target metric" row
+        t0 = time.time()
+        ex2 = extract_pages(read_pages(pages), concurrency=pool, batch_size=128)
+        ex2.sum("n_chars")
+        extract_only = round(time.time() - t0, 3)
 
     if os.path.isdir(pages):
         bytes_in = sum(
@@ -106,8 +124,9 @@ def run_bench() -> dict:
 
     total = sum(queries.values())
     result = {
-        "metric": "pages extraction read→extract→shuffle→write wall sec "
-                  f"({BENCH_ROWS}-doc deterministic corpus) + query secs",
+        "metric": "pages extraction read→extract→partitioned-write wall sec "
+                  f"({BENCH_ROWS}-doc deterministic corpus, streaming sink) "
+                  "+ query secs",
         "value": round(headline, 3),
         "unit": "sec",
         "queries": queries,
@@ -118,6 +137,8 @@ def run_bench() -> dict:
         "mb_in_per_sec": round(bytes_in / 1e6 / headline, 1),
         "total_sec": round(total, 3),
     }
+    if extract_only is not None:
+        result["extract_sec"] = extract_only
     ray.shutdown()
     return result
 
@@ -133,21 +154,14 @@ def run_scaling() -> None:
     The 32-CPU headline run is reported alongside for transparency.
     """
 
-    import re
-
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAYXT_BENCH_EXTRACT="1")
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
         )
         time.sleep(5)  # let the child's raylet fully die before the next level
-        result = json.loads(proc.stdout.strip().splitlines()[-1])
-        # the write_partitioned phase prints land on the child's stderr;
-        # lift the extraction-phase wall time out of the same run
-        m = re.search(r"extract\+materialize: ([0-9.]+)s", proc.stderr)
-        result["extract_sec"] = float(m.group(1)) if m else None
-        return result
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     def median_of(ncpu: int, trials: int) -> dict:
         # this shared VM's throughput drifts run to run (observed ±30%);
@@ -181,9 +195,11 @@ def run_scaling() -> None:
             "# BENCH results (measured)\n\n"
             f"Corpus: {BENCH_ROWS}-row deterministic pages table "
             f"(fixtures/gen_pages.py, giant_cap={GIANT_CAP}).\n"
-            "Headline = read -> actor-pool extract -> url-hash shuffle -> "
-            "partitioned parquet write; each level a fresh process with "
-            "its own `ray.init(num_cpus=K)` on the same cached input.\n\n"
+            "Headline = read -> actor-pool extract -> streaming "
+            "hive-partitioned shard write (zero all-to-all exchanges; "
+            "rayxt/pipeline.py sink-mode notes); each level a fresh "
+            "process with its own `ray.init(num_cpus=K)` on the same "
+            "cached input.\n\n"
             "| num_cpus | wall sec | docs/s | MB in/s |\n|---|---|---|---|\n"
             f"| {lo} | {t_lo} | {r_lo['docs_per_sec']} | {r_lo['mb_in_per_sec']} |\n"
             f"| {hi} | {t_hi} | {r_hi['docs_per_sec']} | {r_hi['mb_in_per_sec']} |\n\n"

@@ -396,12 +396,15 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
         mn = m / norms[:, None]
         sims = mn @ mn.T
         iu = np.triu_indices(len(ids), k=1)
-        mask = sims[iu] >= threshold
+        # round BEFORE thresholding so the boundary case matches the SQL
+        # oracle exactly (it filters on ROUND(cos, 6) >= T)
+        sims_r = np.round(sims[iu], 6)
+        mask = sims_r >= threshold
         return pd.DataFrame(
             {
                 "id_a": ids[iu[0][mask]],
                 "id_b": ids[iu[1][mask]],
-                "cos": np.round(sims[iu][mask], 6),
+                "cos": sims_r[mask],
             }
         )
 

@@ -104,6 +104,53 @@ def write_partition(table, part_id: int, out_dir: str, *, engine_version: str,
     return record
 
 
+def write_marker(out_dir: str, part_id: int, rows: int) -> None:
+    """Atomically write one partition's done-marker (driver-side for the
+    streaming sink, per-group-task for the exchange sink)."""
+    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+    mpath = marker_path(out_dir, part_id)
+    mtmp = mpath + f".tmp-{os.getpid()}"
+    with open(mtmp, "w") as fh:
+        fh.write(json.dumps({"part_id": part_id, "rows": rows}))
+    os.replace(mtmp, mpath)
+
+
+def write_lineage_record(out_dir: str, record: dict) -> None:
+    """Atomically persist one partition's lineage JSON."""
+    os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
+    lpath = os.path.join(out_dir, "lineage", f"{record['part_id']:04d}.json")
+    ltmp = lpath + f".tmp-{os.getpid()}"
+    with open(ltmp, "w") as fh:
+        json.dump(record, fh)
+    os.replace(ltmp, lpath)
+
+
+def clean_partial_shards(out_dir: str, done: set[int]) -> int:
+    """Remove shard files of partitions WITHOUT a done-marker (streaming
+    sink resume: a dead run's half-written partitions must not leave
+    duplicate rows behind).  Shard writes are atomic (tmp+rename), so
+    only complete-but-unmarked shards exist; markers are the commit
+    point.  Returns the number of files removed."""
+    removed = 0
+    if not os.path.isdir(out_dir):
+        return 0
+    for name in os.listdir(out_dir):
+        if not name.startswith("part_id="):
+            continue
+        try:
+            pid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if pid in done:
+            continue
+        pdir = os.path.join(out_dir, name)
+        for fname in os.listdir(pdir):
+            if fname.startswith("shard-") and fname.endswith(".parquet"):
+                os.remove(os.path.join(pdir, fname))
+                removed += 1
+    return removed
+
+
 def read_lineage(out_dir: str) -> list[dict]:
     ldir = os.path.join(out_dir, "lineage")
     if not os.path.isdir(ldir):

@@ -10,7 +10,9 @@ Design notes (100 TB scale):
   lang]`); the heavy ``html`` column never survives past the extract
   stage, so the url-hash shuffle moves only extracted text (small);
 * ``part_id = crc32(url) % P`` is the ONE partitioning key reused by
-  dedup, the sink and resume — a single all-to-all exchange end-to-end;
+  dedup, the sink and resume; the default streaming sink writes
+  hive-partitioned shards with ZERO all-to-all exchanges (the optional
+  exchange sink is the single end-to-end shuffle);
 * giant-row skew: rows above ``hard_cap`` are never parsed (status
   ``too_large``); the optional two-tier mode routes big rows to a
   dedicated pool with ``batch_size=1`` — note this forks the lazy DAG,
@@ -47,8 +49,19 @@ def ensure_worker_importable() -> None:
 from . import __version__
 from .dom import parse_html, parse_xml
 from .kernel import DEFAULT_HARD_CAP, extract_one
-from .manifest import scan_done, write_partition
+from .manifest import (
+    clean_partial_shards,
+    partition_dir,
+    scan_done,
+    write_lineage_record,
+    write_marker,
+    write_partition,
+)
 from .programs import get_program_factory
+
+import logging
+
+logger = logging.getLogger(__name__)
 
 RULE_HITS_TYPE = pa.list_(
     pa.struct([("rule", pa.string()), ("hits", pa.int32())])
@@ -364,6 +377,7 @@ def run_extraction_job(
     two_tier: bool = False,
     resume: bool = True,
     hard_cap: int = DEFAULT_HARD_CAP,
+    sink: str = "streaming",
 ):
     """The composed flagship job: read -> tag part_id -> RESUME FILTER ->
     extract -> partitioned sink.
@@ -372,12 +386,18 @@ def run_extraction_job(
     computed BEFORE extraction and completed partitions are filtered out
     before any html is parsed — a resumed job pays only the read of the
     skipped rows' key columns, not their extraction (SURVEY P13).
+
+    ``sink="streaming"`` (default) pipelines the partitioned write with
+    extraction in one execution and never exchanges the corpus;
+    ``sink="exchange"`` is the url-hash shuffle sink (one file per
+    partition, in-run incremental markers).  See the sink-mode note
+    above :func:`write_partitioned_streaming`.
     """
     if concurrency is None:
         import ray
 
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = min(int(ncpu) - 1, max(2, round(ncpu * 0.75)))
+        concurrency = max(1, min(int(ncpu) - 1, max(2, round(ncpu * 0.75))))
     ds = read_pages(input_path)
     ds = add_part_id(ds, num_partitions)
     done = scan_done(out_dir) if resume else set()
@@ -397,14 +417,156 @@ def run_extraction_job(
         hard_cap=hard_cap,
         two_tier=two_tier,
     )
+    if sink == "streaming":
+        return write_partitioned_streaming(
+            ex, out_dir, num_partitions, program_name=program, resume=resume
+        )
     return write_partitioned(
         ex, out_dir, num_partitions, program_name=program, resume=resume
     )
 
 
 # ---------------------------------------------------------------------------
-# partitioned, resumable sink
+# partitioned, resumable sinks
 # ---------------------------------------------------------------------------
+#
+# Two sink modes, an explicit scale tradeoff:
+#
+# * STREAMING (default): every sink task writes its rows straight into
+#   hive-style partition directories (``part_id=NNNN/shard-*.parquet``,
+#   atomic tmp+rename).  Read, extraction actor pool and writes overlap
+#   in ONE streaming execution and the corpus NEVER crosses an
+#   all-to-all exchange — at 100 TB the exchange (2x the corpus through
+#   the object store + a barrier) is the scale risk, not the write.
+#   Cost: several shard files per partition, and in-RUN crash
+#   granularity is the whole run (markers are committed by the driver
+#   after the execution finishes).  ACROSS-run resume is identical to
+#   the exchange sink: done partitions are filtered out before the
+#   parse stage, stale shards of unfinished partitions are deleted at
+#   start.
+# * EXCHANGE: url-hash shuffle -> one file per partition + per-partition
+#   markers committed as each group lands (in-run incremental resume).
+#   Keep for workloads that need exactly-one-file partitions or
+#   mid-run checkpointing; the exchange cost is the price.
+
+
+def _write_shard_batch(batch: pa.Table, *, out_dir: str) -> pa.Table:
+    """Sink task body: write one batch's rows into their partition dirs.
+
+    One file per (task, partition-present-in-batch); ``part_id`` is
+    carried by the directory name (hive), not duplicated in the file.
+    Returns per-partition partials ``(part_id, rows, bytes_out, ok_rows)``
+    — the driver sums them (no Ray shuffle for the summary).
+    """
+    import uuid
+
+    import pyarrow.parquet as pq
+    if batch.num_rows == 0:
+        return pa.table({"part_id": pa.array([], pa.int64()),
+                         "rows": pa.array([], pa.int64()),
+                         "bytes_out": pa.array([], pa.int64()),
+                         "ok_rows": pa.array([], pa.int64())})
+    t = batch.sort_by("part_id")
+    pids = t.column("part_id").to_numpy()
+    bounds = np.flatnonzero(np.diff(pids)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(pids)]))
+    body = t.drop_columns(["part_id"])
+    has_status = "status" in body.column_names
+    out_pid, out_rows, out_bytes, out_ok = [], [], [], []
+    for s, e in zip(starts, ends):
+        pid = int(pids[s])
+        sub = body.slice(int(s), int(e - s))
+        pdir = partition_dir(out_dir, pid)
+        os.makedirs(pdir, exist_ok=True)
+        final = os.path.join(pdir, f"shard-{uuid.uuid4().hex}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(sub, tmp)
+        os.replace(tmp, final)
+        out_pid.append(pid)
+        out_rows.append(sub.num_rows)
+        out_bytes.append(int(sub.nbytes))
+        out_ok.append(
+            int(pc.sum(pc.equal(sub.column("status"), "ok")).as_py() or 0)
+            if has_status else sub.num_rows
+        )
+    return pa.table({"part_id": pa.array(out_pid, pa.int64()),
+                     "rows": pa.array(out_rows, pa.int64()),
+                     "bytes_out": pa.array(out_bytes, pa.int64()),
+                     "ok_rows": pa.array(out_ok, pa.int64())})
+
+
+def write_partitioned_streaming(
+    ds,
+    out_dir: str,
+    num_partitions: int,
+    *,
+    program_name: str = "main_content",
+    resume: bool = True,
+    drop_columns: tuple = ("rule_hits", "spans"),
+    rows_per_write: int = 65536,
+):
+    """P12/P13/P14 streaming sink: partitioned write with NO exchange.
+
+    See the mode comparison above.  Returns a pandas summary
+    ``(part_id, rows)`` like the exchange sink.
+    """
+    import time
+
+    import pandas as pd
+
+    done = scan_done(out_dir) if resume else set()
+    n_stale = clean_partial_shards(out_dir, done)
+    if n_stale:
+        logger.info("removed %d stale shard files from unfinished partitions",
+                    n_stale)
+    cols = ds.columns() or []
+    to_drop = [c for c in drop_columns if c in cols]
+    if to_drop:
+        ds = ds.drop_columns(to_drop)
+    if "part_id" not in cols:
+        ds = add_part_id(ds, num_partitions)
+    if done:
+        done_set = pa.array(sorted(done), pa.int64())
+        ds = ds.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t.column("part_id"), value_set=done_set))
+            ),
+            batch_format="pyarrow",
+        )
+    t0 = time.time()
+    partials = ds.map_batches(
+        _write_shard_batch,
+        fn_kwargs={"out_dir": out_dir},
+        batch_size=rows_per_write,
+        batch_format="pyarrow",
+    ).to_pandas()  # tiny: one row per (task, partition)
+    wall_ms = int((time.time() - t0) * 1000)
+    if partials.empty:
+        return pd.DataFrame({"part_id": pd.Series([], dtype="int64"),
+                             "rows": pd.Series([], dtype="int64")})
+    summary = (
+        partials.groupby("part_id", sort=True)
+        .agg(rows=("rows", "sum"), bytes_out=("bytes_out", "sum"),
+             ok_rows=("ok_rows", "sum"))
+        .reset_index()
+    )
+    # commit point: markers + lineage AFTER the streaming execution
+    for rec in summary.itertuples(index=False):
+        write_lineage_record(out_dir, {
+            "part_id": int(rec.part_id),
+            "row_count": int(rec.rows),
+            "status_counts": {"ok": int(rec.ok_rows)},
+            "bytes_out": int(rec.bytes_out),
+            "wall_ms": wall_ms,
+            "engine_version": __version__,
+            "program": program_name,
+            "sink": "streaming",
+        })
+        write_marker(out_dir, int(rec.part_id), int(rec.rows))
+    logger.info("streaming sink: %d rows into %d partitions in %.1fs",
+                int(summary["rows"].sum()), len(summary), wall_ms / 1000)
+    return summary[["part_id", "rows"]]
 
 
 def write_partitioned(
@@ -439,14 +601,13 @@ def write_partitioned(
     # extraction execution, releasing the actor pool's CPU reservation
     # so the shuffle phase gets the whole machine (measured: 128s -> ~50s
     # end-to-end on a 300k-doc corpus at 32 CPUs).
-    import sys as _sys
     import time as _time
 
     _t0 = _time.time()
     if materialize_boundary:
         ds = ds.materialize()
-        print(f"[write_partitioned] extract+materialize: "
-              f"{_time.time() - _t0:.1f}s", file=_sys.stderr)
+        logger.info("[write_partitioned] extract+materialize: %.1fs",
+                    _time.time() - _t0)
         _t0 = _time.time()
     if done:
         done_arr = frozenset(done)
@@ -501,8 +662,8 @@ def write_partitioned(
     try:
         summary = ds.groupby("part_id").map_groups(write_group, batch_format="pyarrow")
         out = summary.to_pandas()
-        print(f"[write_partitioned] shuffle+write: "
-              f"{_time.time() - _t0:.1f}s", file=_sys.stderr)
+        logger.info("[write_partitioned] shuffle+write: %.1fs",
+                    _time.time() - _t0)
         return out
     finally:
         if prev_strategy is not None:

@@ -7,7 +7,7 @@ silently mis-evaluating.
 
 XPath subset::
 
-    /a/b   //a   a/b   .//a   *   .   ..   text()
+    /a/b   //a   a/b   .//a   *   .   ..
     predicates: [n] [last()] [@attr] [@attr='v'] [tag] [text()='v']
                 plus 'and' / 'or' of those
     unions: p1 | p2
@@ -328,7 +328,7 @@ class _Parser:
             if val.endswith("()"):
                 if val != "text()":
                     raise SelectorError(f"unsupported function {val!r}")
-                name = "text()"
+                # text() is supported only as the [text()='v'] predicate
                 raise SelectorError("text() as a location step is not selectable")
             name = val
         else:

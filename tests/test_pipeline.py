@@ -123,6 +123,50 @@ def test_write_partitioned_lineage_and_resume(ray_session, pages_path, tmp_path)
             assert after == before_mtime  # untouched partitions not rewritten
 
 
+def test_streaming_sink_matches_exchange_sink(ray_session, pages_path, tmp_path):
+    """Streaming (no-exchange) sink: same rows/values as the exchange
+    sink, resume-compatible manifest, stale shards cleaned up."""
+    import pandas as pd
+
+    from rayxt.manifest import clean_partial_shards
+    from rayxt.pipeline import write_partitioned_streaming
+
+    P = 8
+    out_a = str(tmp_path / "stream")
+    out_b = str(tmp_path / "exchange")
+    ex = extract_pages(read_pages(pages_path), concurrency=2)
+    s_a = write_partitioned_streaming(ex, out_a, P)
+    ex2 = extract_pages(read_pages(pages_path), concurrency=2)
+    s_b = write_partitioned(ex2, out_b, P)
+    assert s_a["rows"].sum() == N_ROWS == s_b["rows"].sum()
+    assert scan_done(out_a) == scan_done(out_b) == set(s_a["part_id"])
+    assert sum(r["row_count"] for r in read_lineage(out_a)) == N_ROWS
+
+    def load(out_dir):
+        frames = []
+        for pid in scan_done(out_dir):
+            pdir = os.path.join(out_dir, f"part_id={pid:04d}")
+            t = pq.read_table(pdir).select(["url", "warc_ts", "text", "status"])
+            frames.append(t.to_pandas())
+        return (pd.concat(frames).sort_values(["url", "warc_ts"])
+                .reset_index(drop=True))
+
+    assert load(out_a).equals(load(out_b))
+
+    # stale-shard cleanup: drop one marker, plant a fake leftover shard,
+    # rerun -> the partial partition is rewritten without duplicates
+    victim = sorted(scan_done(out_a))[0]
+    os.remove(marker_path(out_a, victim))
+    fake = os.path.join(out_a, f"part_id={victim:04d}", "shard-stale.parquet")
+    vdir = os.path.dirname(fake)
+    shutil.copy(os.path.join(vdir, sorted(os.listdir(vdir))[0]), fake)
+    assert clean_partial_shards(out_a, scan_done(out_a)) >= 2
+    ex3 = extract_pages(read_pages(pages_path), concurrency=2)
+    s_resume = write_partitioned_streaming(ex3, out_a, P)
+    assert set(s_resume["part_id"]) == {victim}
+    assert load(out_a).equals(load(out_b))
+
+
 def test_run_extraction_job_resume_skips_extraction(ray_session, pages_path, tmp_path):
     import time
 
@@ -145,9 +189,10 @@ def test_run_extraction_job_resume_skips_extraction(ray_session, pages_path, tmp
     assert set(s2["part_id"]) == set(victims)
     # resumed run processes ~1/8 of the rows; it must be clearly cheaper
     assert s2["rows"].sum() < N_ROWS / 2
-    # final state equals a complete run
+    # final state equals a complete run (streaming sink: shard files per
+    # partition directory, part_id recovered from the hive dir name)
     total = 0
     for pid in scan_done(out_dir):
-        f = os.path.join(out_dir, f"part_id={pid:04d}", "part.parquet")
-        total += pq.read_table(f).num_rows
+        pdir = os.path.join(out_dir, f"part_id={pid:04d}")
+        total += pq.read_table(pdir).num_rows
     assert total == N_ROWS
