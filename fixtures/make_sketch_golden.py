@@ -1,0 +1,133 @@
+"""Generate golden parquet for the sketch / heuristic queries from the
+NAIVE oracle restatements (``tests/oracle/sketches.py``), never from
+the engine — same discipline as ``make_golden.py``.
+
+Inputs are all deterministic: the driver's seed-42 synthetic tables at
+sf0.01 (the correctness-gate scale; TESTDATA.md), the committed pages
+conformance corpus, and the index-derived media table.  Run once
+(``python fixtures/make_sketch_golden.py``); outputs under
+``fixtures/data/`` are committed.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from fixtures.gen_media import generate_media_table  # noqa: E402
+from tests.oracle import oracle_rule_hits  # noqa: E402
+from tests.oracle.sketches import (  # noqa: E402
+    oracle_components,
+    oracle_fingerprint,
+    oracle_langid,
+    oracle_lsh_topk,
+    oracle_media_decode,
+    oracle_minhash_pairs,
+    oracle_simhash_pairs,
+)
+
+SF_DIR = os.environ.get("RAYXT_GOLDEN_SF_DIR", "/root/testdata/sf0.01")
+DATA_DIR = os.path.join(REPO, "fixtures", "data")
+ANN_K = 5      # keep in sync with __ray_entry__._ANN_K
+ANN_NQ = 3     # keep in sync with __ray_entry__._ANN_NQ
+N_MEDIA = 300  # keep in sync with __ray_entry__._q_media_decode
+
+
+def main() -> None:
+    os.makedirs(DATA_DIR, exist_ok=True)
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+
+    mh = oracle_minhash_pairs(ids, texts, threshold=0.8)
+    pq.write_table(pa.table({
+        "id_a": pa.array([p[0] for p in mh], pa.int64()),
+        "id_b": pa.array([p[1] for p in mh], pa.int64()),
+        "jaccard": pa.array([p[2] for p in mh], pa.float64()),
+    }), os.path.join(DATA_DIR, "golden_minhash_pairs.parquet"))
+
+    sh = oracle_simhash_pairs(ids, texts, max_hamming=3)
+    pq.write_table(pa.table({
+        "id_a": pa.array([p[0] for p in sh], pa.int64()),
+        "id_b": pa.array([p[1] for p in sh], pa.int64()),
+        "hamming": pa.array([p[2] for p in sh], pa.int64()),
+    }), os.path.join(DATA_DIR, "golden_simhash_pairs.parquet"))
+
+    cc = oracle_components(mh)
+    pq.write_table(pa.table({
+        "id": pa.array([p[0] for p in cc], pa.int64()),
+        "cluster_id": pa.array([p[1] for p in cc], pa.int64()),
+    }), os.path.join(DATA_DIR, "golden_neardup_clusters.parquet"))
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "lang_guess": pa.array([oracle_langid(t or "") for t in texts],
+                               pa.string()),
+    }), os.path.join(DATA_DIR, "golden_langid.parquet"))
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "fingerprint": pa.array([oracle_fingerprint(t or "") for t in texts],
+                                pa.string()),
+    }), os.path.join(DATA_DIR, "golden_fingerprint.parquet"))
+
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    vids = emb.column("vec_id").to_pylist()
+    vecs = emb.column("embedding").to_pylist()
+    # query selection mirrors __ray_entry__._ann_queries: vec_id < NQ
+    # among the first 64 rows, sorted by vec_id
+    queries = sorted(
+        ((i, v) for i, v in zip(vids[:64], vecs[:64]) if i < ANN_NQ),
+        key=lambda t: t[0],
+    )
+    lsh = oracle_lsh_topk(vids, vecs, queries, k=ANN_K)
+    pq.write_table(pa.table({
+        "query_id": pa.array([r[0] for r in lsh], pa.int64()),
+        "id": pa.array([r[1] for r in lsh], pa.int64()),
+        "rank": pa.array([r[2] for r in lsh], pa.int64()),
+        "cos": pa.array([r[3] for r in lsh], pa.float64()),
+    }), os.path.join(DATA_DIR, "golden_ann_lsh.parquet"))
+
+    media = generate_media_table(N_MEDIA)
+    dec = [oracle_media_decode(p) for p in media.column("payload").to_pylist()]
+    out = media.drop_columns(["payload"])
+    out = out.append_column("width", pa.array([d["width"] for d in dec], pa.int32()))
+    out = out.append_column("height", pa.array([d["height"] for d in dec], pa.int32()))
+    out = out.append_column("n_frames",
+                            pa.array([d["n_frames"] for d in dec], pa.int32()))
+    out = out.append_column("mean_value",
+                            pa.array([d["mean_value"] for d in dec], pa.float64()))
+    out = out.append_column("decode_status",
+                            pa.array([d["decode_status"] for d in dec], pa.string()))
+    pq.write_table(out, os.path.join(DATA_DIR, "golden_media_decode.parquet"))
+
+    pages = pq.read_table(os.path.join(DATA_DIR, "pages_conf.parquet"),
+                          columns=["html"])
+    totals: dict[str, int] = {}
+    for html in pages.column("html").to_pylist():
+        for rule, hits in oracle_rule_hits(html).items():
+            totals[rule] = totals.get(rule, 0) + hits
+    rules = sorted(totals)
+    pq.write_table(pa.table({
+        "rule": pa.array(rules, pa.string()),
+        "hits": pa.array([totals[r] for r in rules], pa.int64()),
+    }), os.path.join(DATA_DIR, "golden_rule_hits.parquet"))
+
+    for name in ("golden_minhash_pairs", "golden_simhash_pairs",
+                 "golden_neardup_clusters", "golden_langid",
+                 "golden_fingerprint", "golden_ann_lsh",
+                 "golden_media_decode", "golden_rule_hits"):
+        p = os.path.join(DATA_DIR, f"{name}.parquet")
+        print(f"{name}: {pq.read_metadata(p).num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,268 @@
+"""Naive oracle restatements of the sketch / heuristic operators
+(SURVEY.md section 5.3 discipline, same as the extraction oracle).
+
+Each function here re-derives an operator's output directly from its
+frozen definition — plain dicts, loops and union-find, no Ray, no
+bucketed-groupby machinery — so golden parquet generated from this
+module (``fixtures/make_sketch_golden.py``) independently checks the
+engine's distributed implementations in :mod:`rayxt.dedup`,
+:mod:`rayxt.ann`, :mod:`rayxt.text` and :mod:`rayxt.multimodal`.
+
+The numeric CONSTANTS (hash construction, permutation seeds, band
+layout, hyperplane seed) are part of the frozen operator definitions
+and are restated here; tests assert engine/oracle agreement so drift in
+either side is caught.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections import defaultdict
+
+import numpy as np
+
+# -- shared hash primitive (frozen definition) ------------------------------
+
+
+def sha1_int64(s: str) -> int:
+    return int.from_bytes(hashlib.sha1(s.encode("utf-8")).digest()[:8], "big") >> 1
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+_U64 = 1 << 64
+
+
+def minhash_perm_params(num_perm: int = 64, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return [int(x) % _U64 for x in a], [int(x) % _U64 for x in b]
+
+
+def token_shingles(text: str, k: int) -> set[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else {""}
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def minhash_signature(text: str, a: list[int], b: list[int], k: int = 3) -> list[int]:
+    """Per-permutation min of (shingle_hash * a + b) with uint64
+    wrap-around, then >> 1 — computed slot by slot in plain Python."""
+    hashes = [sha1_int64(s) for s in token_shingles(text, k)]
+    sig = []
+    for ai, bi in zip(a, b):
+        best = min(((h * ai + bi) % _U64) for h in hashes)
+        sig.append(best >> 1)
+    return sig
+
+
+def oracle_minhash_pairs(ids, texts, *, k: int = 3, num_perm: int = 64,
+                         bands: int = 16, threshold: float = 0.8,
+                         max_bucket: int = 64) -> list[tuple[int, int, float]]:
+    """All (id_a < id_b, est_jaccard) pairs that share at least one LSH
+    band bucket (membership capped at ``max_bucket`` smallest ids) and
+    whose signature agreement >= threshold."""
+    a, b = minhash_perm_params(num_perm)
+    rows_per_band = num_perm // bands
+    sigs: dict[int, list[int]] = {}
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i, text in zip(ids, texts):
+        sig = minhash_signature(text or "", a, b, k)
+        sigs[i] = sig
+        for band in range(bands):
+            seg = sig[band * rows_per_band:(band + 1) * rows_per_band]
+            key = sha1_int64(f"{band}:" + ",".join(map(str, seg)))
+            buckets[(band, key)].append(i)
+    pairs: dict[tuple[int, int], float] = {}
+    for members in buckets.values():
+        members = sorted(members)[:max_bucket]
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                ia, ib = members[x], members[y]
+                if (ia, ib) in pairs:
+                    continue
+                agree = sum(1 for u, v in zip(sigs[ia], sigs[ib]) if u == v)
+                est = agree / num_perm
+                if est >= threshold:
+                    pairs[(ia, ib)] = round(est, 6)
+    return sorted((ia, ib, j) for (ia, ib), j in pairs.items())
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def oracle_simhash(text: str, bits: int = 64) -> int:
+    toks = set(text.split())
+    if not toks:
+        return 0
+    acc = [0] * bits
+    for t in toks:
+        h = sha1_int64(t)
+        for bit in range(bits):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(bits):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def oracle_simhash_pairs(ids, texts, *, max_hamming: int = 3,
+                         max_bucket: int = 64) -> list[tuple[int, int, int]]:
+    """Pairs sharing at least one 16-bit band (4 bands over 64 bits,
+    membership capped) with hamming distance <= max_hamming."""
+    hs = {i: oracle_simhash(t or "") for i, t in zip(ids, texts)}
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i, h in hs.items():
+        for band in range(4):
+            buckets[(band, (h >> (band * 16)) & 0xFFFF)].append(i)
+    pairs: dict[tuple[int, int], int] = {}
+    for members in buckets.values():
+        members = sorted(members)[:max_bucket]
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                ia, ib = members[x], members[y]
+                if (ia, ib) in pairs:
+                    continue
+                d = bin(hs[ia] ^ hs[ib]).count("1")
+                if d <= max_hamming:
+                    pairs[(ia, ib)] = d
+    return sorted((ia, ib, d) for (ia, ib), d in pairs.items())
+
+
+# -- connected components (union-find) --------------------------------------
+
+
+def oracle_components(pairs) -> list[tuple[int, int]]:
+    """(id, cluster_id=min member id of its component) for every id
+    appearing in the (id_a, id_b) pair list — classic union-find."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ia, ib, *_ in pairs:
+        parent.setdefault(ia, ia)
+        parent.setdefault(ib, ib)
+        ra, rb = find(ia), find(ib)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((i, find(i)) for i in parent)
+
+
+# -- language ID / fingerprint (heuristics restated) ------------------------
+
+_LANG_PROFILES = [
+    ("en", {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"}),
+    ("de", {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"}),
+    ("fr", {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"}),
+    ("es", {"el", "la", "los", "y", "es", "un", "una", "que", "de", "por"}),
+]
+
+
+def oracle_langid(text: str) -> str:
+    import re
+
+    if not text:
+        return ""
+    cjk = re.findall(r"[一-鿿぀-ヿ]", text)
+    if len(cjk) * 2 > len(text) * 0.05:
+        return "zh"
+    words = [w.lower() for w in re.findall(r"[a-zA-Z]+", text[:4000])]
+    if not words:
+        return ""
+    best, best_score = "", 0
+    for lang, stops in _LANG_PROFILES:  # tie goes to the earlier profile
+        score = sum(1 for w in words if w in stops)
+        if score > best_score:
+            best, best_score = lang, score
+    return best if best_score > 0 else "en"
+
+
+def oracle_fingerprint(text: str) -> str:
+    """FNV-1a over token bytes with a 0x20 separator step, hex-formatted."""
+    h = 14695981039346656037
+    for tok in text.split():
+        for byte in tok.encode("utf-8"):
+            h = ((h ^ byte) * 1099511628211) % _U64
+        h = ((h ^ 0x20) * 1099511628211) % _U64
+    return format(h, "016x")
+
+
+# -- ANN (hyperplane LSH restated) ------------------------------------------
+
+
+def oracle_lsh_topk(ids, vecs, queries, *, k: int = 5, n_planes: int = 8,
+                    n_tables: int = 4, probe_radius: int = 2,
+                    seed: int = 11) -> list[tuple[int, int, int, float]]:
+    """(query_id, id, rank, cos) rows: exact cosine top-k restricted to
+    vectors whose sign-bucket in ANY hyperplane table lies within
+    hamming distance ``probe_radius`` of some query's bucket there."""
+    from itertools import combinations
+
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_tables, n_planes, len(vecs[0]))
+    )
+
+    def norm(v):
+        v = np.asarray(v, dtype=np.float64)
+        n = np.linalg.norm(v)
+        return v / (n if n else 1.0)
+
+    def bucket(v, table) -> int:
+        return sum(1 << j for j in range(n_planes) if float(v @ table[j]) > 0)
+
+    def probes(b: int) -> set[int]:
+        out = {b}
+        for dist in range(1, probe_radius + 1):
+            for flips in combinations(range(n_planes), dist):
+                x = b
+                for f in flips:
+                    x ^= 1 << f
+                out.add(x)
+        return out
+
+    qn = [(int(qid), norm(qv)) for qid, qv in queries]
+    qprobes = []
+    for table in planes:
+        p: set[int] = set()
+        for _, qv in qn:
+            p |= probes(bucket(qv, table))
+        qprobes.append(p)
+    cand = [
+        (i, nv) for i, nv in ((i, norm(v)) for i, v in zip(ids, vecs))
+        if any(bucket(nv, table) in qp for table, qp in zip(planes, qprobes))
+    ]
+    out = []
+    for qid, qv in qn:
+        scored = sorted(
+            ((float(qv @ v), int(i)) for i, v in cand),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for rank, (cos, i) in enumerate(scored, 1):
+            out.append((qid, i, rank, round(cos, 6)))
+    return out
+
+
+# -- media decode (RAYX container restated) ---------------------------------
+
+
+def oracle_media_decode(payload: bytes) -> dict:
+    if payload is None or len(payload) < 16:
+        return {"width": 0, "height": 0, "n_frames": 0, "mean_value": 0.0,
+                "decode_status": "error"}
+    if payload[:4] != b"RAYX":
+        return {"width": 0, "height": 0, "n_frames": 0, "mean_value": 0.0,
+                "decode_status": "unsupported_codec"}
+    w, h, frames = struct.unpack("<iii", payload[4:16])
+    body = np.frombuffer(payload, dtype=np.uint8, offset=16)
+    mean = float(body.mean()) if body.size else 0.0
+    return {"width": w, "height": h, "n_frames": frames,
+            "mean_value": round(mean, 6), "decode_status": "ok"}

@@ -1,0 +1,145 @@
+"""Engine vs naive-oracle agreement for the sketch/heuristic operators
+(tests/oracle/sketches.py restates each frozen definition; these tests
+keep engine and oracle from drifting apart) + the LSH ANN recall gate.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tests.oracle.sketches import (
+    oracle_components,
+    oracle_fingerprint,
+    oracle_langid,
+    oracle_media_decode,
+    oracle_minhash_pairs,
+    oracle_simhash_pairs,
+)
+
+_WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+          "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+
+
+def _make_docs(n=60, seed=3):
+    """Deterministic corpus with planted near-dup families: every third
+    doc is a light mutation of the previous one."""
+    rng = np.random.default_rng(seed)
+    ids, texts = [], []
+    base = ""
+    for i in range(n):
+        if i % 3 == 0 or not base:
+            base = " ".join(rng.choice(_WORDS, size=40))
+            text = base
+        else:
+            toks = base.split()
+            toks[int(rng.integers(len(toks)))] = str(rng.choice(_WORDS))
+            text = " ".join(toks)
+        ids.append(i)
+        texts.append(text)
+    return ids, texts
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    ids, texts = _make_docs()
+    return rd.from_arrow(pa.table({"doc_id": ids, "text": texts})), ids, texts
+
+
+def test_minhash_pairs_match_oracle(docs_ds):
+    from rayxt.dedup import minhash_lsh_pairs
+
+    ds, ids, texts = docs_ds
+    got = minhash_lsh_pairs(ds, "doc_id", threshold=0.5,
+                            concurrency=1).to_pandas()
+    got = sorted(map(tuple, got[["id_a", "id_b", "jaccard"]].to_numpy()))
+    want = [(float(a), float(b), j)
+            for a, b, j in oracle_minhash_pairs(ids, texts, threshold=0.5)]
+    assert [(int(a), int(b), round(j, 6)) for a, b, j in got] == \
+           [(int(a), int(b), j) for a, b, j in want]
+    assert len(want) > 0  # planted families must surface
+
+
+def test_simhash_pairs_match_oracle(docs_ds):
+    from rayxt.dedup import simhash_pairs
+
+    ds, ids, texts = docs_ds
+    got = simhash_pairs(ds, "doc_id", max_hamming=6).to_pandas()
+    got = sorted((int(a), int(b), int(d))
+                 for a, b, d in got[["id_a", "id_b", "hamming"]].to_numpy())
+    assert got == oracle_simhash_pairs(ids, texts, max_hamming=6)
+    assert len(got) > 0
+
+
+def test_components_match_union_find(docs_ds):
+    from rayxt.dedup import connected_components, minhash_lsh_pairs
+
+    ds, ids, texts = docs_ds
+    pairs = minhash_lsh_pairs(ds, "doc_id", threshold=0.5, concurrency=1)
+    got = connected_components(pairs).to_pandas()
+    got = sorted((int(i), int(c))
+                 for i, c in got[["id", "cluster_id"]].to_numpy())
+    want = oracle_components(oracle_minhash_pairs(ids, texts, threshold=0.5))
+    assert got == want
+
+
+def test_langid_fingerprint_match_oracle(docs_ds):
+    from rayxt.text import LangId, fingerprint_of
+
+    _, _, texts = docs_ds
+    li = LangId()
+    samples = texts[:10] + ["der die das und ist", "le la les et est",
+                            "一二三四五六七八九十", ""]
+    for t in samples:
+        assert li._guess(t) == oracle_langid(t)
+        assert format(fingerprint_of(t), "016x") == oracle_fingerprint(t)
+
+
+def test_media_decode_matches_oracle():
+    from fixtures.gen_media import media_row
+    from rayxt.multimodal import _decode_payload
+
+    for i in range(30):
+        payload = media_row(i)["payload"]
+        w, h, f, mean = _decode_payload(payload)
+        o = oracle_media_decode(payload)
+        assert (w, h, f, round(mean, 6)) == (
+            o["width"], o["height"], o["n_frames"], o["mean_value"]
+        )
+    assert oracle_media_decode(b"PNG?" + b"\0" * 20)["decode_status"] == \
+        "unsupported_codec"
+
+
+def test_lsh_ann_recall_gate(ray_session):
+    """Multi-table multi-probe LSH must recover >= 80% of the exact
+    top-k on clustered embeddings (the favourable-and-typical case;
+    the near-uniform sf0.01 gate data measures 0.80 — see rayxt/ann.py
+    module docstring)."""
+    import ray.data as rd
+
+    from rayxt.ann import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 32)) * 3
+    vecs = np.concatenate(
+        [centers[i % 8] + rng.standard_normal(32) * 0.3 for i in range(400)]
+    ).reshape(400, 32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    }))
+    queries = [(i, vecs[i]) for i in range(3)]
+    exact = brute_force_topk(ds, queries, k=5, concurrency=1).to_pandas()
+    approx = lsh_topk(ds, queries, k=5, concurrency=1).to_pandas()
+    hits = total = 0
+    for qid in (0, 1, 2):
+        truth = set(exact[exact["query_id"] == qid]["id"])
+        got = set(approx[approx["query_id"] == qid]["id"])
+        hits += len(truth & got)
+        total += len(truth)
+    assert hits / total >= 0.8
+    # approximate cos values must still be EXACT cosines (pruning only)
+    merged = approx.merge(exact, on=["query_id", "id"], suffixes=("_l", "_b"))
+    assert np.allclose(merged["cos_l"], merged["cos_b"])
