@@ -88,10 +88,11 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 class minhash_signatures:
-    """Actor-pool stage: per-row MinHash signature -> per-band bucket rows.
-
-    Output: one row per (doc, band): ``(id, band, bucket)``; the
-    permutation table is built once per actor in ``__init__``.
+    """Actor-pool stage: per-row MinHash signature, ONE row per doc
+    ``(id, sig)``; the permutation table is built once per actor in
+    ``__init__``.  Band/bucket expansion happens downstream on the
+    (small) signature table so the full signature is never replicated
+    onto the 16 band rows that cross the bucket shuffle.
     """
 
     def __init__(self, id_col: str, text_col: str = "text", *, k: int = 3,
@@ -114,27 +115,38 @@ class minhash_signatures:
         return (vals.min(axis=0) >> np.uint64(1)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids_out, bands_out, buckets_out, sigs_out = [], [], [], []
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        for i, text in zip(ids, texts):
-            sig = self.signature(text or "")
-            sig_list = sig.tolist()
-            for band in range(self.bands):
-                seg = sig_list[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                bucket = _sha1_int64(f"{band}:" + ",".join(map(str, seg)))
-                ids_out.append(i)
-                bands_out.append(band)
-                buckets_out.append(bucket)
-                sigs_out.append(sig_list)
+        # packed little-endian int64 bytes: joins support binary payload
+        # columns (Arrow's hash join rejects list<> non-key fields)
+        sigs = [self.signature(t or "").astype("<i8").tobytes() for t in texts]
         return pa.table(
             {
-                self.id_col: pa.array(ids_out),
-                "band": pa.array(bands_out, pa.int32()),
-                "bucket": pa.array(buckets_out, pa.int64()),
-                "sig": pa.array(sigs_out, pa.list_(pa.int64())),
+                self.id_col: pa.array(ids),
+                "sig": pa.array(sigs, pa.binary()),
             }
         )
+
+
+def _band_bucket_rows(batch: pa.Table, *, id_col: str, bands: int,
+                      rows_per_band: int) -> pa.Table:
+    """(id, sig) -> one (id, band, bucket) row per band: 24 bytes/row
+    through the bucket shuffle instead of the full signature."""
+    ids_out, bands_out, buckets_out = [], [], []
+    for i, packed in zip(batch[id_col].to_pylist(), batch["sig"].to_pylist()):
+        sig = np.frombuffer(packed, dtype="<i8").tolist()
+        for band in range(bands):
+            seg = sig[band * rows_per_band:(band + 1) * rows_per_band]
+            ids_out.append(i)
+            bands_out.append(band)
+            buckets_out.append(_sha1_int64(f"{band}:" + ",".join(map(str, seg))))
+    return pa.table(
+        {
+            id_col: pa.array(ids_out),
+            "band": pa.array(bands_out, pa.int32()),
+            "bucket": pa.array(buckets_out, pa.int64()),
+        }
+    )
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
@@ -156,18 +168,22 @@ def _tok_shingles(text: str, k: int):
 def minhash_lsh_pairs(ds, id_col: str, text_col: str = "text", *, k: int = 3,
                       num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.7, max_bucket: int = 64,
-                      concurrency=(1, 4)):
+                      concurrency=(1, 4), join_partitions: int = 8):
     """shingle -> minhash -> band bucket groupby -> estimated-Jaccard pairs.
 
     Returns unique pairs ``(id_a, id_b, jaccard)`` with ``id_a < id_b``
     and MinHash-estimated Jaccard (share of agreeing signature slots)
-    >= threshold.  Signatures travel WITH the bucket rows through the
-    shuffle, so verification is bucket-local — no driver-side state and
-    no second pass over the text (the standard scalable LSH shape).
-    Buckets larger than ``max_bucket`` (degenerate content) contribute
-    only their first ``max_bucket`` members.
+    >= threshold.  Exchange accounting (the 100 TB shape): signatures
+    are computed once and CHECKPOINTED as a one-row-per-doc table
+    (~8*num_perm bytes/doc, no shuffle); only 24-byte ``(id, band,
+    bucket)`` rows cross the bucket shuffle (vs replicating the full
+    signature onto all ``bands`` rows — a ``bands``-fold amplification);
+    candidate pairs are deduped while still id-only and verified by
+    joining the signature table back per side.  Buckets larger than
+    ``max_bucket`` (degenerate content) contribute only their first
+    ``max_bucket`` members.
     """
-    sig = ds.select_columns([id_col, text_col]).map_batches(
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
         minhash_signatures,
         fn_constructor_kwargs=dict(
             id_col=id_col, text_col=text_col, k=k, num_perm=num_perm, bands=bands
@@ -175,38 +191,70 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str = "text", *, k: int = 3,
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
+    ).materialize()  # checkpoint: band expansion + verify both read it
+
+    buckets = sigs.map_batches(
+        _band_bucket_rows,
+        fn_kwargs=dict(id_col=id_col, bands=bands,
+                       rows_per_band=num_perm // bands),
+        batch_format="pyarrow",
     )
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].tolist()
-        sigs = [np.asarray(s) for s in g["sig"]]
-        out_a, out_b, out_j = [], [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                est = float(np.mean(sigs[x] == sigs[y]))
-                if est >= threshold:
-                    out_a.append(ids[x])
-                    out_b.append(ids[y])
-                    out_j.append(round(est, 6))
+    def ids_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].sort_values().head(max_bucket).tolist()
+        out_a = [ids[x] for x in range(len(ids)) for _ in range(x + 1, len(ids))]
+        out_b = [ids[y] for x in range(len(ids)) for y in range(x + 1, len(ids))]
         # typed columns even when empty: Ray Data needs a schema from
         # every block or an all-empty candidate set breaks the groupby
         return pd.DataFrame(
             {"id_a": pd.Series(out_a, dtype="int64"),
-             "id_b": pd.Series(out_b, dtype="int64"),
-             "jaccard": pd.Series(out_j, dtype="float64")}
+             "id_b": pd.Series(out_b, dtype="int64")}
         )
-
-    cand = sig.groupby(["band", "bucket"]).map_groups(
-        pairs_of_bucket, batch_format="pandas"
-    )
 
     def first_of_pair(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        first_of_pair, batch_format="pandas"
+    cand = (
+        buckets.groupby(["band", "bucket"])
+        .map_groups(ids_of_bucket, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(first_of_pair, batch_format="pandas")
     )
+
+    sig_a = sigs.map_batches(
+        lambda t: pa.table({"id_a": t[id_col], "sig_a": t["sig"]}),
+        batch_format="pyarrow",
+    )
+    sig_b = sigs.map_batches(
+        lambda t: pa.table({"id_b": t[id_col], "sig_b": t["sig"]}),
+        batch_format="pyarrow",
+    )
+    joined = cand.join(
+        sig_a, "inner", num_partitions=join_partitions, on=("id_a",)
+    ).join(sig_b, "inner", num_partitions=join_partitions, on=("id_b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        sa = np.stack([np.frombuffer(x, dtype="<i8")
+                       for x in t["sig_a"].to_pylist()])
+        sb = np.stack([np.frombuffer(x, dtype="<i8")
+                       for x in t["sig_b"].to_pylist()])
+        # est is a multiple of 1/num_perm; for num_perm=64 every value
+        # has exactly 6 decimal digits, so round-to-6 is lossless
+        est = np.round((sa == sb).mean(axis=1), 6)
+        keep = est >= threshold
+        ia = np.asarray(t["id_a"].to_pylist(), dtype=np.int64)
+        ib = np.asarray(t["id_b"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "id_a": pa.array(ia[keep], pa.int64()),
+            "id_b": pa.array(ib[keep], pa.int64()),
+            "jaccard": pa.array(est[keep], pa.float64()),
+        })
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +345,12 @@ def connected_components(pairs_ds, *, max_rounds: int = 10):
     rounds — near-dup clusters are tiny, so a handful.  No driver-side
     union-find state, so the edge set can be arbitrarily large.
 
+    Convergence is detected with a DISTRIBUTED scalar, not by pulling
+    the label set to the driver: min-propagation is monotone (every
+    node's label can only decrease), so ``Sum(cluster_id)`` strictly
+    decreases until the fixed point and the driver compares one number
+    per round — O(1) driver memory at any corpus size.
+
     Returns a Dataset (id, cluster_id) where cluster_id is the min
     member id of the component.  Singleton documents (no pairs) are not
     listed — callers treat absence as "own cluster".
@@ -326,6 +380,7 @@ def connected_components(pairs_ds, *, max_rounds: int = 10):
         .aggregate(Min("cluster_id", alias_name="cluster_id"))
         .materialize()
     )
+    prev_sum = labels.sum("cluster_id")  # None on an empty edge set
     for _ in range(max_rounds):
         # one groupby per round, no joins: co-group each node's current
         # label with its adjacency (tagged rows), broadcast the group min
@@ -362,11 +417,11 @@ def connected_components(pairs_ds, *, max_rounds: int = 10):
             .aggregate(Min("cluster_id", alias_name="cluster_id"))
             .materialize()
         )
-        old = labels.to_pandas().sort_values("id").reset_index(drop=True)
-        new = new_labels.to_pandas().sort_values("id").reset_index(drop=True)
         labels = new_labels
-        if old.equals(new):
+        new_sum = labels.sum("cluster_id")
+        if new_sum == prev_sum:  # monotone fixed point reached
             break
+        prev_sum = new_sum
     return labels
 
 
