@@ -15,10 +15,15 @@ Design notes (100 TB scale):
   exchange sink is the single end-to-end shuffle);
 * giant-row skew: rows above ``hard_cap`` are never parsed (status
   ``too_large``); the optional two-tier mode routes big rows to a
-  dedicated pool with ``batch_size=1`` — note this forks the lazy DAG,
-  so the parquet read runs once per tier (an explicit, documented
-  tradeoff: at multi-TB scale prefer tiering at the file layout level
-  or a single pool with small batches + dynamic block splitting).
+  dedicated pool with ``batch_size=1``.  The input is materialized ONCE
+  before the tier fork so the parquet read never runs twice; the cost
+  is pinning the pruned 4-column input in the object store for the
+  run.  (A single pool with per-yield block boundaries is not
+  expressible: Ray coalesces generator-UDF output batches back into
+  target-size blocks — measured; and batch_size=1 for everything costs
+  2.7x in per-batch overhead.)  At multi-TB scale prefer tiering at
+  the file layout level: route oversized documents to their own input
+  shards at ingest and run the two tiers as separate jobs.
 """
 
 from __future__ import annotations
@@ -174,7 +179,9 @@ def extract_pages(
     ``two_tier=True`` splits rows at ``size_threshold`` html bytes: the
     big tier runs with ``batch_size=1`` so one multi-MB document never
     blocks a whole batch (head-of-line) and memory per in-flight batch
-    stays bounded.  See module docstring for the DAG-fork tradeoff.
+    stays bounded.  The input is materialized once before the fork —
+    both tiers then filter shared object-store blocks instead of
+    re-running the read (see module docstring for the tradeoff).
     """
     kwargs = dict(
         fn_constructor_kwargs={"program": program, "hard_cap": hard_cap},
@@ -184,6 +191,7 @@ def extract_pages(
     )
     if not two_tier:
         return ds.map_batches(ExtractDocs, batch_size=batch_size, **kwargs)
+    ds = ds.materialize()  # ONE read; the two tier branches share blocks
 
     def _len_expr(t: pa.Table, big: bool) -> pa.Table:
         lens = pc.binary_length(t.column("html"))
@@ -288,18 +296,60 @@ def add_part_id(ds, num_partitions: int):
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
-def dedup_latest_by_url(ds):
-    """P7: keep one row per url — max ``warc_ts`` (ties: first seen).
+def dedup_latest_by_url(ds, *, ts_col: str = "warc_ts"):
+    """P7: keep one row per url — max ``warc_ts``; ties broken
+    deterministically by the greatest remaining row tuple (column
+    order), so the survivor is a pure function of the data, independent
+    of block layout and arrival order.
 
-    Hash-partitioned ``groupby(url)``; the payload through the shuffle
-    is extracted text, not html.
+    Implemented as an argmax-row ``AggregateFn``: each block contributes
+    at most ONE candidate row per group (vectorized max + filter inside
+    ``accumulate_block``), merges compare two candidate rows — no
+    per-group Python UDF over billions of url groups.  The groupby is
+    hash-partitioned and the payload through the shuffle is extracted
+    text, not html.  Rows must not contain nulls in comparison columns
+    (extraction output never does).
     """
-    import pandas as pd
+    from ray.data.aggregate import AggregateFn
 
-    def keep_latest(g: "pd.DataFrame") -> "pd.DataFrame":
-        return g.sort_values("warc_ts", kind="stable").tail(1)
+    def row_key(row: dict, names) -> tuple:
+        return (row[ts_col], *(row[c] for c in names if c != ts_col))
 
-    return ds.groupby("url").map_groups(keep_latest, batch_format="pandas")
+    def accumulate_block(acc, block):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0:
+            return acc
+        mx = pc.max(block[ts_col])
+        sub = block.filter(pc.equal(block[ts_col], mx))
+        if sub.num_rows > 1:
+            sub = sub.sort_by([(c, "descending") for c in sub.column_names])
+        row = sub.slice(0, 1).to_pylist()[0]
+        names = block.column_names
+        if acc is None or row_key(row, names) > row_key(acc, names):
+            return row
+        return acc
+
+    def merge(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        names = list(a)
+        return a if row_key(a, names) >= row_key(b, names) else b
+
+    latest = ds.groupby("url").aggregate(
+        AggregateFn(init=lambda k: None, merge=merge, name="latest_row",
+                    accumulate_block=accumulate_block)
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        col = t["latest_row"].combine_chunks()
+        fields = {f.name: pc.struct_field(col, f.name)
+                  for f in col.type}
+        return pa.table(fields)
+
+    return latest.map_batches(unpack, batch_format="pyarrow")
 
 
 def corpus_stats(ds):
