@@ -407,9 +407,317 @@ class _TreeBuilder(HTMLParser):
             self._add_text(data[6:])
 
 
-def parse_html(data) -> Node:
-    """Parse HTML bytes/str into a Node tree rooted at ``html``."""
-    text, _enc = decode_html(data)
+# ---------------------------------------------------------------------------
+# fast tokenizer
+# ---------------------------------------------------------------------------
+#
+# A direct regex tokenizer that mirrors html.parser's goahead() control
+# flow construct by construct (same tolerant regexes, same recovery
+# paths, same entity handling) but builds the Node tree inline with no
+# handler indirection and — the big win — no line/column bookkeeping:
+# html.parser's updatepos() re-counts newlines for every data segment,
+# which dominates parse time, while source offsets here are just the
+# scan index.  Byte-identity with the stdlib builder is enforced by
+# tests/test_fast_parser.py (conformance corpus + differential fuzz);
+# set RAYXT_PARSER=stdlib to fall back to html.parser.
+
+from html import unescape as _unescape  # noqa: E402  (html5 charref rules)
+
+_TAGFIND = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_ATTRFIND = re.compile(
+    r"((?<=[\'\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"(\'[^\']*\'|\"[^\"]*\"|(?![\'\"])[^>\s]*))?(?:\s|/(?!>))*"
+)
+_LOCATESTARTTAGEND = re.compile(r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+         )
+        \s*                          # possibly followed by a space
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""", re.VERBOSE)
+_ENDTAGFIND = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_COMMENTCLOSE = re.compile(r"--\s*>")
+_MARKEDSECTIONCLOSE = re.compile(r"]\s*]\s*>")
+_MSMARKEDSECTIONCLOSE = re.compile(r"]\s*>")
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
+}
+_ALNUM_EQ_SLASH = frozenset("abcdefghijklmnopqrstuvwxyz=/"
+                            "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+# fast path for the overwhelmingly common `<tag>` shape: lowercase name,
+# no attributes, no self-close — semantics provably identical to the
+# tolerant machinery, which stays the fallback for everything else
+_SIMPLE_TAG = re.compile(r"<([a-z][a-z0-9]*)>")
+_STD_SECTIONS = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
+_MS_SECTIONS = frozenset({"if", "else", "endif"})
+
+
+def _parse_html_fast(text: str) -> Node:
+    """One-pass tree build; see the mirror-of-html.parser note above."""
+    doc = Node("#document")
+    stack = [doc]
+    n = len(text)
+    find = text.find
+    startswith = text.startswith
+    implied = _IMPLIED_END
+    voids = VOID_ELEMENTS
+
+    def add_text(data):
+        cur = stack[-1]
+        if cur.children:
+            last = cur.children[-1]
+            last.tail = (last.tail or "") + data
+        else:
+            cur.text = (cur.text or "") + data
+
+    def end_tag(tag, pos):
+        if tag in voids:
+            return
+        for idx in range(len(stack) - 1, 0, -1):
+            if stack[idx].tag == tag:
+                end = pos + len(tag) + 3  # '</' + tag + '>'
+                for node in stack[idx:]:
+                    if node.src_end < 0:
+                        node.src_end = end
+                del stack[idx:]
+                return
+        # stray end tag: ignored (frozen policy)
+
+    def parse_starttag(i):
+        sm = _SIMPLE_TAG.match(text, i)
+        if sm:
+            tag = sm.group(1)
+            endpos = sm.end()
+            node = Node(tag, {})
+            node.src_start = i
+            while len(stack) > 1:
+                closers = implied.get(stack[-1].tag)
+                if closers is not None and tag in closers:
+                    stack.pop()
+                else:
+                    break
+            stack[-1].append(node)
+            if tag not in voids:
+                stack.append(node)
+                if tag in _CDATA_CLOSE:
+                    return ~endpos
+            else:
+                node.src_end = endpos
+            return endpos
+        m = _LOCATESTARTTAGEND.match(text, i)
+        j = m.end()
+        nxt = text[j:j + 1]
+        if nxt == ">":
+            endpos = j + 1
+        elif nxt == "/":
+            if startswith("/>", j):
+                endpos = j + 2
+            else:
+                return -1
+        elif nxt == "":
+            return -1
+        elif nxt in _ALNUM_EQ_SLASH:
+            return -1
+        elif j > i:
+            endpos = j
+        else:
+            endpos = i + 1
+        tm = _TAGFIND.match(text, i + 1)
+        tag = tm.group(1).lower()
+        attrs = {}
+        k = tm.end()
+        while k < endpos:
+            am = _ATTRFIND.match(text, k)
+            if not am:
+                break
+            name, rest, value = am.group(1, 2, 3)
+            if not rest:
+                value = ""
+            else:
+                if (value[:1] == "'" == value[-1:]
+                        or value[:1] == '"' == value[-1:]):
+                    value = value[1:-1]
+                if value:
+                    value = _unescape(value)
+            name = name.lower()
+            if name not in attrs:
+                attrs[name] = value
+            k = am.end()
+        end = text[k:endpos].strip()
+        if end not in (">", "/>"):
+            add_text(text[i:endpos])  # bogus input: raw, NOT unescaped
+            return endpos
+        node = Node(tag, attrs)
+        node.src_start = i
+        if end == "/>":
+            # XHTML-style empty tag: no implied-end pops, no push
+            node.src_end = endpos
+            stack[-1].append(node)
+            return endpos
+        while len(stack) > 1:
+            closers = implied.get(stack[-1].tag)
+            if closers is not None and tag in closers:
+                stack.pop()
+            else:
+                break
+        stack[-1].append(node)
+        if tag not in voids:
+            stack.append(node)
+            if tag in _CDATA_CLOSE:
+                return ~endpos  # flag: caller enters cdata mode
+        else:
+            node.src_end = endpos
+        return endpos
+
+    def parse_bogus_comment(i):
+        pos = find(">", i + 2)
+        if pos == -1:
+            return -1
+        node = Node("#comment", text=text[i + 2:pos])
+        node.src_start = i
+        node.src_end = i + (pos - i - 2) + 7
+        stack[-1].append(node)
+        return pos + 1
+
+    def parse_comment(i):
+        m = _COMMENTCLOSE.search(text, i + 4)
+        if not m:
+            return -1
+        data = text[i + 4:m.start()]
+        node = Node("#comment", text=data)
+        node.src_start = i
+        node.src_end = i + len(data) + 7
+        stack[-1].append(node)
+        return m.end()
+
+    def parse_marked_section(i):
+        m = _DECLNAME.match(text, i + 3)
+        if not m:
+            raise AssertionError(
+                "expected name token at %r" % text[i:i + 20]
+            )
+        s = m.group()
+        if i + 3 + len(s) == n:
+            return -1
+        name = s.strip().lower()
+        if name in _STD_SECTIONS:
+            mm = _MARKEDSECTIONCLOSE.search(text, i + 3)
+        elif name in _MS_SECTIONS:
+            mm = _MSMARKEDSECTIONCLOSE.search(text, i + 3)
+        else:
+            raise AssertionError(
+                "unknown status keyword %r in marked section" % text[i + 3:m.end()]
+            )
+        if not mm:
+            return -1
+        content = text[i + 3:mm.start()]
+        if content.startswith("CDATA["):
+            add_text(content[6:])
+        return mm.end()
+
+    def parse_decl(i):
+        if startswith("<![", i):
+            return parse_marked_section(i)
+        if text[i:i + 9].lower() == "<!doctype":
+            gt = find(">", i + 9)
+            if gt == -1:
+                return -1
+            return gt + 1  # DOCTYPE dropped
+        return parse_bogus_comment(i)
+
+    cdata_elem = None
+    i = 0
+    while i < n:
+        if cdata_elem is None:
+            j = find("<", i)
+            if j < 0:
+                j = n
+            if i < j:
+                add_text(_unescape(text[i:j]))
+        else:
+            m = _CDATA_CLOSE[cdata_elem].search(text, i)
+            if not m:
+                return doc  # EOF inside script/style: content dropped
+            j = m.start()
+            if i < j:
+                add_text(text[i:j])  # raw text, no charref decoding
+        i = j
+        if i == n:
+            break
+        nxt = text[i + 1:i + 2]
+        if nxt and (("a" <= nxt <= "z") or ("A" <= nxt <= "Z")):
+            k = parse_starttag(i)
+            if k < -1:  # entered script/style raw-text mode
+                cdata_elem = stack[-1].tag
+                k = ~k
+        elif startswith("</", i):
+            gt = find(">", i + 1)
+            if gt < 0:
+                k = -1
+            else:
+                gtpos = gt + 1
+                em = _ENDTAGFIND.match(text, i)
+                if em is None:
+                    if cdata_elem is not None:
+                        add_text(text[i:gtpos])
+                        k = gtpos
+                    else:
+                        nm = _TAGFIND.match(text, i + 2)
+                        if nm is None:
+                            k = i + 3 if text[i:i + 3] == "</>" else \
+                                parse_bogus_comment(i)
+                        else:
+                            end_tag(nm.group(1).lower(), i)
+                            k = find(">", nm.end()) + 1
+                else:
+                    elem = em.group(1).lower()
+                    if cdata_elem is not None and elem != cdata_elem:
+                        add_text(text[i:gtpos])
+                        k = gtpos
+                    else:
+                        end_tag(elem, i)
+                        cdata_elem = None
+                        k = gtpos
+        elif startswith("<!--", i):
+            k = parse_comment(i)
+        elif startswith("<?", i):
+            gt = find(">", i + 2)
+            k = -1 if gt < 0 else gt + 1  # PI dropped
+        elif startswith("<!", i):
+            k = parse_decl(i)
+        elif i + 1 < n:
+            add_text("<")
+            k = i + 1
+        else:
+            break  # lone '<' at EOF: flushed below
+        if k < 0:
+            # unterminated construct at EOF (html.parser close() path)
+            k = find(">", i + 1)
+            if k < 0:
+                k = find("<", i + 1)
+                if k < 0:
+                    k = i + 1
+            else:
+                k += 1
+            add_text(_unescape(text[i:k]))
+        i = k
+    if i < n and cdata_elem is None:
+        add_text(_unescape(text[i:n]))
+    return doc
+
+
+def _parse_html_stdlib(text: str) -> Node:
+    """Reference builder on html.parser (RAYXT_PARSER=stdlib)."""
     line_offsets = [0]
     pos = text.find("\n")
     while pos != -1:
@@ -418,7 +726,18 @@ def parse_html(data) -> Node:
     builder = _TreeBuilder(line_offsets)
     builder.feed(text)
     builder.close()
-    doc = builder.doc
+    return builder.doc
+
+
+import os as _os  # noqa: E402
+
+_USE_FAST = _os.environ.get("RAYXT_PARSER", "fast") != "stdlib"
+
+
+def parse_html(data) -> Node:
+    """Parse HTML bytes/str into a Node tree rooted at ``html``."""
+    text, _enc = decode_html(data)
+    doc = _parse_html_fast(text) if _USE_FAST else _parse_html_stdlib(text)
     elems = [c for c in doc.children if c.is_element()]
     if len(elems) == 1 and elems[0].tag == "html" and (doc.text or "").strip() == "":
         root = elems[0]
