@@ -228,6 +228,116 @@ def run_scaling() -> None:
         )
 
 
+def run_skew() -> None:
+    """Quantitative skew row (BASELINE.md): throughput on a giant-row-
+    heavy corpus vs a uniform one, and the two-tier split's effect on
+    the skewed corpus.  Same template mix; only ``giant_cap`` differs
+    (uniform: giants capped at 128 KiB; skewed: every 1000th row is a
+    full 8 MiB document, rest of the giant slots 64-192 KiB)."""
+    import ray
+
+    from fixtures.gen_pages import ensure_pages_parquet
+    from rayxt.pipeline import extract_pages, read_pages
+
+    n = int(os.environ.get("RAYXT_SKEW_ROWS", "100000"))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    os.makedirs("/tmp/rayxt_bench", exist_ok=True)
+    uniform = ensure_pages_parquet(
+        f"/tmp/rayxt_bench/pages_uniform_{n}.parquet", n,
+        giant_cap=1 << 17, use_ray=True)
+    skewed = f"/tmp/rayxt_bench/pages_skewed_{n}.parquet"
+    if not os.path.exists(skewed):
+        # same corpus, but every 1000th row swapped for a deterministic
+        # 8 MiB document (a true heavy tail: ~0.1% of rows carry ~2/3 of
+        # the html bytes)
+        import pyarrow as pa
+        import ray.data as rd
+
+        from fixtures.gen_pages import _article, _words, gen_batch
+
+        def gen_skew(batch):
+            ids = batch["id"].to_pylist()
+            t = gen_batch(ids, 1 << 17)
+            htmls = t["html"].to_pylist()
+            for k, i in enumerate(ids):
+                if i % 1000 == 0 and i > 0:
+                    para = f"<p>{_words(i, 'g', 24)}.</p>"
+                    htmls[k] = _article(i, 1,
+                                        extra=para * ((8 << 20) // len(para)))
+            return t.set_column(t.column_names.index("html"), "html",
+                                pa.array(htmls, pa.binary()))
+
+        tmp = skewed + ".tmp"
+        rd.range(n).map_batches(gen_skew, batch_size=2000,
+                                batch_format="pyarrow").write_parquet(tmp)
+        os.rename(tmp, skewed)
+    pool = min(NUM_CPUS - 1, max(2, round(NUM_CPUS * 0.75)))
+
+    def mbytes(path):
+        """Decoded html bytes (not compressed parquet size)."""
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(path, columns=["html"])
+        return _pc.sum(_pc.binary_length(t["html"])).as_py() / 1e6
+
+    def measure(path, two_tier):
+        read_pages(path).count()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            ex = extract_pages(read_pages(path), concurrency=pool,
+                               batch_size=128, two_tier=two_tier)
+            ex.sum("n_chars")
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    t_u = measure(uniform, False)
+    t_s = measure(skewed, False)
+    t_s2 = measure(skewed, True)
+    mb_u, mb_s = mbytes(uniform), mbytes(skewed)
+    report = {
+        "rows": n,
+        "num_cpus": NUM_CPUS,
+        "uniform_sec": round(t_u, 2),
+        "uniform_mb_s": round(mb_u / t_u, 1),
+        "skewed_sec": round(t_s, 2),
+        "skewed_mb_s": round(mb_s / t_s, 1),
+        "skewed_two_tier_sec": round(t_s2, 2),
+        "skewed_two_tier_mb_s": round(mb_s / t_s2, 1),
+        "docs_per_sec_degradation_pct": round(100 * (1 - (n / t_s) / (n / t_u)), 1),
+        "two_tier_vs_single_pct": round(100 * (t_s2 - t_s) / t_s, 1),
+    }
+    print(json.dumps(report))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as fh:
+        fh.write(
+            "# Skew resilience (measured)\n\n"
+            f"{n}-row corpora, identical template mix, num_cpus={NUM_CPUS}; "
+            "uniform: giant slots capped at 128 KiB "
+            f"({mb_u:.0f} MB html); skewed: every 1000th row swapped for "
+            f"an 8 MiB document ({mb_s:.0f} MB html — ~0.1% of rows carry "
+            "most of the bytes).  Extraction-only wall "
+            "(read -> actor pool -> aggregate), best of 2 after warm-up.\n\n"
+            "| corpus | mode | wall sec | html MB in/s |\n|---|---|---|---|\n"
+            f"| uniform | single-tier | {report['uniform_sec']} | {report['uniform_mb_s']} |\n"
+            f"| skewed | single-tier | {report['skewed_sec']} | {report['skewed_mb_s']} |\n"
+            f"| skewed | two-tier | {report['skewed_two_tier_sec']} | {report['skewed_two_tier_mb_s']} |\n\n"
+            f"docs/s degradation uniform->skewed: "
+            f"**{report['docs_per_sec_degradation_pct']}%** "
+            "(the skewed corpus carries more bytes per doc, so compare "
+            "MB/s for per-byte cost); two-tier vs single-tier on the "
+            f"skewed corpus: **{report['two_tier_vs_single_pct']:+.1f}%** "
+            "wall (negative = two-tier faster).\n"
+        )
+    ray.shutdown()
+
+
 def _ensure_corpus_standalone() -> None:
     """Generate the corpus once before the timed child runs."""
     import ray
@@ -243,5 +353,7 @@ def _ensure_corpus_standalone() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--skew" in sys.argv:
+        run_skew()
     else:
         print(json.dumps(run_bench()))
