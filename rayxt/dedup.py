@@ -6,12 +6,17 @@ Scale shape (the part that matters at 100 TB):
 * signatures/sketches are computed INSIDE ``map_batches`` (vectorized
   numpy over the batch) — the only all-to-all exchanges are groupbys on
   small key columns (content hash, LSH band buckets), never on text;
+* MinHash signatures are checkpointed ONCE as a narrow packed-binary
+  table; only 24-byte ``(id, band, bucket)`` rows cross the bucket
+  shuffle, and candidate pairs (deduped while id-only) are verified by
+  joining the signature table back — no per-band signature replication;
 * candidate generation is bucket-local (``groupby(band).map_groups``):
-  pairs are emitted per bucket, verified per pair, so no driver-side
-  O(n^2) state; hot buckets are capped (``max_bucket``) and the cap is
-  logged in the output rather than silently dropped;
+  pairs are emitted per bucket, so no driver-side O(n^2) state; hot
+  buckets are capped (``max_bucket``);
 * exact dedup keeps ``min(id)`` per content hash — a pure
-  hash-partitioned groupby.
+  hash-partitioned groupby;
+* cluster resolution converges on a distributed scalar (monotone
+  ``Sum(cluster_id)``) — O(1) driver memory at any corpus size.
 """
 
 from __future__ import annotations
