@@ -1,0 +1,113 @@
+"""Temporal / keyed join operators Ray Data lacks natively.
+
+``asof_join`` is the classic "latest right row at or before the left
+row's timestamp" join (market-data style).  Ray Data has no native
+as-of join, so it is composed per the task's custom-operator ladder:
+one union + ``groupby(key).map_groups`` co-partitions both sides with a
+SINGLE exchange, then each group resolves matches with a vectorized
+``numpy.searchsorted`` over the sorted right side.
+
+Partitioning assumption (documented, load-bearing): all rows of one
+key fit in one worker — keys are per-entity time series (a user's
+events, an instrument's quotes), which is the workload this operator
+exists for.  Hot keys should be pre-capped or salted upstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["asof_join"]
+
+
+def asof_join(left, right, *, key: str, on: str,
+              left_cols: list[str], right_cols: list[str],
+              right_suffix: str = "_r"):
+    """Inner backward as-of join.
+
+    For every left row, attach the right row of the same ``key`` with
+    the greatest ``on`` value <= the left row's ``on``; ties on the
+    right timestamp break deterministically toward the greatest
+    ``right_cols`` tuple (so output is a pure function of the data,
+    independent of partitioning).  Left rows with no prior right row
+    are dropped (inner semantics).
+
+    Returns columns ``left_cols`` + ``right_cols`` (a right column
+    colliding with a left name gets ``right_suffix``).  ``key`` and
+    ``on`` must be members of ``left_cols``.
+    """
+    lcols = list(left_cols)
+    rcols = list(right_cols)
+    out_rnames = [c + right_suffix if c in lcols else c for c in rcols]
+
+    lschema = left.schema()
+    rschema = right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+
+    def left_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"__side": pa.array([0] * n, pa.int8())}
+        for c in lcols:
+            cols[c] = t[c]
+        for c, oc in zip(rcols, out_rnames):
+            cols["__r_" + oc] = pa.nulls(n, rtypes[c])
+        return pa.table(cols)
+
+    def right_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"__side": pa.array([1] * n, pa.int8())}
+        for c in lcols:
+            if c in (key, on):
+                cols[c] = t[c]
+            else:
+                cols[c] = pa.nulls(n, ltypes[c])
+        for c, oc in zip(rcols, out_rnames):
+            cols["__r_" + oc] = t[c]
+        return pa.table(cols)
+
+    unioned = left.map_batches(left_side, batch_format="pyarrow").union(
+        right.map_batches(right_side, batch_format="pyarrow")
+    )
+    rtmp = ["__r_" + oc for oc in out_rnames]
+    # the union's null slots upcast integer columns to float64 in
+    # pandas; restore the source dtypes on the way out
+    out_types = {c: ltypes[c] for c in lcols}
+    out_types.update({oc: rtypes[c] for c, oc in zip(rcols, out_rnames)})
+
+    def _restore(series: pd.Series, arrow_type) -> pd.Series:
+        if pa.types.is_integer(arrow_type):
+            return series.astype("int64")
+        if pa.types.is_floating(arrow_type):
+            return series.astype("float64")
+        return series
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g[g["__side"] == 0]
+        rrows = g[g["__side"] == 1]
+        if lrows.empty or rrows.empty:
+            return pd.DataFrame({
+                **{c: _restore(pd.Series([], dtype=g[c].dtype), out_types[c])
+                   for c in lcols},
+                **{oc: _restore(pd.Series([], dtype=g["__r_" + oc].dtype),
+                                out_types[oc])
+                   for oc in out_rnames},
+            })
+        # deterministic tie-break: sort by (on, *value cols); the last
+        # entry <= ts is then the max (on, values) tuple
+        rrows = rrows.sort_values([on, *rtmp], kind="mergesort")
+        rts = rrows[on].to_numpy()
+        idx = np.searchsorted(rts, lrows[on].to_numpy(), side="right") - 1
+        keep = idx >= 0
+        lrows = lrows[keep]
+        matched = rrows.iloc[idx[keep]]
+        out = {c: _restore(lrows[c].reset_index(drop=True), out_types[c])
+               for c in lcols}
+        for oc in out_rnames:
+            out[oc] = _restore(matched["__r_" + oc].reset_index(drop=True),
+                               out_types[oc])
+        return pd.DataFrame(out)
+
+    return unioned.groupby(key).map_groups(resolve, batch_format="pandas")

@@ -1,0 +1,113 @@
+"""Unit tests for the keyed time-series operators (rayxt.windows,
+rayxt.joins) against brute-force in-process references."""
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events(n=300, users=7, seed=13):
+    rng = np.random.default_rng(seed)
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for i in range(n):
+        rows.append({
+            "event_id": i,
+            "user_id": int(rng.integers(users)),
+            "ts": base + datetime.timedelta(
+                seconds=int(rng.integers(0, 6 * 86400))),
+            "kind": ["a", "b"][int(rng.integers(2))],
+            "value": float(rng.random()),
+        })
+    # force duplicate-timestamp edge cases
+    rows[10]["ts"] = rows[11]["ts"] = rows[12]["ts"]
+    rows[10]["user_id"] = rows[11]["user_id"] = rows[12]["user_id"] = 3
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def ev_df():
+    return _events()
+
+
+def test_asof_join_matches_bruteforce(ray_session, ev_df):
+    import ray.data as rd
+
+    from rayxt.joins import asof_join
+
+    left_df = ev_df[ev_df["kind"] == "a"]
+    right_df = ev_df[ev_df["kind"] == "b"]
+    left = rd.from_arrow(pa.Table.from_pandas(
+        left_df[["event_id", "user_id", "ts"]], preserve_index=False))
+    right = rd.from_arrow(pa.Table.from_pandas(
+        right_df[["event_id", "user_id", "ts"]], preserve_index=False))
+    got = asof_join(left, right, key="user_id", on="ts",
+                    left_cols=["event_id", "user_id", "ts"],
+                    right_cols=["event_id"], right_suffix="_b").to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+
+    want_rows = []
+    for _, lrow in left_df.iterrows():
+        cand = right_df[(right_df["user_id"] == lrow["user_id"])
+                        & (right_df["ts"] <= lrow["ts"])]
+        if cand.empty:
+            continue
+        best = cand.sort_values(["ts", "event_id"]).iloc[-1]
+        want_rows.append({"event_id": lrow["event_id"],
+                          "user_id": lrow["user_id"], "ts": lrow["ts"],
+                          "event_id_b": best["event_id"]})
+    want = pd.DataFrame(want_rows).sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["event_id_b"].tolist() == want["event_id_b"].tolist()
+    assert got.dtypes["event_id_b"] == "int64"
+
+
+def test_sessionize_matches_bruteforce(ray_session, ev_df):
+    import ray.data as rd
+
+    from rayxt.windows import sessionize
+
+    gap = 3600.0
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        ev_df[["user_id", "ts"]], preserve_index=False))
+    got = sessionize(ds, key="user_id", ts_col="ts", gap_s=gap).to_pandas()
+    got = got.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+    want_rows = []
+    for uid, g in ev_df.groupby("user_id"):
+        ts = sorted(g["ts"])
+        start, prev, count = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if (t - prev).total_seconds() > gap:
+                want_rows.append((uid, start, count,
+                                  int((prev - start).total_seconds() * 1e6)))
+                start, count = t, 1
+            else:
+                count += 1
+            prev = t
+        want_rows.append((uid, start, count,
+                          int((prev - start).total_seconds() * 1e6)))
+    want = pd.DataFrame(want_rows, columns=["user_id", "session_start",
+                                            "n_events", "duration_us"])
+    want = want.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    assert got["n_events"].sum() == len(ev_df)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_group_quantiles_matches_numpy(ray_session, ev_df):
+    import ray.data as rd
+
+    from rayxt.windows import group_quantiles
+
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        ev_df[["kind", "value"]], preserve_index=False))
+    got = group_quantiles(ds, key="kind", value_col="value",
+                          qs=(0.5, 0.95)).to_pandas()
+    got = got.sort_values("kind").reset_index(drop=True)
+    for _, row in got.iterrows():
+        vals = ev_df[ev_df["kind"] == row["kind"]]["value"].to_numpy()
+        assert row["p50"] == round(float(np.percentile(vals, 50)), 6)
+        assert row["p95"] == round(float(np.percentile(vals, 95)), 6)
