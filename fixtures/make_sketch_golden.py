@@ -20,14 +20,13 @@ import pyarrow.parquet as pq
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from fixtures.gen_media import generate_media_table  # noqa: E402
+from fixtures.gen_media import generate_media_table, media_ground_truth  # noqa: E402
 from tests.oracle import oracle_rule_hits  # noqa: E402
 from tests.oracle.sketches import (  # noqa: E402
     oracle_components,
     oracle_fingerprint,
     oracle_langid,
     oracle_lsh_topk,
-    oracle_media_decode,
     oracle_minhash_pairs,
     oracle_simhash_pairs,
 )
@@ -96,8 +95,11 @@ def main() -> None:
         "cos": pa.array([r[3] for r in lsh], pa.float64()),
     }), os.path.join(DATA_DIR, "golden_ann_lsh.parquet"))
 
+    # media golden = the generator's GROUND TRUTH stats (computed from
+    # the source arrays before encoding) — the engine must invert the
+    # PNG/WAV/RAYX encodings to match; no decoder runs here
     media = generate_media_table(N_MEDIA)
-    dec = [oracle_media_decode(p) for p in media.column("payload").to_pylist()]
+    dec = [media_ground_truth(i) for i in media.column("media_id").to_pylist()]
     out = media.drop_columns(["payload"])
     out = out.append_column("width", pa.array([d["width"] for d in dec], pa.int32()))
     out = out.append_column("height", pa.array([d["height"] for d in dec], pa.int32()))

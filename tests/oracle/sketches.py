@@ -17,7 +17,6 @@ either side is caught.
 from __future__ import annotations
 
 import hashlib
-import struct
 from collections import defaultdict
 
 import numpy as np
@@ -251,18 +250,9 @@ def oracle_lsh_topk(ids, vecs, queries, *, k: int = 5, n_planes: int = 8,
     return out
 
 
-# -- media decode (RAYX container restated) ---------------------------------
-
-
-def oracle_media_decode(payload: bytes) -> dict:
-    if payload is None or len(payload) < 16:
-        return {"width": 0, "height": 0, "n_frames": 0, "mean_value": 0.0,
-                "decode_status": "error"}
-    if payload[:4] != b"RAYX":
-        return {"width": 0, "height": 0, "n_frames": 0, "mean_value": 0.0,
-                "decode_status": "unsupported_codec"}
-    w, h, frames = struct.unpack("<iii", payload[4:16])
-    body = np.frombuffer(payload, dtype=np.uint8, offset=16)
-    mean = float(body.mean()) if body.size else 0.0
-    return {"width": w, "height": h, "n_frames": frames,
-            "mean_value": round(mean, 6), "decode_status": "ok"}
+# -- media decode -----------------------------------------------------------
+# The media oracle is the fixture generator's ground truth
+# (fixtures/gen_media.py::media_ground_truth): expected stats are
+# computed from the SOURCE arrays before PNG/WAV/RAYX encoding, so the
+# engine's decoders are checked by inverting a real encoding — no
+# second decoder implementation needed here.

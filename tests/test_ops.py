@@ -250,7 +250,12 @@ def test_media_decode_and_stages(ray_session, tmp_path):
     resized = decode_media(
         resize_images(rd.read_parquet(path), 8, 8, concurrency=1), concurrency=1
     ).to_pandas()
-    assert (resized["width"] == 8).all() and (resized["height"] == 8).all()
+    # PNG images and RAYX video frames resize; audio passes through
+    vis = resized[resized.kind != "audio"]
+    assert (vis["width"] == 8).all() and (vis["height"] == 8).all()
+    aud = resized[resized.kind == "audio"].set_index("media_id")
+    orig_aud = out[out.kind == "audio"].set_index("media_id")
+    assert (aud["width"] == orig_aud["width"]).all()
 
     sampled = decode_media(
         sample_frames(rd.read_parquet(path), stride=2, concurrency=1), concurrency=1

@@ -12,7 +12,6 @@ from tests.oracle.sketches import (
     oracle_components,
     oracle_fingerprint,
     oracle_langid,
-    oracle_media_decode,
     oracle_minhash_pairs,
     oracle_simhash_pairs,
 )
@@ -97,19 +96,24 @@ def test_langid_fingerprint_match_oracle(docs_ds):
         assert format(fingerprint_of(t), "016x") == oracle_fingerprint(t)
 
 
-def test_media_decode_matches_oracle():
-    from fixtures.gen_media import media_row
+def test_media_decode_round_trips_ground_truth():
+    """PNG / WAV / RAYX decoders must invert the fixture encodings:
+    decode(encode(source)) == the generator's pre-encoding stats."""
+    from fixtures.gen_media import media_ground_truth, media_row
     from rayxt.multimodal import _decode_payload
 
-    for i in range(30):
-        payload = media_row(i)["payload"]
-        w, h, f, mean = _decode_payload(payload)
-        o = oracle_media_decode(payload)
+    kinds = set()
+    for i in range(60):
+        row = media_row(i)
+        kinds.add(row["kind"])
+        w, h, f, mean = _decode_payload(row["payload"])
+        gt = media_ground_truth(i)
         assert (w, h, f, round(mean, 6)) == (
-            o["width"], o["height"], o["n_frames"], o["mean_value"]
-        )
-    assert oracle_media_decode(b"PNG?" + b"\0" * 20)["decode_status"] == \
-        "unsupported_codec"
+            gt["width"], gt["height"], gt["n_frames"], gt["mean_value"]
+        ), f"row {i} ({row['kind']})"
+    assert kinds == {"image", "audio", "video"}
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"\xff\xd8\xff\xe0" + b"\0" * 30)  # JPEG magic
 
 
 def test_lsh_ann_recall_gate(ray_session):
