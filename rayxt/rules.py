@@ -230,19 +230,29 @@ def _iter_traversal(root: Node, order: int):
         return list(reversed(kids)) if rtl else kids
 
     if not bottom_up:
-        # pre-order over the live tree; re-read children after each yield
-        stack = [iter([root])]
-        while stack:
-            it = stack[-1]
-            node = next(it, None)
-            if node is None:
-                stack.pop()
+        # pre-order over the live tree; children are re-read AFTER each
+        # yield (handlers may mutate the subtree).  Index-based frames
+        # instead of iterator objects: this loop runs once per element
+        # per fused pass and iterator dispatch measured ~5% of rule time.
+        frames = [[[root], 0]]
+        while frames:
+            top = frames[-1]
+            lst, i = top
+            if i >= len(lst):
+                frames.pop()
                 continue
+            top[1] = i + 1
+            node = lst[i]
             if node.detached:
                 continue
             yield node
             if not node.detached:
-                stack.append(iter(children_of(node)))
+                if rtl:
+                    kids = children_of(node)
+                else:
+                    kids = [c for c in node.children if c.is_element()]
+                if kids:
+                    frames.append([kids, 0])
     else:
         def post(n):
             for c in children_of(n):
@@ -408,15 +418,19 @@ class Transformation:
                 m.prepare(run)
         hits = [0] * len(crules)
         aborted = [False] * len(crules)
+        # hoisted per-rule state: (idx, matchers tuple, handlers) — the
+        # inner loop runs n_rules times per element
+        plan = [(idx, tuple(c.matchers), c.handlers)
+                for idx, c in enumerate(crules)]
         try:
             for element in _iter_traversal(run.root, crules[0].traversal):
                 if element.detached:
                     continue
-                for idx, crule in enumerate(crules):
+                for idx, matchers, handlers in plan:
                     if aborted[idx]:
                         continue
                     matched = True
-                    for m in crule.matchers:
+                    for m in matchers:
                         if not m.matches(element, run):
                             matched = False
                             break
@@ -425,7 +439,7 @@ class Transformation:
                     hits[idx] += 1
                     run.element = element
                     try:
-                        self._run_handlers(crule.handlers, run, element=element)
+                        self._run_handlers(handlers, run, element=element)
                     except AbortRule:
                         aborted[idx] = True
                     if element.detached:
