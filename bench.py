@@ -92,6 +92,14 @@ def run_bench() -> dict:
     headline = time.time() - t0
     n_docs = int(summary["rows"].sum())
     queries["extract_write"] = round(headline, 3)
+    # per-stage ds.stats() of the executed headline plan (BASELINE.md
+    # protocol row); one file per parallelism level, last run wins
+    stats = getattr(write_partitioned_streaming, "last_stats", "")
+    if stats:
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH",
+                               f"STATS_{NUM_CPUS}cpu.txt"), "w") as fh:
+            fh.write(stats)
 
     extract_only = None
     if os.environ.get("RAYXT_BENCH_EXTRACT") == "1":

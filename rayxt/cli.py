@@ -17,10 +17,13 @@ distributed pipeline (the flagship)::
 
     python -m rayxt pipeline --input PATH --output DIR \
         [--program main_content] [--partitions 256] [--num-cpus N] \
-        [--batch-size 128] [--no-resume] [--two-tier]
+        [--batch-size 128] [--no-resume] [--two-tier] \
+        [--sink streaming|exchange]
 
-Runs read -> actor-pool extract -> url-hash shuffle -> partitioned
-parquet write with lineage + manifest resume; prints a JSON summary.
+Runs read -> actor-pool extract -> partitioned parquet write (default
+streaming sink: hive shards, zero exchange; ``--sink exchange`` for
+one-file-per-partition via the url-hash shuffle) with lineage +
+manifest resume; prints a JSON summary.
 On a real cluster submit this module via ``ray job submit --
 python -m rayxt pipeline ...`` (Ray Data then spans all nodes).
 """
@@ -104,6 +107,7 @@ def cmd_pipeline(args) -> int:
         batch_size=args.batch_size,
         two_tier=args.two_tier,
         resume=not args.no_resume,
+        sink=args.sink,
     )
     lineage = read_lineage(args.output)
     report = {
@@ -139,6 +143,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--two-tier", action="store_true")
+    p.add_argument("--sink", choices=("streaming", "exchange"),
+                   default="streaming",
+                   help="streaming: hive shards, no exchange (default); "
+                        "exchange: one file per partition via shuffle")
     p.set_defaults(fn=cmd_pipeline)
 
     args = parser.parse_args(argv)

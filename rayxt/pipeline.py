@@ -585,13 +585,19 @@ def write_partitioned_streaming(
             batch_format="pyarrow",
         )
     t0 = time.time()
-    partials = ds.map_batches(
+    partials_ds = ds.map_batches(
         _write_shard_batch,
         fn_kwargs={"out_dir": out_dir},
         batch_size=rows_per_write,
         batch_format="pyarrow",
-    ).to_pandas()  # tiny: one row per (task, partition)
+    )
+    partials = partials_ds.to_pandas()  # tiny: one row per (task, partition)
     wall_ms = int((time.time() - t0) * 1000)
+    # expose the executed plan's stage stats for bench capture
+    try:
+        write_partitioned_streaming.last_stats = partials_ds.stats()
+    except Exception:  # pragma: no cover — stats are best-effort
+        write_partitioned_streaming.last_stats = ""
     if partials.empty:
         return pd.DataFrame({"part_id": pd.Series([], dtype="int64"),
                              "rows": pd.Series([], dtype="int64")})
