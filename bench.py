@@ -73,12 +73,13 @@ def run_bench() -> dict:
     out_base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     out_dir = f"{out_base}/rayxt_bench_out_{NUM_CPUS}_{os.getpid()}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    # 3/4 of CPUs for the extract pool (never all of them); the rest
-    # keep the read and the shuffle/write stages fed.  The exact 0.75
-    # fraction keeps pool sizes PROPORTIONAL between scaling levels
-    # (4cpu->3 actors, 16cpu->12), so the N->4N comparison measures the
-    # pipeline, not a pool-ratio artifact.
-    pool = min(NUM_CPUS - 1, max(2, round(NUM_CPUS * 0.75)))
+    # a fixed FRACTION of CPUs for the extract pool (never all of
+    # them); the rest keep the read and write stages fed.  Keeping the
+    # fraction IDENTICAL between scaling levels (4cpu->3, 16cpu->12 at
+    # 0.75; 2cpu->1, 8cpu->4 at 0.5) means the N->4N comparison
+    # measures the pipeline, not a pool-ratio artifact.
+    frac = float(os.environ.get("RAYXT_POOL_FRACTION", "0.75"))
+    pool = max(1, min(NUM_CPUS - 1, round(NUM_CPUS * frac)))
     queries: dict[str, float] = {}
 
     # headline: ONE streaming execution — read -> actor-pool extract ->
@@ -163,7 +164,8 @@ def run_scaling() -> None:
     """
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAYXT_BENCH_EXTRACT="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAYXT_BENCH_EXTRACT=os.environ.get("RAYXT_BENCH_EXTRACT", "1"))
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
@@ -212,7 +214,9 @@ def run_scaling() -> None:
             f"| {lo} | {t_lo} | {r_lo['docs_per_sec']} | {r_lo['mb_in_per_sec']} |\n"
             f"| {hi} | {t_hi} | {r_hi['docs_per_sec']} | {r_hi['mb_in_per_sec']} |\n\n"
             f"Scaling efficiency ({lo} -> {hi} cpus, the N->4N criterion, "
-            f"median of {trials} fresh-process runs per level): "
+            f"median of {trials} fresh-process runs per level, extract "
+            f"pool fraction {os.environ.get('RAYXT_POOL_FRACTION', '0.75')} "
+            "at both levels): "
             f"**{report['scaling_efficiency']}** (target >= 0.8).\n"
             + (
                 f"Extraction-phase scaling efficiency (the target metric, "

@@ -108,6 +108,7 @@ def cmd_pipeline(args) -> int:
         two_tier=args.two_tier,
         resume=not args.no_resume,
         sink=args.sink,
+        timeout_s=args.row_timeout,
     )
     lineage = read_lineage(args.output)
     report = {
@@ -147,6 +148,9 @@ def main(argv=None) -> int:
                    default="streaming",
                    help="streaming: hive shards, no exchange (default); "
                         "exchange: one file per partition via shuffle")
+    p.add_argument("--row-timeout", type=float, default=None,
+                   help="per-row parse deadline in seconds "
+                        "(status='timeout' instead of stalling a batch)")
     p.set_defaults(fn=cmd_pipeline)
 
     args = parser.parse_args(argv)

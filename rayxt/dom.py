@@ -51,6 +51,7 @@ from io import BytesIO, StringIO
 
 __all__ = [
     "Node",
+    "ParseTimeout",
     "parse_html",
     "parse_xml",
     "decode_html",
@@ -61,6 +62,11 @@ __all__ = [
     "SKIP_SUBTREE",
     "VOID_ELEMENTS",
 ]
+
+
+class ParseTimeout(Exception):
+    """Raised when a cooperative parse deadline expires (SURVEY P15:
+    row-level timeout for pathological documents)."""
 
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
@@ -422,6 +428,7 @@ class _TreeBuilder(HTMLParser):
 # set RAYXT_PARSER=stdlib to fall back to html.parser.
 
 from html import unescape as _unescape  # noqa: E402  (html5 charref rules)
+from time import monotonic as _monotonic  # noqa: E402
 
 _TAGFIND = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
 _ATTRFIND = re.compile(
@@ -462,8 +469,13 @@ _STD_SECTIONS = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
 _MS_SECTIONS = frozenset({"if", "else", "endif"})
 
 
-def _parse_html_fast(text: str) -> Node:
-    """One-pass tree build; see the mirror-of-html.parser note above."""
+def _parse_html_fast(text: str, deadline: float | None = None) -> Node:
+    """One-pass tree build; see the mirror-of-html.parser note above.
+
+    ``deadline`` (``time.monotonic()`` value) is checked cooperatively
+    every ~2048 constructs — a pathological document raises
+    :class:`ParseTimeout` instead of stalling its whole batch.
+    """
     doc = Node("#document")
     stack = [doc]
     n = len(text)
@@ -637,7 +649,12 @@ def _parse_html_fast(text: str) -> Node:
 
     cdata_elem = None
     i = 0
+    ticks = 0
     while i < n:
+        if deadline is not None:
+            ticks += 1
+            if not ticks & 2047 and _monotonic() > deadline:
+                raise ParseTimeout(f"parse exceeded deadline at offset {i}")
         if cdata_elem is None:
             j = find("<", i)
             if j < 0:
@@ -734,10 +751,16 @@ import os as _os  # noqa: E402
 _USE_FAST = _os.environ.get("RAYXT_PARSER", "fast") != "stdlib"
 
 
-def parse_html(data) -> Node:
-    """Parse HTML bytes/str into a Node tree rooted at ``html``."""
+def parse_html(data, deadline: float | None = None) -> Node:
+    """Parse HTML bytes/str into a Node tree rooted at ``html``.
+
+    ``deadline``: optional ``time.monotonic()`` cutoff enforced
+    cooperatively by the fast tokenizer (:class:`ParseTimeout`); the
+    stdlib fallback parser has no preemption point and ignores it.
+    """
     text, _enc = decode_html(data)
-    doc = _parse_html_fast(text) if _USE_FAST else _parse_html_stdlib(text)
+    doc = _parse_html_fast(text, deadline) if _USE_FAST \
+        else _parse_html_stdlib(text)
     elems = [c for c in doc.children if c.is_element()]
     if len(elems) == 1 and elems[0].tag == "html" and (doc.text or "").strip() == "":
         root = elems[0]

@@ -5,14 +5,18 @@ This is the inner function of the ``map_batches`` extraction stage
 mode becomes a ``status`` value so a poison document can never kill a
 block (Ray task retries are for infrastructure faults, not data).
 
-Status values (frozen): ``ok | empty | too_large | error``.
+Status values (frozen): ``ok | empty | too_large | error``; with the
+opt-in per-row deadline (``timeout_s``, SURVEY P15): ``timeout`` — a
+pathological document stops cooperatively at the parser's check points
+instead of stalling its whole batch.
 """
 
 from __future__ import annotations
 
 import traceback
+from time import monotonic
 
-from .dom import Node, parse_html
+from .dom import Node, ParseTimeout, parse_html
 from .rules import Transformation
 
 __all__ = ["extract_one", "DEFAULT_HARD_CAP"]
@@ -34,12 +38,18 @@ def _spans_of(root: Node):
     return spans
 
 
-def extract_one(html, program: Transformation, hard_cap: int = DEFAULT_HARD_CAP):
+def extract_one(html, program: Transformation, hard_cap: int = DEFAULT_HARD_CAP,
+                timeout_s: float | None = None):
     """Run a compiled program over one raw html payload.
 
     Returns a dict: ``text`` (str), ``status`` (str), ``error`` (str),
     ``n_chars`` (int), ``rule_hits`` (list[(rule, hits)] sorted by rule),
     ``spans`` (list[(start, end, kind)]).
+
+    ``timeout_s`` arms the cooperative per-row deadline: the parser
+    checks it periodically and a breach yields ``status='timeout'``
+    (the deadline bounds the parse, which dominates pathological rows;
+    rule execution runs to completion once parsing finished).
     """
     if html is None or len(html) == 0:
         return {"text": "", "status": "empty", "error": "",
@@ -47,8 +57,9 @@ def extract_one(html, program: Transformation, hard_cap: int = DEFAULT_HARD_CAP)
     if len(html) > hard_cap:
         return {"text": "", "status": "too_large", "error": "",
                 "n_chars": 0, "rule_hits": [], "spans": []}
+    deadline = monotonic() + timeout_s if timeout_s else None
     try:
-        root = parse_html(html)
+        root = parse_html(html, deadline=deadline)
         result, hits = program.call_with_stats(root)
         text = getattr(result, "text", None)
         if text is None:
@@ -63,6 +74,9 @@ def extract_one(html, program: Transformation, hard_cap: int = DEFAULT_HARD_CAP)
             "rule_hits": sorted(hits.items()),
             "spans": spans,
         }
+    except ParseTimeout as exc:
+        return {"text": "", "status": "timeout", "error": str(exc)[:500],
+                "n_chars": 0, "rule_hits": [], "spans": []}
     except Exception as exc:  # noqa: BLE001 — poison rows must not kill blocks
         err = f"{type(exc).__name__}: {exc}"[:500]
         return {"text": "", "status": "error", "error": err,

@@ -14,8 +14,10 @@ Design notes (100 TB scale):
   hive-partitioned shards with ZERO all-to-all exchanges (the optional
   exchange sink is the single end-to-end shuffle);
 * giant-row skew: rows above ``hard_cap`` are never parsed (status
-  ``too_large``); the optional two-tier mode routes big rows to a
-  dedicated pool with ``batch_size=1``.  The input is materialized ONCE
+  ``too_large``); an optional per-row deadline (``timeout_s``) stops a
+  pathological parse cooperatively (status ``timeout``); the optional
+  two-tier mode routes big rows to a dedicated pool with
+  ``batch_size=1``.  The input is materialized ONCE
   before the tier fork so the parquet read never runs twice; the cost
   is pinning the pruned 4-column input in the object store for the
   run.  (A single pool with per-yield block boundaries is not
@@ -108,7 +110,9 @@ class ExtractDocs:
     process boundary.
     """
 
-    def __init__(self, program: str = "main_content", hard_cap: int = DEFAULT_HARD_CAP):
+    def __init__(self, program: str = "main_content",
+                 hard_cap: int = DEFAULT_HARD_CAP,
+                 timeout_s: float | None = None):
         # NOTE: get_program_factory is a module-level import captured in
         # the by-value pickle payload — do NOT re-import rayxt here: a
         # filesystem re-import would create a second copy of the class
@@ -116,6 +120,7 @@ class ExtractDocs:
         ensure_worker_importable()
         self.program = get_program_factory(program)()
         self.hard_cap = hard_cap
+        self.timeout_s = timeout_s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -130,10 +135,11 @@ class ExtractDocs:
         spans = [None] * n
         program = self.program
         cap = self.hard_cap
+        timeout_s = self.timeout_s
         for k in range(n):
             html = htmls[k]
             html_len[k] = len(html) if html is not None else 0
-            r = extract_one(html, program, cap)
+            r = extract_one(html, program, cap, timeout_s)
             texts[k] = r["text"]
             n_chars[k] = r["n_chars"]
             status[k] = r["status"]
@@ -173,6 +179,7 @@ def extract_pages(
     hard_cap: int = DEFAULT_HARD_CAP,
     two_tier: bool = False,
     size_threshold: int = 256 * 1024,
+    timeout_s: float | None = None,
 ):
     """P3 + P15: run the extraction actor pool over a pages Dataset.
 
@@ -184,7 +191,8 @@ def extract_pages(
     re-running the read (see module docstring for the tradeoff).
     """
     kwargs = dict(
-        fn_constructor_kwargs={"program": program, "hard_cap": hard_cap},
+        fn_constructor_kwargs={"program": program, "hard_cap": hard_cap,
+                               "timeout_s": timeout_s},
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
@@ -428,6 +436,7 @@ def run_extraction_job(
     resume: bool = True,
     hard_cap: int = DEFAULT_HARD_CAP,
     sink: str = "streaming",
+    timeout_s: float | None = None,
 ):
     """The composed flagship job: read -> tag part_id -> RESUME FILTER ->
     extract -> partitioned sink.
@@ -466,6 +475,7 @@ def run_extraction_job(
         concurrency=concurrency,
         hard_cap=hard_cap,
         two_tier=two_tier,
+        timeout_s=timeout_s,
     )
     if sink == "streaming":
         return write_partitioned_streaming(

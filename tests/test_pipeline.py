@@ -40,6 +40,28 @@ def test_extract_docs_batch_direct():
     assert any(ok)
 
 
+def test_row_timeout_yields_timeout_status():
+    """SURVEY P15 row-level deadline: a pathological document stops
+    cooperatively with status='timeout'; generous deadlines and the
+    default (None) leave results untouched."""
+    import time
+
+    from rayxt.kernel import extract_one
+    from rayxt.programs import get_program_factory
+
+    prog = get_program_factory("main_content")()
+    # ~8 MB of dense tiny elements: far more than a few ms of parsing
+    nasty = (b"<html><body>" + b"<p a='1'>x</p>" * 600_000 + b"</body></html>")
+    t0 = time.time()
+    r = extract_one(nasty, prog, timeout_s=0.005)
+    assert r["status"] == "timeout"
+    assert time.time() - t0 < 2.0  # stopped early, not after full parse
+    ok = extract_one(b"<p>fine</p>", prog, timeout_s=5.0)
+    assert ok["status"] == "ok" and ok["text"] == "fine"
+    default = extract_one(b"<p>fine</p>", prog)
+    assert default == ok
+
+
 def test_extract_pipeline_and_stats(ray_session, pages_path):
     ds = read_pages(pages_path)
     ex = extract_pages(ds, concurrency=2, batch_size=32)
