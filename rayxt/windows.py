@@ -15,7 +15,29 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["sessionize", "group_quantiles"]
+__all__ = ["sessionize", "group_quantiles", "grouped_topk"]
+
+
+def grouped_topk(ds, *, key: str, order_col: str, k: int = 10,
+                 descending: bool = True, tie_cols: tuple = ()):
+    """Per-key top-k rows by ``order_col`` (ties broken ascending on
+    ``tie_cols`` — deterministic, partition-independent).
+
+    Scale shape: a vectorized per-batch PARTIAL top-k per key runs
+    before the exchange (a row outside its batch's per-key top-k can
+    never be in the global top-k), so the shuffle moves at most
+    ``n_keys * k`` rows per input batch — the same partial-merge
+    pattern as :mod:`rayxt.ann`'s top-k, applied per group.
+    """
+    sort_cols = [order_col, *tie_cols]
+    ascending = [not descending] + [True] * len(tie_cols)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        return df.groupby(key, sort=False).head(k).reset_index(drop=True)
+
+    partials = ds.map_batches(topk, batch_format="pandas")
+    return partials.groupby(key).map_groups(topk, batch_format="pandas")
 
 
 def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",

@@ -97,6 +97,27 @@ def test_sessionize_matches_bruteforce(ray_session, ev_df):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_grouped_topk_matches_bruteforce(ray_session, ev_df):
+    import ray.data as rd
+
+    from rayxt.windows import grouped_topk
+
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        ev_df[["user_id", "event_id", "value"]], preserve_index=False))
+    got = grouped_topk(ds, key="user_id", order_col="value", k=3,
+                       tie_cols=("event_id",)).to_pandas()
+    got = got.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    want = (ev_df.sort_values(["value", "event_id"],
+                              ascending=[False, True], kind="mergesort")
+            .groupby("user_id", sort=False).head(3)
+            [["user_id", "event_id", "value"]]
+            .sort_values(["user_id", "value", "event_id"],
+                         ascending=[True, False, True]).reset_index(drop=True))
+    assert got[["user_id", "event_id"]].to_numpy().tolist() == \
+        want[["user_id", "event_id"]].to_numpy().tolist()
+
+
 def test_group_quantiles_matches_numpy(ray_session, ev_df):
     import ray.data as rd
 
