@@ -24,7 +24,59 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["brute_force_topk", "lsh_topk", "hyperplane_bucket"]
+__all__ = ["brute_force_topk", "lsh_topk", "hyperplane_bucket",
+           "embedding_centroids"]
+
+
+def embedding_centroids(ds, *, key: str = "label", vec_col: str = "embedding",
+                        ndigits: int = 6):
+    """Per-key mean vector (class prototypes / one k-means step),
+    expressed entirely as aggregates: each batch emits one
+    ``(key, dim, sum, n)`` partial row per key and dimension
+    (vectorized numpy), then a tiny ``groupby.aggregate(Sum)`` merges
+    partials — no per-group UDF, shuffle moves ``n_keys * dim`` rows
+    per batch regardless of corpus size.
+
+    Returns one row per (key, dim): ``(key, dim, centroid)`` with
+    ``dim`` 1-based and ``centroid`` rounded to ``ndigits`` (SQL
+    parity with ``ROUND(AVG(...), n)`` over an unnested list column).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key].to_pylist())
+        m = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        dim = m.shape[1]
+        out_k, out_d, out_s, out_n = [], [], [], []
+        for kv in np.unique(keys):
+            sel = m[keys == kv]
+            sums = sel.sum(axis=0)
+            out_k.extend([kv.item() if hasattr(kv, "item") else kv] * dim)
+            out_d.extend(range(1, dim + 1))
+            out_s.extend(sums.tolist())
+            out_n.extend([sel.shape[0]] * dim)
+        return pa.table({
+            key: pa.array(out_k),
+            "dim": pa.array(out_d, pa.int64()),
+            "vsum": pa.array(out_s, pa.float64()),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    agg = (
+        ds.select_columns([key, vec_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key, "dim"])
+        .aggregate(Sum("vsum", alias_name="vsum"), Sum("n", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        centroid = pc.round(pc.divide(t["vsum"], pc.cast(t["n"], pa.float64())),
+                            ndigits=ndigits)
+        return pa.table({key: t[key], "dim": t["dim"], "centroid": centroid})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def _as_matrix(col) -> np.ndarray:

@@ -118,6 +118,27 @@ def test_grouped_topk_matches_bruteforce(ray_session, ev_df):
         want[["user_id", "event_id"]].to_numpy().tolist()
 
 
+def test_embedding_centroids_match_numpy(ray_session):
+    import ray.data as rd
+
+    from rayxt.ann import embedding_centroids
+
+    rng = np.random.default_rng(21)
+    labels = rng.integers(0, 4, size=200)
+    vecs = rng.standard_normal((200, 8)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    }))
+    got = embedding_centroids(ds).to_pandas()
+    assert len(got) == 4 * 8
+    for lab in range(4):
+        want = vecs[labels == lab].astype(np.float64).mean(axis=0)
+        sub = got[got["label"] == lab].sort_values("dim")
+        assert np.allclose(sub["centroid"].to_numpy(),
+                           np.round(want, 6), atol=1e-6)
+
+
 def test_group_quantiles_matches_numpy(ray_session, ev_df):
     import ray.data as rd
 
