@@ -50,6 +50,25 @@ def content_hash_table(batch: pa.Table, col: str = "text",
     return batch.append_column(out, pa.array(hashes, pa.int64()))
 
 
+def dedup_keep_first(ds, id_col: str, text_col: str = "text", *,
+                     join_partitions: int = 8):
+    """Materialize the SURVIVING rows of exact dedup (min-id row per
+    content hash): groupby(hash) -> Min(id) reps, then an inner join
+    back on (hash, id).  The reps side is two 8-byte columns; the full
+    rows cross the exchange exactly once (they are the output)."""
+    from ray.data.aggregate import Min
+
+    hashed = ds.map_batches(
+        lambda t: content_hash_table(t, text_col), batch_format="pyarrow"
+    )
+    reps = hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col)
+    )
+    joined = hashed.join(reps, "inner", num_partitions=join_partitions,
+                         on=("content_hash", id_col))
+    return joined.drop_columns(["content_hash"])
+
+
 def exact_dedup(ds, id_col: str, text_col: str = "text"):
     """Keep the min-id representative per exact content hash.
 

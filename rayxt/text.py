@@ -17,12 +17,25 @@ import pyarrow.compute as pc
 
 __all__ = [
     "add_token_count",
+    "add_bpe_token_count",
+    "add_stopword_ratio",
     "add_quality_columns",
     "LangId",
     "add_fingerprint",
     "token_count_table",
     "fingerprint_of",
+    "BPE_TOKEN_PATTERN",
+    "STOPWORD_PATTERN",
 ]
+
+# BPE-style pre-tokenizer classes (letters runs / digit runs / single
+# punctuation), restricted to constructs RE2 evaluates identically in
+# pyarrow.compute and DuckDB — the SQL oracle uses the same pattern
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+STOPWORD_PATTERN = (
+    r"\b(the|and|of|to|a|in|is|that|it|for|was|on|are|as|with|his|they"
+    r"|at|be|this)\b"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -40,6 +53,35 @@ def add_token_count(ds, col: str = "text", out: str = "n_tokens"):
     return ds.map_batches(
         lambda t: token_count_table(t, col, out), batch_format="pyarrow"
     )
+
+
+def add_bpe_token_count(ds, col: str = "text", out: str = "n_bpe_tokens"):
+    """BPE-pre-tokenizer-style token count: non-overlapping matches of
+    ``BPE_TOKEN_PATTERN``, fully vectorized (pyarrow's RE2)."""
+
+    def count(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t[col], BPE_TOKEN_PATTERN)
+        return t.append_column(out, pc.cast(n, pa.int64()))
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+def add_stopword_ratio(ds, col: str = "text", out: str = "stopword_ratio",
+                       ndigits: int = 6):
+    """Stopword share of whitespace tokens (quality signal), rounded
+    for cross-engine float parity; both factors vectorized RE2/Arrow."""
+
+    def ratio(t: pa.Table) -> pa.Table:
+        stops = pc.cast(
+            pc.count_substring_regex(t[col], STOPWORD_PATTERN), pa.float64()
+        )
+        toks = pc.cast(
+            pc.list_value_length(pc.split_pattern(t[col], " ")), pa.float64()
+        )
+        return t.append_column(out, pc.round(pc.divide(stops, toks),
+                                             ndigits=ndigits))
+
+    return ds.map_batches(ratio, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -230,6 +230,40 @@ def test_lsh_topk_recall(ray_session):
     assert len(exact & approx) >= 2  # nonzero recall at 4 planes
 
 
+def test_bpe_tokens_stopword_ratio_and_dedup_rows(ray_session):
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayxt.dedup import dedup_keep_first
+    from rayxt.text import (
+        BPE_TOKEN_PATTERN,
+        STOPWORD_PATTERN,
+        add_bpe_token_count,
+        add_stopword_ratio,
+    )
+
+    texts = ["the cat, and 42 dogs!", "no stops here", "", "a a a the the",
+             "dup text", "dup text", "punct... only!?"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))), "text": texts,
+    }))
+    got = add_bpe_token_count(ds).to_pandas().sort_values("doc_id")
+    want = [len(re.findall(BPE_TOKEN_PATTERN, t)) for t in texts]
+    assert got["n_bpe_tokens"].tolist() == want
+
+    r = add_stopword_ratio(ds).to_pandas().sort_values("doc_id")
+    for t, val in zip(texts, r["stopword_ratio"]):
+        expect = round(len(re.findall(STOPWORD_PATTERN, t))
+                       / len(t.split(" ")), 6)
+        assert val == expect
+
+    survivors = dedup_keep_first(ds, "doc_id").to_pandas()
+    assert sorted(survivors["doc_id"]) == [0, 1, 2, 3, 4, 6]  # one dup dropped
+    assert set(survivors["text"]) == set(texts)
+
+
 # -- multimodal -------------------------------------------------------------
 
 def test_media_decode_and_stages(ray_session, tmp_path):
