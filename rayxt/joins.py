@@ -19,7 +19,34 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "broadcast_lookup"]
+
+
+def broadcast_lookup(ds, *, key_col: str, keys, values, out_col: str,
+                     drop_missing: bool = False):
+    """Broadcast hash-join against a small side: ``(keys, values)`` go
+    through ``ray.put`` ONCE as zero-copy Arrow arrays, every task
+    fetches them from the local object store (no reshipping per batch),
+    and the per-batch lookup is ``pc.index_in`` + ``take`` — fully
+    vectorized, no pandas, no shuffle.  Missing keys yield nulls
+    (or are dropped with ``drop_missing=True``).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    karr = keys if isinstance(keys, pa.Array) else pa.array(keys)
+    varr = values if isinstance(values, pa.Array) else pa.array(values)
+    lookup_ref = ray.put((karr, varr))
+
+    def add(t: pa.Table) -> pa.Table:
+        k, v = ray.get(lookup_ref)  # plasma-local after the first fetch
+        idx = pc.index_in(t[key_col], value_set=k)
+        out = t.append_column(out_col, pc.take(v, idx))
+        if drop_missing:
+            out = out.filter(pc.is_valid(out[out_col]))
+        return out
+
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
 def asof_join(left, right, *, key: str, on: str,
