@@ -25,6 +25,7 @@ from tests.oracle import oracle_rule_hits  # noqa: E402
 from tests.oracle.sketches import (  # noqa: E402
     oracle_components,
     oracle_fingerprint,
+    oracle_ivf_topk,
     oracle_langid,
     oracle_lsh_topk,
     oracle_minhash_pairs,
@@ -78,9 +79,10 @@ def main() -> None:
     }), os.path.join(DATA_DIR, "golden_fingerprint.parquet"))
 
     emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
+                        columns=["vec_id", "embedding", "label"])
     vids = emb.column("vec_id").to_pylist()
     vecs = emb.column("embedding").to_pylist()
+    labels = emb.column("label").to_pylist()
     # query selection mirrors __ray_entry__._ann_queries: vec_id < NQ
     # among the first 64 rows, sorted by vec_id
     queries = sorted(
@@ -94,6 +96,14 @@ def main() -> None:
         "rank": pa.array([r[2] for r in lsh], pa.int64()),
         "cos": pa.array([r[3] for r in lsh], pa.float64()),
     }), os.path.join(DATA_DIR, "golden_ann_lsh.parquet"))
+
+    ivf = oracle_ivf_topk(vids, vecs, labels, queries, k=ANN_K, nprobe=3)
+    pq.write_table(pa.table({
+        "query_id": pa.array([r[0] for r in ivf], pa.int64()),
+        "id": pa.array([r[1] for r in ivf], pa.int64()),
+        "rank": pa.array([r[2] for r in ivf], pa.int64()),
+        "cos": pa.array([r[3] for r in ivf], pa.float64()),
+    }), os.path.join(DATA_DIR, "golden_ann_ivf.parquet"))
 
     # media golden = the generator's GROUND TRUTH stats (computed from
     # the source arrays before encoding) — the engine must invert the
@@ -125,7 +135,7 @@ def main() -> None:
 
     for name in ("golden_minhash_pairs", "golden_simhash_pairs",
                  "golden_neardup_clusters", "golden_langid",
-                 "golden_fingerprint", "golden_ann_lsh",
+                 "golden_fingerprint", "golden_ann_lsh", "golden_ann_ivf",
                  "golden_media_decode", "golden_rule_hits"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")

@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["brute_force_topk", "lsh_topk", "hyperplane_bucket",
+__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "hyperplane_bucket",
            "embedding_centroids"]
 
 
@@ -231,6 +231,83 @@ class _LshPartialTopK(_PartialTopK):
              "id": pa.array(out_i, pa.int64()),
              "cos": pa.array(out_c, pa.float64())}
         )
+
+
+class _IvfPartialTopK(_PartialTopK):
+    """Prunes each batch to rows whose inverted list (``list_col``) is
+    in the probed set before the exact matmul."""
+
+    def __init__(self, queries_ref, id_col, vec_col, k, list_col, probes_ref):
+        super().__init__(queries_ref, id_col, vec_col, k)
+        import ray
+
+        self.list_col = list_col
+        self.probes = ray.get(probes_ref)  # sorted np array of list ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = np.isin(np.asarray(batch[self.list_col].to_pylist()),
+                       self.probes)
+        if not mask.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        sub = batch.filter(pa.array(mask))
+        return super().__call__(sub)
+
+
+def ivf_topk(ds, queries, *, id_col: str = "vec_id",
+             vec_col: str = "embedding", list_col: str = "label",
+             k: int = 10, nprobe: int = 3,
+             concurrency=(1, 4), batch_size: int = 4096):
+    """IVF-style ANN: coarse quantizer = the per-list centroid table.
+
+    Phase 1 computes list centroids with :func:`embedding_centroids`
+    (aggregate-only; nlist x dim rows to the driver — tiny).  Each
+    query probes its ``nprobe`` nearest lists by centroid cosine (ties
+    toward the smaller list id), and phase 2 runs the exact cosine
+    top-k ONLY over member rows of probed lists — pruning by list
+    membership before the matmul, then the same partial-top-k merge as
+    brute force.  Recall depends on how well the list partition aligns
+    with the metric (classic IVF tradeoff); candidates' cosines are
+    exact.
+    """
+    import ray
+
+    cents = embedding_centroids(ds, key=list_col, vec_col=vec_col).to_pandas()
+    cents = cents.sort_values([list_col, "dim"])
+    lists = cents[list_col].unique()
+    dim = cents["dim"].max()
+    cmat = cents["centroid"].to_numpy().reshape(len(lists), dim)
+    cn = _normalize(cmat.astype(np.float64))
+
+    qids = [int(q) for q, _ in queries]
+    qmat = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])
+    )
+    sims = qmat @ cn.T  # (nq, nlist)
+    probe: set = set()
+    for qi in range(sims.shape[0]):
+        order = np.lexsort((lists, -sims[qi]))[:nprobe]
+        probe.update(lists[order].tolist())
+    probes = np.array(sorted(probe))
+
+    queries_ref = ray.put((qids, np.stack(
+        [np.asarray(v, dtype=np.float64) for _, v in queries])))
+    probes_ref = ray.put(probes)
+    partial = ds.select_columns([id_col, vec_col, list_col]).map_batches(
+        _IvfPartialTopK,
+        fn_constructor_kwargs=dict(
+            queries_ref=queries_ref, id_col=id_col, vec_col=vec_col, k=k,
+            list_col=list_col, probes_ref=probes_ref,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pandas"
+    )
 
 
 def lsh_topk(ds, queries, *, id_col: str = "vec_id", vec_col: str = "embedding",

@@ -250,6 +250,47 @@ def oracle_lsh_topk(ids, vecs, queries, *, k: int = 5, n_planes: int = 8,
     return out
 
 
+def oracle_ivf_topk(ids, vecs, lists, queries, *, k: int = 5,
+                    nprobe: int = 3) -> list[tuple[int, int, int, float]]:
+    """(query_id, id, rank, cos): exact cosine top-k restricted to
+    members of the probe-set union — each query's ``nprobe`` nearest
+    lists by cosine against the per-list centroid (float64 mean rounded
+    to 6, matching the engine's centroid table; ties toward the
+    smaller list id)."""
+    import numpy as _np
+
+    def norm(v):
+        v = _np.asarray(v, dtype=_np.float64)
+        n = _np.linalg.norm(v)
+        return v / (n if n else 1.0)
+
+    by_list: dict = defaultdict(list)
+    for i, v, li in zip(ids, vecs, lists):
+        by_list[li].append(_np.asarray(v, dtype=_np.float64))
+    cents = {li: _np.round(_np.mean(_np.stack(vs), axis=0), 6)
+             for li, vs in by_list.items()}
+    list_ids = sorted(cents)
+    cmat = _np.stack([norm(cents[li]) for li in list_ids])
+
+    probe: set = set()
+    for _, qv in queries:
+        sims = cmat @ norm(qv)
+        order = sorted(range(len(list_ids)),
+                       key=lambda j: (-sims[j], list_ids[j]))[:nprobe]
+        probe.update(list_ids[j] for j in order)
+
+    cand = [(int(i), norm(v)) for i, v, li in zip(ids, vecs, lists)
+            if li in probe]
+    out = []
+    for qid, qv in queries:
+        qn = norm(qv)
+        scored = sorted(((float(qn @ v), i) for i, v in cand),
+                        key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (cos, i) in enumerate(scored, 1):
+            out.append((int(qid), i, rank, round(cos, 6)))
+    return out
+
+
 # -- media decode -----------------------------------------------------------
 # The media oracle is the fixture generator's ground truth
 # (fixtures/gen_media.py::media_ground_truth): expected stats are

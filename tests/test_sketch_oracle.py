@@ -116,6 +116,36 @@ def test_media_decode_round_trips_ground_truth():
         _decode_payload(b"\xff\xd8\xff\xe0" + b"\0" * 30)  # JPEG magic
 
 
+def test_ivf_ann_recall_gate(ray_session):
+    """IVF with list-aligned clusters must recover the exact top-k
+    (nprobe covers the true clusters) and return exact cosines."""
+    import ray.data as rd
+
+    from rayxt.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((6, 24)) * 4
+    labels = np.array([i % 6 for i in range(300)])
+    vecs = np.stack([centers[l] + rng.standard_normal(24) * 0.3
+                     for l in labels])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }))
+    queries = [(i, vecs[i]) for i in range(3)]
+    exact = brute_force_topk(ds, queries, k=5, concurrency=1).to_pandas()
+    approx = ivf_topk(ds, queries, k=5, nprobe=2, concurrency=1).to_pandas()
+    hits = sum(
+        len(set(exact[exact["query_id"] == q]["id"])
+            & set(approx[approx["query_id"] == q]["id"]))
+        for q in (0, 1, 2)
+    )
+    assert hits / 15 >= 0.9
+    merged = approx.merge(exact, on=["query_id", "id"], suffixes=("_i", "_b"))
+    assert np.allclose(merged["cos_i"], merged["cos_b"])
+
+
 def test_lsh_ann_recall_gate(ray_session):
     """Multi-table multi-probe LSH must recover >= 80% of the exact
     top-k on clustered embeddings (the favourable-and-typical case;
