@@ -123,7 +123,8 @@ def run_bench() -> dict:
     import __ray_entry__ as entrymod
 
     for qname in ("q1_pricing", "doc_groupby_lang", "pages_dedup_url",
-                  "emb_ann_topk", "doc_token_counts"):
+                  "emb_ann_topk", "doc_token_counts", "ev_sessions",
+                  "emb_label_centroids"):
         fn = entrymod.queries()[qname]
         t0 = time.time()
         res = fn(SF_DIR)
