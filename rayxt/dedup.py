@@ -235,14 +235,17 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str = "text", *, k: int = 3,
              "id_b": pd.Series(out_b, dtype="int64")}
         )
 
-    def first_of_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    from ray.data.aggregate import Count
 
+    # pair dedup via a pure aggregate (hash-partitioned, vectorized) —
+    # NOT map_groups: candidate pairs form millions of 1-2 row groups
+    # and a per-group pandas UDF would dominate wall time at scale.
     cand = (
         buckets.groupby(["band", "bucket"])
         .map_groups(ids_of_bucket, batch_format="pandas")
         .groupby(["id_a", "id_b"])
-        .map_groups(first_of_pair, batch_format="pandas")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
     )
 
     sig_a = sigs.map_batches(
@@ -347,11 +350,14 @@ def simhash_pairs(ds, id_col: str, text_col: str = "text", *,
 
     cand = sig.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
 
-    def first_of_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # duplicate candidates of one pair all carry the same exact hamming
+    # distance, so Min() is value-preserving — a pure aggregate replaces
+    # the former per-pair map_groups(head(1)) (millions of tiny pandas
+    # groups at corpus scale).
+    from ray.data.aggregate import Min
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        first_of_pair, batch_format="pandas"
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )
 
 
@@ -360,14 +366,23 @@ def simhash_pairs(ds, id_col: str, text_col: str = "text", *,
 # ---------------------------------------------------------------------------
 
 
-def connected_components(pairs_ds, *, max_rounds: int = 10):
+def connected_components(pairs_ds, *, max_rounds: int = 10,
+                         join_partitions: int = 8):
     """Resolve near-dup pairs (id_a, id_b) into clusters (id, cluster_id).
 
     Distributed min-label propagation: each round every node adopts the
-    minimum cluster id among itself and its neighbours (one groupby per
-    round over (node, candidate-label) edges); converges in O(diameter)
-    rounds — near-dup clusters are tiny, so a handful.  No driver-side
-    union-find state, so the edge set can be arbitrarily large.
+    minimum cluster id among itself and its neighbours; converges in
+    O(diameter) rounds — near-dup clusters are tiny, so a handful.  No
+    driver-side union-find state, so the edge set can be arbitrarily
+    large.
+
+    One round is fully vectorized dataflow — adjacency ⋈ labels (hash
+    join on ``id``, attaching every node's current label to its
+    outgoing edges), projected to ``(neigh, label)``, unioned with the
+    current labels, then ``groupby(id).aggregate(Min)`` — no per-group
+    Python UDF anywhere (the former per-NODE pandas ``map_groups``
+    propagate was the one perf-weak component of round 2: at 1e9 nodes
+    its per-group overhead dominates by orders of magnitude).
 
     Convergence is detected with a DISTRIBUTED scalar, not by pulling
     the label set to the driver: min-propagation is monotone (every
@@ -382,6 +397,9 @@ def connected_components(pairs_ds, *, max_rounds: int = 10):
     edges = pairs_ds.select_columns(["id_a", "id_b"])
 
     def adjacency(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # schema-less empty blocks (aggregate output)
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "neigh": pa.array([], pa.int64())})
         ids = pa.concat_arrays(
             [t["id_a"].combine_chunks(), t["id_b"].combine_chunks()]
         )
@@ -398,50 +416,49 @@ def connected_components(pairs_ds, *, max_rounds: int = 10):
 
     from ray.data.aggregate import Min
 
+    def _typed_labels(t: pa.Table) -> pa.Table:
+        # hash-shuffle aggregates emit SCHEMA-LESS empty blocks for empty
+        # partitions; Dataset.join (acero) rejects those ("no match for
+        # FieldRef") — pin every empty block to the (id, cluster_id) schema
+        if t.num_rows == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64())})
+        return t
+
     labels = (
         adj.map_batches(seed_labels, batch_format="pyarrow")
         .groupby("id")
         .aggregate(Min("cluster_id", alias_name="cluster_id"))
+        .map_batches(_typed_labels, batch_format="pyarrow")
         .materialize()
     )
     prev_sum = labels.sum("cluster_id")  # None on an empty edge set
+    if prev_sum is None:
+        return labels  # no edges: nothing to propagate
+    # Ray's hash join builds a SCHEMA-LESS table for any partition that
+    # received zero shards from one side and acero then rejects the join,
+    # so a tiny label set over many partitions is a guaranteed crash.
+    # Scale partition count so every partition statistically sees rows
+    # (>=32 labels/partition keeps P(empty) ~ 8*(7/8)^256 ~ 0; node count
+    # is constant across rounds, so compute once).
+    n_nodes = labels.count()
+    parts = max(1, min(join_partitions, n_nodes // 32))
     for _ in range(max_rounds):
-        # one groupby per round, no joins: co-group each node's current
-        # label with its adjacency (tagged rows), broadcast the group min
-        # to every neighbour, take per-node min.
-        tagged = adj.map_batches(
-            lambda t: pa.table(
-                {"id": t["id"], "other": t["neigh"],
-                 "cluster_id": pa.nulls(t.num_rows, pa.int64())}
-            ),
+        # labels ⋈ adjacency: each edge (u, v) picks up u's current
+        # label; project to (v, label) candidates for the neighbour.
+        neighbour_labels = adj.join(
+            labels, "inner", num_partitions=parts, on=("id",)
+        ).map_batches(
+            lambda t: pa.table({"id": t["neigh"], "cluster_id": t["cluster_id"]}),
             batch_format="pyarrow",
-        ).union(
-            labels.map_batches(
-                lambda t: pa.table(
-                    {"id": t["id"], "other": pa.nulls(t.num_rows, pa.int64()),
-                     "cluster_id": t["cluster_id"]}
-                ),
-                batch_format="pyarrow",
-            )
         )
-
-        def propagate(g: pd.DataFrame) -> pd.DataFrame:
-            my_label = int(g["cluster_id"].dropna().min())
-            neighs = g["other"].dropna().astype("int64")
-            ids = list(neighs) + [int(g["id"].iloc[0])]
-            return pd.DataFrame(
-                {"id": pd.Series(ids, dtype="int64"),
-                 "cluster_id": pd.Series([my_label] * len(ids), dtype="int64")}
-            )
-
-        new_labels = (
-            tagged.groupby("id")
-            .map_groups(propagate, batch_format="pandas")
+        labels = (
+            neighbour_labels.union(labels)
             .groupby("id")
             .aggregate(Min("cluster_id", alias_name="cluster_id"))
+            .map_batches(_typed_labels, batch_format="pyarrow")
             .materialize()
         )
-        labels = new_labels
         new_sum = labels.sum("cluster_id")
         if new_sum == prev_sum:  # monotone fixed point reached
             break

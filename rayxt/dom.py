@@ -465,6 +465,23 @@ _ALNUM_EQ_SLASH = frozenset("abcdefghijklmnopqrstuvwxyz=/"
 # no attributes, no self-close — semantics provably identical to the
 # tolerant machinery, which stays the fallback for everything else
 _SIMPLE_TAG = re.compile(r"<([a-z][a-z0-9]*)>")
+# second fast path: lowercase tag with only `name` / `name="value"`
+# attributes (no self-close, no single quotes, no bare values, no spaces
+# around `=`). For inputs this matches, the tolerant machinery provably
+# produces the same (tag, attrs, endpos): the attr-name charset is a
+# subset of _ATTRFIND's, `"[^"]*"` is _ATTRFIND's LIT value verbatim,
+# duplicate attrs stay first-wins, and html.unescape short-circuits on
+# values without '&' exactly like the fallback path. Locked by the
+# differential corpus + fuzz suite in tests/test_fast_parser.py.
+# NB: separators are ASCII whitespace ONLY — _TAGFIND treats Unicode
+# whitespace (e.g. \xa0) as part of the tag name, so `\s` here would
+# diverge; non-ASCII-ws tags simply fall through to the slow path.
+_ATTR_TAG = re.compile(
+    r'<([a-z][a-z0-9]*)'
+    r'((?:[ \t\n\r\f]+[a-z][a-z0-9_:.-]*(?:="[^"]*")?)*)'
+    r'[ \t\n\r\f]*>'
+)
+_ATTR_ITEM = re.compile(r'[ \t\n\r\f]+([a-z][a-z0-9_:.-]*)(?:="([^"]*)")?')
 _STD_SECTIONS = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
 _MS_SECTIONS = frozenset({"if", "else", "endif"})
 
@@ -511,6 +528,30 @@ def _parse_html_fast(text: str, deadline: float | None = None) -> Node:
             tag = sm.group(1)
             endpos = sm.end()
             node = Node(tag, {})
+            node.src_start = i
+            while len(stack) > 1:
+                closers = implied.get(stack[-1].tag)
+                if closers is not None and tag in closers:
+                    stack.pop()
+                else:
+                    break
+            stack[-1].append(node)
+            if tag not in voids:
+                stack.append(node)
+                if tag in _CDATA_CLOSE:
+                    return ~endpos
+            else:
+                node.src_end = endpos
+            return endpos
+        am = _ATTR_TAG.match(text, i)
+        if am:
+            tag = am.group(1)
+            endpos = am.end()
+            attrs = {}
+            for aname, aval in _ATTR_ITEM.findall(am.group(2)):
+                if aname not in attrs:
+                    attrs[aname] = _unescape(aval) if aval else ""
+            node = Node(tag, attrs)
             node.src_start = i
             while len(stack) > 1:
                 closers = implied.get(stack[-1].tag)

@@ -78,6 +78,11 @@ def put_variable(name, value=Ref("previous_result")):
         setattr(context, name, resolve(value, run))
         return previous_result
 
+    def _fast(run):
+        setattr(run.context, name, resolve(value, run))
+        return run.previous_result
+
+    handler._fast_run = _fast
     return handler
 
 
@@ -96,6 +101,19 @@ def append(name, symbol=Ref("previous_result"), copy_element=False):
         bucket.append(val)
         return val
 
+    def _fast(run):
+        val = resolve(symbol, run)
+        if copy_element and isinstance(val, Node):
+            val = val.deepcopy()
+        context = run.context
+        bucket = getattr(context, name, None)
+        if bucket is None:
+            bucket = []
+            setattr(context, name, bucket)
+        bucket.append(val)
+        return val
+
+    handler._fast_run = _fast
     return handler
 
 
@@ -187,6 +205,7 @@ def remove_elements(
             if clear_ref:
                 setattr(context, ref, [])
 
+    handler._fast_run = lambda run: handler(run.context)
     return handler
 
 
@@ -468,6 +487,7 @@ def extract_text_handler(source=Ref("root")):
         run = _run_of(transformation, context, previous_result, element)
         return extract_text(resolve(source, run))
 
+    handler._fast_run = lambda run: extract_text(resolve(source, run))
     return handler
 
 

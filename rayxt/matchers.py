@@ -42,10 +42,31 @@ class Matcher:
     def matches(self, element: Node, run) -> bool:  # pragma: no cover - abstract
         raise NotImplementedError
 
+    # -- dispatch-compilation hooks (used by rules._RuleGroup) ------------
+    def tag_domain(self):
+        """frozenset of tags this matcher can possibly accept, or None.
+
+        Non-None lets the rule engine index the rule into per-tag
+        dispatch buckets and skip evaluating it entirely for elements
+        outside the domain (SURVEY D2's "transformation table" as an
+        actual tag-keyed table). Only matchers whose acceptance is
+        EXACTLY "element.tag in domain" may return a set — the engine
+        drops them from the per-bucket residual matcher list.
+        """
+        return None
+
+    def fast_matches(self):
+        """Return the cheapest callable(element, run) for the hot loop."""
+        return self.matches
+
 
 class _MatchAll(Matcher):
     def matches(self, element, run):
         return element.is_element()
+
+    def fast_matches(self):
+        # inline Node.is_element (tags never start with '#' for elements)
+        return lambda element, run: element.tag[:1] != "#"
 
 
 class _TagMatcher(Matcher):
@@ -64,6 +85,15 @@ class _TagMatcher(Matcher):
                 return False
             name = "{%s}%s" % (uri, local)
         return element.tag == name
+
+    def tag_domain(self):
+        return frozenset((self._resolved,)) if self._resolved else None
+
+    def fast_matches(self):
+        if self._resolved is None:
+            return self.matches
+        name = self._resolved
+        return lambda element, run: element.tag == name
 
 
 class _XPathMatcher(Matcher):
@@ -86,6 +116,9 @@ class _XPathMatcher(Matcher):
 
     def matches(self, element, run):
         return id(element) in self._ids
+
+
+_MISS = object()
 
 
 class _AttrMatcher(Matcher):
@@ -120,6 +153,25 @@ class _AttrMatcher(Matcher):
                 if key not in attrs or not self._value_ok(attrs[key], val):
                     return False
         return True
+
+    def fast_matches(self):
+        # single plain-key constraint (the overwhelmingly common shape,
+        # e.g. {"class": pred}): one dict probe, no loop, no method calls
+        if len(self.constraints) == 1:
+            key, val = self.constraints[0]
+            if not callable(key):
+                if val is None:
+                    return lambda element, run, _k=key: _k in element.attrs
+                if callable(val):
+                    def _fm(element, run, _k=key, _v=val, _miss=_MISS):
+                        got = element.attrs.get(_k, _miss)
+                        return got is not _miss and bool(_v(got))
+                    return _fm
+
+                def _fe(element, run, _k=key, _v=val, _miss=_MISS):
+                    return element.attrs.get(_k, _miss) == _v
+                return _fe
+        return self.matches
 
 
 class _CallableMatcher(Matcher):
@@ -164,6 +216,15 @@ class Any(_CombinatorBase):
         if self._tag_set is not None:
             return element.tag in self._tag_set
         return any(p.matches(element, run) for p in self.parts)
+
+    def tag_domain(self):
+        return self._tag_set
+
+    def fast_matches(self):
+        if self._tag_set is None:
+            return self.matches
+        tset = self._tag_set
+        return lambda element, run: element.tag in tset
 
 
 class OneOf(_CombinatorBase):

@@ -77,13 +77,14 @@ class Ref:
     at handler-execution time against the live run state.
     """
 
-    __slots__ = ("path",)
+    __slots__ = ("path", "_parts")
 
     def __init__(self, path: str):
         self.path = path
+        self._parts = tuple(path.split("."))
 
     def resolve(self, run: "_Run"):
-        parts = self.path.split(".")
+        parts = self._parts
         head = parts[0]
         if hasattr(run, head):
             obj = getattr(run, head)
@@ -226,7 +227,9 @@ def _iter_traversal(root: Node, order: int):
         raise NotImplementedError(f"unsupported traversal order {order}")
 
     def children_of(n):
-        kids = [c for c in n.children if c.is_element()]
+        # `tag[:1] != "#"` inlines Node.is_element (per-child method
+        # dispatch measured in the kernel profile)
+        kids = [c for c in n.children if c.tag[:1] != "#"]
         return list(reversed(kids)) if rtl else kids
 
     if not bottom_up:
@@ -250,7 +253,7 @@ def _iter_traversal(root: Node, order: int):
                 if rtl:
                     kids = children_of(node)
                 else:
-                    kids = [c for c in node.children if c.is_element()]
+                    kids = [c for c in node.children if c.tag[:1] != "#"]
                 if kids:
                     frames.append([kids, 0])
     else:
@@ -279,7 +282,7 @@ class Rule:
 
 
 class _CompiledRule:
-    __slots__ = ("rule", "matchers", "handlers", "traversal", "label")
+    __slots__ = ("rule", "matchers", "handlers", "traversal", "label", "chain")
 
     def __init__(self, rule: Rule, extra_matchers, default_traversal, index):
         self.rule = rule
@@ -291,14 +294,114 @@ class _CompiledRule:
             else default_traversal
         )
         self.label = rule.name or f"rule_{index}"
+        self.chain = _compile_handler_chain(rule.handlers)
 
 
 class _CompiledSimpleStep:
-    __slots__ = ("handlers", "label")
+    __slots__ = ("handlers", "label", "chain")
 
     def __init__(self, handlers, index):
         self.handlers = handlers if isinstance(handlers, (list, tuple)) else (handlers,)
         self.label = f"step_{index}"
+        self.chain = _compile_handler_chain(self.handlers)
+
+
+def _compile_handler_chain(handlers):
+    """Bind a handler sequence into one ``chain(run)`` closure.
+
+    Each handler's return value becomes ``run.previous_result`` (C5).
+    Handlers carrying a ``_fast_run`` attribute (the hot library
+    factories in :mod:`rayxt.lib`) are invoked directly with the run,
+    skipping per-call signature lookup and kwargs assembly; everything
+    else goes through :func:`_invoke` dependency injection (C6).
+    """
+    if callable(handlers) and not isinstance(handlers, (list, tuple)):
+        handlers = (handlers,)
+    fns = []
+    for h in handlers:
+        fast = getattr(h, "_fast_run", None)
+        if fast is not None:
+            fns.append(fast)
+        else:
+            def _call(run, _h=h):
+                return _invoke(_h, run)
+            fns.append(_call)
+    if len(fns) == 1:
+        f0 = fns[0]
+
+        def chain(run):
+            run.previous_result = f0(run)
+        return chain
+    fns = tuple(fns)
+
+    def chain(run):
+        for f in fns:
+            run.previous_result = f(run)
+    return chain
+
+
+def _split_tag_domain(matchers):
+    """Fold a rule's LEADING pure-tag matchers into a dispatch domain.
+
+    Returns ``(domain, residual)``: ``domain`` is the frozenset of tags
+    the leading tag-only matchers jointly accept (None when the first
+    matcher is not tag-only — order must be preserved because condition
+    evaluation short-circuits left to right and user predicates may
+    observe their own calls), ``residual`` is every remaining matcher in
+    original order.
+    """
+    domain = None
+    residual = []
+    for i, m in enumerate(matchers):
+        tags = m.tag_domain()
+        if tags is None:
+            residual = list(matchers[i:])
+            break
+        domain = tags if domain is None else (domain & tags)
+    return domain, residual
+
+
+class _AllRulesAborted(Exception):
+    """Internal: every rule in a group hit AbortRule — stop traversing."""
+
+
+class _RuleGroup:
+    """One traversal pass over 1..n same-traversal rules with a
+    tag-indexed dispatch table (the compiled "transformation table").
+
+    Per element the engine looks up ``dispatch[element.tag]`` (falling
+    back to the tag-unconstrained plan) and only evaluates the residual
+    matchers of rules that can possibly match that tag; a rule whose
+    conditions are purely tag-driven therefore costs ZERO matcher calls
+    per element. Rule order within a plan is preserved (merged sort by
+    rule index), so semantics are identical to evaluating every rule.
+    """
+
+    __slots__ = ("crules", "traversal", "dispatch", "default_plan", "n")
+
+    def __init__(self, crules):
+        self.crules = tuple(crules)
+        self.traversal = crules[0].traversal
+        self.n = len(crules)
+        constrained: dict = {}
+        unconstrained = []
+        for idx, c in enumerate(crules):
+            domain, residual = _split_tag_domain(c.matchers)
+            entry = (
+                idx,
+                tuple(m.fast_matches() for m in residual),
+                c.chain,
+            )
+            if domain is None:
+                unconstrained.append(entry)
+            else:
+                for tag in domain:
+                    constrained.setdefault(tag, []).append(entry)
+        self.default_plan = tuple(unconstrained)
+        self.dispatch = {
+            tag: tuple(sorted(entries + unconstrained, key=lambda e: e[0]))
+            for tag, entries in constrained.items()
+        }
 
 
 class Transformation:
@@ -350,6 +453,40 @@ class Transformation:
                 self.steps.append(_CompiledSimpleStep(step, i))
             else:
                 raise TypeError(f"unsupported step {step!r}")
+        self._plan = self._compile_plan()
+
+    def _compile_plan(self):
+        """Group steps into the per-call execution plan ONCE.
+
+        Consecutive same-traversal rules fuse into one :class:`_RuleGroup`
+        (= one tree pass) when ``fuse_rules`` is on; otherwise each rule
+        is its own group. Simple steps / sub-transformations pass through
+        and break fusion runs, matching the former per-call grouping.
+        """
+        plan = []
+        fuse = self.config.fuse_rules
+        i, steps = 0, self.steps
+        while i < len(steps):
+            step = steps[i]
+            if isinstance(step, _CompiledRule):
+                group = [step]
+                i += 1
+                while (
+                    fuse
+                    and i < len(steps)
+                    and isinstance(steps[i], _CompiledRule)
+                    and steps[i].traversal == step.traversal
+                ):
+                    group.append(steps[i])
+                    i += 1
+                plan.append(("rules", _RuleGroup(group)))
+            elif isinstance(step, _CompiledSimpleStep):
+                plan.append(("simple", step.chain))
+                i += 1
+            else:
+                plan.append(("xform", step))
+                i += 1
+        return plan
 
     # -- execution ---------------------------------------------------------
     def __call__(self, source, nsmap=None, **context_kwargs):
@@ -372,66 +509,51 @@ class Transformation:
         context.root = root
         context.tree = root
         try:
-            steps = iter(self.steps)
-            pending = None
-            while True:
-                step = pending if pending is not None else next(steps, None)
-                pending = None
-                if step is None:
-                    break
-                if isinstance(step, Transformation):
-                    run.previous_result = step(
-                        run.root, nsmap=run.nsmap, **vars(run.context)
-                    )
-                    continue
-                if isinstance(step, _CompiledSimpleStep):
+            for kind, obj in self._plan:
+                if kind == "rules":
+                    self._run_group(obj, run)
+                elif kind == "simple":
                     try:
-                        self._run_handlers(step.handlers, run)
+                        obj(run)
                     except AbortRule:
                         continue
-                    continue
-                if self.config.fuse_rules:
-                    group = [step]
-                    while True:
-                        nxt = next(steps, None)
-                        if (
-                            isinstance(nxt, _CompiledRule)
-                            and nxt.traversal == step.traversal
-                        ):
-                            group.append(nxt)
-                        else:
-                            pending = nxt
-                            break
-                    if len(group) > 1:
-                        self._run_fused_rules(group, run)
-                        continue
-                self._run_rule(step, run)
+                else:  # sub-transformation
+                    run.previous_result = obj(
+                        run.root, nsmap=run.nsmap, **vars(run.context)
+                    )
         except AbortTransformation:
             pass
         return self._resolve_result(run), run.rule_hits
 
-    def _run_fused_rules(self, crules, run: _Run):
-        """One traversal, applying each rule's matchers per element in
-        rule order (see fuse_rules in config_defaults for validity)."""
-        for crule in crules:
+    def _run_group(self, group: _RuleGroup, run: _Run):
+        """One traversal applying the group's rules via tag dispatch.
+
+        Identical observable semantics to evaluating every rule's full
+        matcher list per element (rule order preserved inside each
+        per-tag plan); a rule that hit AbortRule stays dormant for the
+        rest of the pass, and when ALL rules are dormant the traversal
+        stops early.
+        """
+        for crule in group.crules:
             for m in crule.matchers:
                 m.prepare(run)
-        hits = [0] * len(crules)
-        aborted = [False] * len(crules)
-        # hoisted per-rule state: (idx, matchers tuple, handlers) — the
-        # inner loop runs n_rules times per element
-        plan = [(idx, tuple(c.matchers), c.handlers)
-                for idx, c in enumerate(crules)]
+        n = group.n
+        hits = [0] * n
+        aborted = [False] * n
+        alive = n
+        dispatch_get = group.dispatch.get
+        default_plan = group.default_plan
         try:
-            for element in _iter_traversal(run.root, crules[0].traversal):
+            for element in _iter_traversal(run.root, group.traversal):
                 if element.detached:
                     continue
-                for idx, matchers, handlers in plan:
+                plan = dispatch_get(element.tag, default_plan)
+                for idx, matchfns, chain in plan:
                     if aborted[idx]:
                         continue
                     matched = True
-                    for m in matchers:
-                        if not m.matches(element, run):
+                    for f in matchfns:
+                        if not f(element, run):
                             matched = False
                             break
                     if not matched:
@@ -439,50 +561,24 @@ class Transformation:
                     hits[idx] += 1
                     run.element = element
                     try:
-                        self._run_handlers(handlers, run, element=element)
+                        chain(run)
                     except AbortRule:
                         aborted[idx] = True
+                        alive -= 1
+                        if alive == 0:
+                            raise _AllRulesAborted
                     if element.detached:
                         break
-        finally:
-            run.element = None
-            for idx, crule in enumerate(crules):
-                if hits[idx]:
-                    run.rule_hits[crule.label] = (
-                        run.rule_hits.get(crule.label, 0) + hits[idx]
-                    )
-
-    def _run_rule(self, crule: _CompiledRule, run: _Run):
-        for m in crule.matchers:
-            m.prepare(run)
-        hits = 0
-        try:
-            for element in _iter_traversal(run.root, crule.traversal):
-                if element.detached:
-                    continue
-                matched = True
-                for m in crule.matchers:
-                    if not m.matches(element, run):
-                        matched = False
-                        break
-                if not matched:
-                    continue
-                hits += 1
-                run.element = element
-                self._run_handlers(crule.handlers, run, element=element)
-        except AbortRule:
+        except _AllRulesAborted:
             pass
         finally:
             run.element = None
-            if hits:
-                run.rule_hits[crule.label] = run.rule_hits.get(crule.label, 0) + hits
-
-    @staticmethod
-    def _run_handlers(handlers, run: _Run, element=None):
-        if callable(handlers):
-            handlers = (handlers,)
-        for h in handlers:
-            run.previous_result = _invoke(h, run, element=element)
+            rule_hits = run.rule_hits
+            for idx, crule in enumerate(group.crules):
+                if hits[idx]:
+                    rule_hits[crule.label] = (
+                        rule_hits.get(crule.label, 0) + hits[idx]
+                    )
 
     def _resolve_result(self, run: _Run):
         path = self.config.result_object

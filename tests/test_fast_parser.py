@@ -140,3 +140,76 @@ def test_fuzz_markup_soup_matches_stdlib(text):
     """Adversarial alphabet: dense in markup metacharacters."""
     a, b = both(text)
     assert a == b
+
+
+ATTR_EDGE_CASES = [
+    # boundary shapes around the attributed-tag fast path (_ATTR_TAG)
+    '<div class="a">x</div>',
+    '<div class="a" id="b">x</div>',
+    '<div checked>x</div>',
+    '<div checked class="a">x</div>',
+    '<div class="">empty value</div>',
+    '<div class="a&amp;b">entity in value</div>',
+    '<div class="a" class="b">dup first wins</div>',
+    '<div data-x:y.z="q">exotic name chars</div>',
+    '<div class="a>b">gt inside value</div>',
+    '<div class="a<b">lt inside value</div>',
+    '<div class="a" >trailing space</div>',
+    '<div\tclass="a"\n>mixed ws</div>',
+    '<div class ="a">space before eq (slow path)</div>',
+    '<div class= "a">space after eq (slow path)</div>',
+    '<div class=="a">double eq (slow path)</div>',
+    '<div CLASS="a">upper name (slow path)</div>',
+    '<div class="a"/>selfclose (slow path)</div>',
+    '<div class="a" />selfclose ws (slow path)</div>',
+    "<div class='a'>single quotes (slow path)</div>",
+    '<div class=bare>bare value (slow path)</div>',
+    '<div class="unterminated>x</div>',
+    '<div 9lead="x">digit-lead attr (slow path)</div>',
+    '<script src="x.js">var a = "</notscript>";</script>after',
+    '<img src="x.png" alt="">void with attrs',
+    '<div class="\xa0unicode ws in value">x</div>',
+    '<div\xa0class="a">unicode ws between (tolerant \\s)</div>',
+]
+
+
+@pytest.mark.parametrize("case", ATTR_EDGE_CASES)
+def test_attr_fast_path_edges_match_stdlib(case):
+    a, b = both(case)
+    assert a == b, f"divergence on {case!r}"
+
+
+_ATTR_NAMES = st.sampled_from(
+    ["class", "id", "href", "data-x", "x:y", "a.b", "checked", "Class", "9x"]
+)
+_ATTR_VALS = st.one_of(
+    st.none(),
+    st.text(alphabet='ab<>&;#" \'=/\n\t', max_size=12),
+)
+_WS = st.sampled_from([" ", "  ", "\t", "\n", " \xa0"])
+
+
+@st.composite
+def _attr_tags(draw):
+    name = draw(st.sampled_from(["div", "span", "a", "img", "script", "DIV"]))
+    parts = [f"<{name}"]
+    for _ in range(draw(st.integers(0, 4))):
+        parts.append(draw(_WS))
+        parts.append(draw(_ATTR_NAMES))
+        val = draw(_ATTR_VALS)
+        if val is not None:
+            quote = draw(st.sampled_from(['"', "'", ""]))
+            eq = draw(st.sampled_from(["=", " = ", "=="]))
+            parts.append(f"{eq}{quote}{val}{quote}")
+    parts.append(draw(st.sampled_from(["", " ", "/"])))
+    parts.append(draw(st.sampled_from([">", "/>", ""])))
+    parts.append(draw(st.text(alphabet="ab </>", max_size=8)))
+    return "".join(parts)
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.lists(_attr_tags(), max_size=4).map("".join))
+def test_fuzz_attributed_tags_match_stdlib(text):
+    """Dense generator around the attributed-tag fast-path boundary."""
+    a, b = both(text)
+    assert a == b
