@@ -202,8 +202,8 @@ class _LshPartialTopK(_PartialTopK):
             probes: set[int] = set()
             for b in hyperplane_bucket(self.qmat, table).tolist():
                 probes |= probe_buckets(int(b), n_planes, probe_radius)
-            self.qprobes.append(np.fromiter(probes, dtype=np.int64,
-                                            count=len(probes)))
+            self.qprobes.append(np.sort(np.fromiter(probes, dtype=np.int64,
+                                                    count=len(probes))))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].to_pylist())

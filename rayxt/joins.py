@@ -105,10 +105,10 @@ def asof_join(left, right, *, key: str, on: str,
     out_types.update({oc: rtypes[c] for c, oc in zip(rcols, out_rnames)})
 
     def _restore(series: pd.Series, arrow_type) -> pd.Series:
-        if pa.types.is_integer(arrow_type):
-            return series.astype("int64")
-        if pa.types.is_floating(arrow_type):
-            return series.astype("float64")
+        # cast back to the SOURCE dtype (int32 stays int32 etc.), not a
+        # blanket int64/float64 widening
+        if pa.types.is_integer(arrow_type) or pa.types.is_floating(arrow_type):
+            return series.astype(arrow_type.to_pandas_dtype())
         return series
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:

@@ -50,6 +50,27 @@ def scan_done(out_dir: str) -> set[int]:
     return done
 
 
+def reset_manifest(out_dir: str) -> int:
+    """Remove ALL markers and lineage records (fresh-run semantics).
+
+    A ``resume=False`` run must not inherit a previous run's commit
+    state: a stale marker for a partition the new run emits zero rows
+    for would falsely report it done (its shards were deleted), and
+    ``read_lineage`` would mix records from different runs.  Returns
+    the number of files removed.
+    """
+    removed = 0
+    for sub in ("manifest", "lineage"):
+        d = os.path.join(out_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for name in os.listdir(d):
+            if name.endswith((".done", ".json")):
+                os.remove(os.path.join(d, name))
+                removed += 1
+    return removed
+
+
 def write_partition(table, part_id: int, out_dir: str, *, engine_version: str,
                     program_name: str, extra: dict | None = None) -> dict:
     """Write one partition's parquet + lineage + done marker atomically.

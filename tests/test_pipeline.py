@@ -3,7 +3,9 @@ partitioned sink, manifest resume, two-tier skew split."""
 
 import os
 import shutil
+import zlib
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -218,3 +220,64 @@ def test_run_extraction_job_resume_skips_extraction(ray_session, pages_path, tmp
         pdir = os.path.join(out_dir, f"part_id={pid:04d}")
         total += pq.read_table(pdir).num_rows
     assert total == N_ROWS
+
+
+def test_shard_writes_are_retry_idempotent(tmp_path):
+    """Replaying the SAME batch (Ray task retry) must overwrite the
+    shard file, not add a duplicate — names derive from content."""
+    from rayxt.pipeline import _write_shard_batch
+
+    batch = pa.table({
+        "url": pa.array([f"http://e{i}.com/x" for i in range(20)]),
+        "warc_ts": pa.array(list(range(20)), pa.int64()),
+        "text": pa.array(["t"] * 20),
+        "status": pa.array(["ok"] * 20),
+        "part_id": pa.array([3] * 10 + [5] * 10, pa.int64()),
+    })
+    out = str(tmp_path / "sink")
+    _write_shard_batch(batch, out_dir=out)
+    files_1 = {
+        (d, f) for d in os.listdir(out)
+        for f in os.listdir(os.path.join(out, d))
+    }
+    _write_shard_batch(batch, out_dir=out)  # simulated retry
+    files_2 = {
+        (d, f) for d in os.listdir(out)
+        for f in os.listdir(os.path.join(out, d))
+    }
+    assert files_1 == files_2 and len(files_1) == 2
+    total = sum(
+        pq.read_table(os.path.join(out, d)).num_rows
+        for d in os.listdir(out)
+    )
+    assert total == 20  # no duplicated rows
+    # different content -> different name (no accidental overwrite)
+    batch2 = batch.set_column(0, "url", pa.array(
+        [f"http://f{i}.com/y" for i in range(20)]))
+    _write_shard_batch(batch2, out_dir=out)
+    files_3 = {
+        (d, f) for d in os.listdir(out)
+        for f in os.listdir(os.path.join(out, d))
+    }
+    assert len(files_3) == 4
+
+
+def test_fresh_run_resets_markers_and_lineage(ray_session, pages_path, tmp_path):
+    """resume=False must not inherit a previous run's commit state."""
+    from rayxt.manifest import read_lineage
+    from rayxt.pipeline import write_partitioned_streaming
+
+    out = str(tmp_path / "fresh")
+    P = 8
+    s1 = write_partitioned_streaming(
+        extract_pages(read_pages(pages_path), concurrency=2), out, P)
+    assert len(scan_done(out)) > 1
+    # second run sees only part of the data (simulates a narrower input):
+    # stale markers/lineage of partitions ABSENT from this run must go
+    keep = sorted(s1["part_id"])[0]
+    narrow = extract_pages(read_pages(pages_path), concurrency=2).filter(
+        lambda r: (zlib.crc32(r["url"].encode()) % P) == keep)
+    s2 = write_partitioned_streaming(narrow, out, P, resume=False)
+    assert set(s2["part_id"]) == {keep}
+    assert scan_done(out) == {keep}
+    assert {r["part_id"] for r in read_lineage(out)} == {keep}

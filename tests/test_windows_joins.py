@@ -153,3 +153,30 @@ def test_group_quantiles_matches_numpy(ray_session, ev_df):
         vals = ev_df[ev_df["kind"] == row["kind"]]["value"].to_numpy()
         assert row["p50"] == round(float(np.percentile(vals, 50)), 6)
         assert row["p95"] == round(float(np.percentile(vals, 95)), 6)
+
+
+def test_asof_join_preserves_narrow_dtypes(ray_session):
+    """int32/float32 inputs must come out int32/float32, not widened."""
+    import ray.data as rd
+
+    from rayxt.joins import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "eid": pa.array([1, 2], pa.int32()),
+        "k": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([10, 20], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "eid": pa.array([7], pa.int32()),
+        "val": pa.array([1.5], pa.float32()),
+        "k": pa.array([1], pa.int64()),
+        "ts": pa.array([5], pa.int64()),
+    }))
+    got = asof_join(left, right, key="k", on="ts",
+                    left_cols=["eid", "k", "ts"],
+                    right_cols=["eid", "val"], right_suffix="_r").to_pandas()
+    val_col = "val_r" if "val_r" in got.columns else "val"
+    assert str(got.dtypes["eid"]) == "int32"
+    assert str(got.dtypes["eid_r"]) == "int32"
+    assert str(got.dtypes[val_col]) == "float32"
+    assert got["eid_r"].tolist() == [7, 7]
