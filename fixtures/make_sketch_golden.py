@@ -23,6 +23,7 @@ sys.path.insert(0, REPO)
 from fixtures.gen_media import generate_media_table, media_ground_truth  # noqa: E402
 from tests.oracle import oracle_rule_hits  # noqa: E402
 from tests.oracle.sketches import (  # noqa: E402
+    ddsketch_group_quantiles,
     oracle_components,
     oracle_fingerprint,
     oracle_ivf_topk,
@@ -121,6 +122,19 @@ def main() -> None:
                             pa.array([d["decode_status"] for d in dec], pa.string()))
     pq.write_table(out, os.path.join(DATA_DIR, "golden_media_decode.parquet"))
 
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["event_type", "value"])
+    dq = ddsketch_group_quantiles(
+        zip(ev.column("event_type").to_pylist(),
+            ev.column("value").to_pylist()),
+        qs=(0.5, 0.95), alpha=0.01)
+    etypes = sorted(dq)
+    pq.write_table(pa.table({
+        "event_type": pa.array(etypes, pa.string()),
+        "p50": pa.array([dq[k][0] for k in etypes], pa.float64()),
+        "p95": pa.array([dq[k][1] for k in etypes], pa.float64()),
+    }), os.path.join(DATA_DIR, "golden_ev_quantiles_sketch.parquet"))
+
     pages = pq.read_table(os.path.join(DATA_DIR, "pages_conf.parquet"),
                           columns=["html"])
     totals: dict[str, int] = {}
@@ -136,7 +150,8 @@ def main() -> None:
     for name in ("golden_minhash_pairs", "golden_simhash_pairs",
                  "golden_neardup_clusters", "golden_langid",
                  "golden_fingerprint", "golden_ann_lsh", "golden_ann_ivf",
-                 "golden_media_decode", "golden_rule_hits"):
+                 "golden_media_decode", "golden_rule_hits",
+                 "golden_ev_quantiles_sketch"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")
 

@@ -51,7 +51,7 @@ def broadcast_lookup(ds, *, key_col: str, keys, values, out_col: str,
 
 def asof_join(left, right, *, key: str, on: str,
               left_cols: list[str], right_cols: list[str],
-              right_suffix: str = "_r"):
+              right_suffix: str = "_r", bucket_width=None):
     """Inner backward as-of join.
 
     For every left row, attach the right row of the same ``key`` with
@@ -64,6 +64,19 @@ def asof_join(left, right, *, key: str, on: str,
     Returns columns ``left_cols`` + ``right_cols`` (a right column
     colliding with a left name gets ``right_suffix``).  ``key`` and
     ``on`` must be members of ``left_cols``.
+
+    ``bucket_width`` (opt-in hot-key mode, in ``on``'s units — raw
+    microseconds for timestamp columns) lifts the one-key-fits-one-
+    worker assumption: rows co-group on ``(key, floor(on/width))``
+    instead of the bare key, and each bucket additionally receives ONE
+    carry row — the latest right row from all earlier buckets — so a
+    left row whose bucket holds no prior right still finds the correct
+    global predecessor.  Exactness: a left row's match is either inside
+    its own bucket (the local searchsorted finds it) or it is the
+    latest right before the bucket start, which is exactly the carry
+    (``on`` values in different buckets can never tie, so cross-bucket
+    tie-breaks don't arise).  Asserted equal to the unsalted path by
+    tests.
     """
     lcols = list(left_cols)
     rcols = list(right_cols)
@@ -95,9 +108,6 @@ def asof_join(left, right, *, key: str, on: str,
             cols["__r_" + oc] = t[c]
         return pa.table(cols)
 
-    unioned = left.map_batches(left_side, batch_format="pyarrow").union(
-        right.map_batches(right_side, batch_format="pyarrow")
-    )
     rtmp = ["__r_" + oc for oc in out_rnames]
     # the union's null slots upcast integer columns to float64 in
     # pandas; restore the source dtypes on the way out
@@ -137,4 +147,110 @@ def asof_join(left, right, *, key: str, on: str,
                                out_types[oc])
         return pd.DataFrame(out)
 
-    return unioned.groupby(key).map_groups(resolve, batch_format="pandas")
+    if bucket_width is None:
+        unioned = left.map_batches(left_side, batch_format="pyarrow").union(
+            right.map_batches(right_side, batch_format="pyarrow")
+        )
+        return unioned.groupby(key).map_groups(resolve, batch_format="pandas")
+
+    # -- hot-key mode: co-group on (key, time bucket) + carry rows ----------
+    import pyarrow.compute as pc
+
+    width = float(bucket_width)
+
+    def _bucket_of(col):
+        c = col
+        if pa.types.is_timestamp(c.type):
+            # normalize to MICROSECONDS so bucket_width is always us
+            # for timestamps, independent of the storage unit
+            c = pc.cast(pc.cast(c, pa.timestamp("us")), pa.int64())
+        return pc.cast(
+            pc.floor(pc.divide(pc.cast(c, pa.float64()), width)),
+            pa.int64(),
+        )
+
+    def left_side_b(t: pa.Table) -> pa.Table:
+        out = left_side(t)
+        return out.append_column("__b", _bucket_of(t[on]))
+
+    def right_side_b(t: pa.Table) -> pa.Table:
+        out = right_side(t)
+        return out.append_column("__b", _bucket_of(t[on]))
+
+    lt = left.map_batches(left_side_b, batch_format="pyarrow")
+    # checkpoint: the right side feeds both the main union and the
+    # bucket-latest scan; without it the lineage executes twice
+    rt = right.map_batches(right_side_b, batch_format="pyarrow").materialize()
+
+    def take_latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([on, *rtmp], kind="mergesort").tail(1)
+
+    rt_schema = rt.schema()
+    marker_types = dict(zip(rt_schema.names, rt_schema.types))
+
+    def to_rt_schema(df: pd.DataFrame) -> pa.Table:
+        # pandas stages null-upcast ints and emit pandas blocks; pin
+        # every column back to the arrow right-side schema so unions
+        # with the arrow-block main path are type- and block-compatible
+        return pa.table({
+            name: pa.array(df[name], type=marker_types[name],
+                           from_pandas=True)
+            for name in rt_schema.names
+        })
+
+    latests = (
+        rt.groupby([key, "__b"])
+        .map_groups(take_latest, batch_format="pandas")
+        .map_batches(to_rt_schema, batch_format="pandas")
+    )
+
+    from ray.data.aggregate import Count
+
+    left_buckets = (
+        lt.groupby([key, "__b"]).aggregate(Count(alias_name="_n"))
+    )
+
+    def markers(t: pa.Table) -> pa.Table:
+        # left-bucket markers in the right-side layout, __side=2
+        n = t.num_rows
+        if n == 0:  # aggregate may emit schema-less empty blocks
+            return pa.table({name: pa.nulls(0, marker_types[name])
+                             for name in rt_schema.names})
+        cols = {}
+        for name in rt_schema.names:
+            if name == "__side":
+                cols[name] = pa.array([2] * n, pa.int8())
+            elif name in (key, "__b"):
+                cols[name] = pc.cast(t[name], marker_types[name])
+            else:
+                cols[name] = pa.nulls(n, marker_types[name])
+        return pa.table(cols)
+
+    mk = left_buckets.map_batches(markers, batch_format="pyarrow")
+
+    def carries(g: pd.DataFrame) -> pd.DataFrame:
+        lat = g[g["__side"] == 1].sort_values("__b", kind="mergesort")
+        marks = g[g["__side"] == 2]
+        if lat.empty or marks.empty:
+            return g.iloc[0:0]
+        lbuckets = np.unique(marks["__b"].to_numpy())
+        latb = lat["__b"].to_numpy()
+        # latest right strictly BEFORE bucket b = bucket-latest of the
+        # greatest right bucket < b (cross-bucket `on` values never tie)
+        idx = np.searchsorted(latb, lbuckets, side="left") - 1
+        keep = idx >= 0
+        sel = lat.iloc[idx[keep]].copy()
+        sel["__b"] = lbuckets[keep]
+        return sel
+
+    car = (
+        latests.union(mk)
+        .groupby(key)
+        .map_groups(carries, batch_format="pandas")
+        .map_batches(to_rt_schema, batch_format="pandas")
+    )
+
+    unioned = lt.union(rt).union(car)
+    out = unioned.groupby([key, "__b"]).map_groups(
+        resolve, batch_format="pandas")
+    return out

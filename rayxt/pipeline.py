@@ -233,11 +233,14 @@ class ExtractWikitables:
         self.program = get_program_factory("wikipedia_table")()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # vectorized prefilter on the BINARY column: rows without the
+        # marker never cross into Python lists (null html drops too)
+        batch = batch.filter(pc.match_substring(batch["html"], "wikitable"))
         # parse_html is module-level: the by-value pickle graph must stay
         # self-consistent (see ExtractDocs.__init__ note)
         urls_out, t_idx, r_idx, names, counts, notes = [], [], [], [], [], []
         for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-            if not html or b"wikitable" not in html:
+            if not html:
                 continue
             try:
                 records = self.program(parse_html(html)) or []
@@ -270,9 +273,10 @@ class ExtractModsTei:
         self.program = get_program_factory("mods_to_tei")()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.match_substring(batch["html"], "loc.gov/mods"))
         urls_out, xml_out = [], []
         for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-            if not html or b"loc.gov/mods" not in html:
+            if not html:
                 continue
             try:
                 root, nsmap = parse_xml(html)

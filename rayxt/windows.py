@@ -8,6 +8,8 @@ quantiles over a single giant group, swap the exact per-group kernel
 for a mergeable sketch (t-digest) built per batch — the surrounding
 Ray shape (partial per ``map_batches``, merge in a tiny groupby) is
 the same one :func:`rayxt.pipeline.corpus_stats` already uses.
+:func:`group_quantiles_sketch` IS that scale path: DDSketch-style
+log-binned bucket partials merged by a pure Sum aggregate.
 """
 
 from __future__ import annotations
@@ -15,7 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["sessionize", "group_quantiles", "grouped_topk"]
+__all__ = ["sessionize", "group_quantiles", "group_quantiles_sketch",
+           "grouped_topk"]
 
 
 def grouped_topk(ds, *, key: str, order_col: str, k: int = 10,
@@ -41,16 +44,25 @@ def grouped_topk(ds, *, key: str, order_col: str, k: int = 10,
 
 
 def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
-               gap_s: float = 1800.0):
+               gap_s: float = 1800.0, bucket_s: float | None = None):
     """Split each key's event stream into sessions at gaps > ``gap_s``.
 
     Returns one row per session: ``(key, session_start, n_events,
     duration_us)``.  Equal timestamps always share a session (gap 0),
     so output is independent of tie order.
+
+    ``bucket_s`` (opt-in hot-key mode) lifts the one-key-fits-one-worker
+    assumption: events are first sessionized per ``(key, time-bucket)``
+    — so a pathological key's rows spread over many groups — and the
+    per-bucket PARTIAL sessions (already tiny vs the events) are then
+    merged per key with the same gap rule.  Splitting a time-sorted
+    stream at arbitrary points and re-merging adjacent segments by the
+    same rule is exact, so the output is identical to the single-pass
+    kernel (asserted by tests).  Pick ``bucket_s >> gap_s`` (e.g. a day
+    for a 30-min gap) so few sessions span bucket edges.
     """
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
+    def sess_frame(g: pd.DataFrame, key_vals) -> pd.DataFrame:
         t = g[ts_col]
         gaps = t.diff().dt.total_seconds()
         sess_id = (gaps.isna() | (gaps > gap_s)).cumsum()
@@ -58,17 +70,188 @@ def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
         start = grouped.min()
         end = grouped.max()
         return pd.DataFrame({
-            key: pd.Series([g[key].iloc[0]] * len(start),
-                           dtype=g[key].dtype),
+            key: pd.Series([key_vals] * len(start), dtype=g[key].dtype),
             "session_start": start.reset_index(drop=True),
+            "session_end": end.reset_index(drop=True),
             "n_events": grouped.size().reset_index(drop=True).astype("int64"),
-            "duration_us": pd.Series(
-                (end.to_numpy() - start.to_numpy())
-                .astype("timedelta64[us]").astype("int64")
-            ),
         })
 
-    return ds.groupby(key).map_groups(sess, batch_format="pandas")
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key, "session_start", "n_events"]].copy()
+        out["duration_us"] = (
+            (df["session_end"].to_numpy() - df["session_start"].to_numpy())
+            .astype("timedelta64[us]").astype("int64"))
+        return out
+
+    if bucket_s is None:
+        def sess(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(ts_col, kind="mergesort")
+            return finish(sess_frame(g, g[key].iloc[0]))
+
+        return ds.groupby(key).map_groups(sess, batch_format="pandas")
+
+    width_us = int(bucket_s * 1_000_000)
+
+    def tag(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # normalize to MICROSECONDS first — the storage unit may be ns
+        # (pandas-derived) or us (parquet), and a mis-scaled width would
+        # silently degrade into per-row groups
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        return t.append_column("__b", pc.divide(us, width_us))
+
+    def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        return sess_frame(g, g[key].iloc[0])
+
+    partials = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby([key, "__b"])
+        .map_groups(sess_bucket, batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("session_start", kind="mergesort")
+        starts = g["session_start"].to_numpy()
+        ends = g["session_end"].to_numpy()
+        prev_end = np.roll(ends, 1)
+        gaps = (starts - prev_end).astype("timedelta64[us]").astype(
+            np.int64) / 1e6
+        new_sess = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_sess[1:] = gaps[1:] > gap_s
+        sid = np.cumsum(new_sess)
+        merged = pd.DataFrame({
+            "sid": sid, "start": starts, "end": ends,
+            "n": g["n_events"].to_numpy(),
+        }).groupby("sid").agg(
+            start=("start", "min"), end=("end", "max"), n=("n", "sum"))
+        return pd.DataFrame({
+            key: pd.Series([g[key].iloc[0]] * len(merged),
+                           dtype=g[key].dtype),
+            "session_start": merged["start"].reset_index(drop=True),
+            "session_end": merged["end"].reset_index(drop=True),
+            "n_events": merged["n"].reset_index(drop=True).astype("int64"),
+        })
+
+    merged = partials.groupby(key).map_groups(merge, batch_format="pandas")
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+def _dd_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def _dd_buckets(vals: "np.ndarray", gamma: float):
+    """Vectorized DDSketch bucket assignment.
+
+    Returns ``(kind, idx)`` int arrays: kind 0 = zero, 1 = positive,
+    2 = negative; ``idx = ceil(log(|v|) / log(gamma))`` for non-zero.
+    Pure function of the value — partition- and batch-independent, so
+    merged sketches are bit-identical however the data was split
+    (unlike t-digest, whose centroids depend on merge order).
+    """
+    kind = np.zeros(len(vals), dtype=np.int8)
+    idx = np.zeros(len(vals), dtype=np.int64)
+    ln_gamma = np.log(gamma)
+    pos = vals > 0
+    neg = vals < 0
+    kind[pos] = 1
+    kind[neg] = 2
+    if pos.any():
+        idx[pos] = np.ceil(np.log(vals[pos]) / ln_gamma).astype(np.int64)
+    if neg.any():
+        idx[neg] = np.ceil(np.log(-vals[neg]) / ln_gamma).astype(np.int64)
+    return kind, idx
+
+
+def _dd_estimate(kind: int, idx: int, gamma: float) -> float:
+    if kind == 0:
+        return 0.0
+    v = 2.0 * gamma ** idx / (gamma + 1.0)
+    return v if kind == 1 else -v
+
+
+def _dd_quantiles_from_buckets(kinds, idxs, counts, qs, gamma, ndigits):
+    """Quantiles from merged (kind, idx, count) rows of ONE key.
+
+    Buckets are ordered by the value they represent: negatives by
+    DESCENDING idx (larger |v| is smaller v), then zero, then positives
+    by ascending idx.  Rank convention: value at rank floor(q*(n-1)) of
+    the sorted sequence (DDSketch's standard), giving relative error
+    <= alpha vs the exact element at that rank.
+    """
+    order = sorted(
+        range(len(kinds)),
+        key=lambda i: (
+            (0, -idxs[i]) if kinds[i] == 2
+            else (1, 0) if kinds[i] == 0
+            else (2, idxs[i])
+        ),
+    )
+    total = int(sum(counts))
+    out = []
+    for q in qs:
+        rank = int(q * (total - 1))
+        cum = 0
+        est = 0.0
+        for i in order:
+            cum += int(counts[i])
+            if cum > rank:
+                est = _dd_estimate(int(kinds[i]), int(idxs[i]), gamma)
+                break
+        out.append(round(float(est), ndigits))
+    return out
+
+
+def group_quantiles_sketch(ds, *, key: str, value_col: str,
+                           qs: tuple = (0.5, 0.95), alpha: float = 0.01,
+                           ndigits: int = 6):
+    """Mergeable-sketch quantiles per key (DDSketch-style log bins).
+
+    The scale path next to :func:`group_quantiles`: the exact kernel
+    needs one key's raw values in one worker, so a single giant group
+    (e.g. a corpus-wide p95 with ONE key) would OOM it.  Here each
+    batch emits bounded ``(key, kind, idx, count)`` bucket partials,
+    the merge is a pure hash-partitioned ``Sum`` (sketch merge = bin
+    count addition — commutative, associative, DETERMINISTIC for any
+    batching), and only ~O(log(range)/alpha) bucket rows per key ever
+    cross the exchange or sit in one worker.  Guarantee: each reported
+    quantile is the bucket estimate of the exact rank-floor(q*(n-1))
+    element, within relative error ``alpha`` of its true value.
+    """
+    from ray.data.aggregate import Sum
+
+    gamma = _dd_gamma(alpha)
+    names = [f"p{int(q * 100)}" for q in qs]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[value_col].to_numpy(dtype=np.float64)
+        kind, idx = _dd_buckets(vals, gamma)
+        g = (pd.DataFrame({key: df[key], "kind": kind, "idx": idx})
+             .groupby([key, "kind", "idx"], sort=False)
+             .size().rename("count").reset_index())
+        g["count"] = g["count"].astype("int64")
+        return g
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key, "kind", "idx"])
+        .aggregate(Sum("count", alias_name="count"))
+    )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        vals = _dd_quantiles_from_buckets(
+            g["kind"].to_numpy(), g["idx"].to_numpy(),
+            g["count"].to_numpy(), qs, gamma, ndigits)
+        out = {key: pd.Series([g[key].iloc[0]], dtype=g[key].dtype)}
+        for n, v in zip(names, vals):
+            out[n] = pd.Series([v], dtype="float64")
+        return pd.DataFrame(out)
+
+    return merged.groupby(key).map_groups(finalize, batch_format="pandas")
 
 
 def group_quantiles(ds, *, key: str, value_col: str,

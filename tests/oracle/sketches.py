@@ -297,3 +297,57 @@ def oracle_ivf_topk(ids, vecs, lists, queries, *, k: int = 5,
 # computed from the SOURCE arrays before PNG/WAV/RAYX encoding, so the
 # engine's decoders are checked by inverting a real encoding — no
 # second decoder implementation needed here.
+
+
+# -- DDSketch grouped quantiles --------------------------------------------
+# Frozen definition (mirrors rayxt.windows.group_quantiles_sketch):
+# gamma = (1+alpha)/(1-alpha); bucket idx = ceil(log(|v|)/log(gamma))
+# computed in float64 via np.log (array kernel on BOTH sides so bucket
+# boundaries are bit-identical); estimate = +-2*gamma^idx/(gamma+1);
+# quantile = estimate of the bucket containing rank floor(q*(n-1)).
+
+
+def ddsketch_group_quantiles(rows, *, qs=(0.5, 0.95), alpha=0.01, ndigits=6):
+    """rows: iterable of (key, value). Returns {key: [q_est, ...]}."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    ln_gamma = np.log(gamma)
+    by_key: dict = defaultdict(list)
+    for k, v in rows:
+        by_key[k].append(float(v))
+    out = {}
+    for k, vals in by_key.items():
+        arr = np.asarray(vals, dtype=np.float64)
+        buckets: dict = defaultdict(int)
+        nz = arr != 0
+        idxs = np.zeros(len(arr), dtype=np.int64)
+        mags = np.abs(arr[nz])
+        idxs[nz] = np.ceil(np.log(mags) / ln_gamma).astype(np.int64)
+        for v, i in zip(arr, idxs):
+            kind = 0 if v == 0 else (1 if v > 0 else 2)
+            buckets[(kind, int(i) if kind else 0)] += 1
+        # value order: negatives by descending idx, zero, positives asc
+        ordered = sorted(
+            buckets.items(),
+            key=lambda kv: ((0, -kv[0][1]) if kv[0][0] == 2
+                            else (1, 0) if kv[0][0] == 0
+                            else (2, kv[0][1])),
+        )
+        total = len(arr)
+        ests = []
+        for q in qs:
+            rank = int(q * (total - 1))
+            cum = 0
+            est = 0.0
+            for (kind, idx), c in ordered:
+                cum += c
+                if cum > rank:
+                    if kind == 0:
+                        est = 0.0
+                    else:
+                        est = 2.0 * gamma ** idx / (gamma + 1.0)
+                        if kind == 2:
+                            est = -est
+                    break
+            ests.append(round(float(est), ndigits))
+        out[k] = ests
+    return out

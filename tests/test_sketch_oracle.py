@@ -177,3 +177,49 @@ def test_lsh_ann_recall_gate(ray_session):
     # approximate cos values must still be EXACT cosines (pruning only)
     merged = approx.merge(exact, on=["query_id", "id"], suffixes=("_l", "_b"))
     assert np.allclose(merged["cos_l"], merged["cos_b"])
+
+
+def test_ddsketch_quantiles_match_oracle_and_accuracy(ray_session):
+    """Engine sketch == naive oracle restatement on any batching, and
+    each estimate is within relative error alpha of the exact value at
+    the same rank (the DDSketch guarantee)."""
+    import ray.data as rd
+
+    from rayxt.windows import group_quantiles_sketch
+    from tests.oracle.sketches import ddsketch_group_quantiles
+
+    rng = np.random.default_rng(11)
+    keys = np.repeat(["a", "b", "c"], 4000)
+    # heavy-tailed positives + some negatives and zeros in key 'c'
+    vals = np.concatenate([
+        rng.lognormal(0.0, 2.0, 4000),
+        rng.exponential(50.0, 4000),
+        np.concatenate([rng.normal(0, 10, 3990), np.zeros(10)]),
+    ])
+    df = pd.DataFrame({"k": keys, "v": vals})
+    qs, alpha = (0.5, 0.95), 0.01
+
+    # deliberately awkward batching: 7 blocks -> partials merge across
+    # batch boundaries; result must not depend on the split
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    ds = ds.repartition(7)
+    got = (group_quantiles_sketch(ds, key="k", value_col="v", qs=qs,
+                                  alpha=alpha)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    want = ddsketch_group_quantiles(
+        zip(df["k"], df["v"]), qs=qs, alpha=alpha)
+    for _, row in got.iterrows():
+        assert [row["p50"], row["p95"]] == want[row["k"]]
+
+    # accuracy: estimate within alpha relative error of the exact
+    # rank-floor(q*(n-1)) element (zero maps to zero exactly)
+    for k in ("a", "b", "c"):
+        sub = np.sort(df[df["k"] == k]["v"].to_numpy())
+        for q, col in zip(qs, ("p50", "p95")):
+            exact = sub[int(q * (len(sub) - 1))]
+            est = float(got[got["k"] == k][col].iloc[0])
+            if exact == 0:
+                assert est == 0
+            else:
+                assert abs(est / exact - 1.0) <= alpha + 1e-9, (k, q, est, exact)

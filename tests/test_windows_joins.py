@@ -180,3 +180,67 @@ def test_asof_join_preserves_narrow_dtypes(ray_session):
     assert str(got.dtypes["eid_r"]) == "int32"
     assert str(got.dtypes[val_col]) == "float32"
     assert got["eid_r"].tolist() == [7, 7]
+
+
+def test_asof_join_bucketed_matches_unsalted(ray_session, ev_df):
+    """Opt-in hot-key mode must produce exactly the unsalted result."""
+    import ray.data as rd
+
+    from rayxt.joins import asof_join
+
+    left_df = ev_df[ev_df["kind"] == "a"]
+    right_df = ev_df[ev_df["kind"] == "b"]
+    left = rd.from_arrow(pa.Table.from_pandas(
+        left_df[["event_id", "user_id", "ts"]], preserve_index=False))
+    right = rd.from_arrow(pa.Table.from_pandas(
+        right_df[["event_id", "user_id", "ts"]], preserve_index=False))
+    kw = dict(key="user_id", on="ts",
+              left_cols=["event_id", "user_id", "ts"],
+              right_cols=["event_id"], right_suffix="_b")
+    plain = (asof_join(left, right, **kw).to_pandas()
+             .sort_values("event_id").reset_index(drop=True))
+    # ~1h buckets over the synthetic day: plenty of carry traffic
+    salted = (asof_join(left, right, bucket_width=3_600_000_000, **kw)
+              .to_pandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_sessionize_bucketed_matches_unsalted_on_hot_key(ray_session):
+    """A single 10^6-row key is processed in time buckets and merged;
+    result equals the single-pass kernel run on the same data."""
+    import ray.data as rd
+
+    from rayxt.windows import sessionize
+
+    rng = np.random.default_rng(5)
+    n = 1_000_000
+    # bursty stream: mostly small gaps, occasional > gap_s breaks;
+    # a few exact-boundary gaps too
+    gaps = rng.choice([1.0, 10.0, 120.0, 1800.0, 1801.0, 4000.0], size=n,
+                      p=[0.55, 0.3, 0.1, 0.02, 0.02, 0.01])
+    ts = pd.to_datetime((gaps.cumsum() * 1e6).astype("int64"), unit="us")
+    df = pd.DataFrame({"user_id": np.int64(7), "ts": ts})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    ds = ds.repartition(16)
+
+    got = (sessionize(ds, key="user_id", ts_col="ts", gap_s=1800.0,
+                      bucket_s=86_400.0)
+           .to_pandas().sort_values("session_start").reset_index(drop=True))
+
+    # single-pass reference on the driver (exact kernel, same rule)
+    t = df["ts"]
+    brk = t.diff().dt.total_seconds() > 1800.0
+    sid = brk.cumsum()
+    grouped = df.groupby(sid)["ts"]
+    want = pd.DataFrame({
+        "session_start": grouped.min().reset_index(drop=True),
+        "n_events": grouped.size().reset_index(drop=True).astype("int64"),
+        "duration_us": ((grouped.max() - grouped.min())
+                        .reset_index(drop=True)
+                        .to_numpy().astype("timedelta64[us]").astype("int64")),
+    }).sort_values("session_start").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["duration_us"].tolist() == want["duration_us"].tolist()
+    assert (got["session_start"].to_numpy()
+            == want["session_start"].to_numpy()).all()
