@@ -3,16 +3,21 @@
 Schema = rayxt.multimodal.MEDIA_SCHEMA.  Payload formats per kind:
 
 * image -> real PNG (8-bit grey/RGB/RGBA, rows cycling through all
-  five scanline filters so the decoder's filter paths are exercised);
+  five scanline filters so the decoder's filter paths are exercised),
+  with every 4th image row a real baseline JPEG (JFIF, 4:2:0, Annex K
+  tables, quality 85) from the spec-true encoder below;
 * audio -> real RIFF/WAVE PCM16 (1-2 channels);
 * video -> the RAYX raw-frame container (no stdlib-expressible real
   video codec; frame sampling operates on raw frames).
 
 Everything derives from the row index — no randomness, regenerates
 byte-identically anywhere.  ``media_ground_truth(i)`` returns the
-expected decode stats computed from the SOURCE arrays before encoding,
-so golden generation never runs any decoder: the engine must invert
-the encoding to match (an encode/decode round-trip oracle).
+expected decode stats: for the LOSSLESS formats they come from the
+SOURCE arrays before encoding (golden generation runs no decoder —
+the engine must invert the encoding); for the lossy JPEG rows they
+come from the INDEPENDENT naive decoder in
+``tests/oracle/jpeg_oracle.py``, which the engine must match
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -102,6 +107,262 @@ def _wav_encode(samples: np.ndarray, channels: int, sr: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# -- baseline JPEG encoder (spec-true, stdlib+numpy) ------------------------
+# Annex K example tables (ITU-T T.81); 4:2:0 subsampling; quality 85 via
+# the libjpeg scaling formula.  The engine and oracle decoders read all
+# tables from the bitstream, so these constants live only here.
+
+_JQT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64).reshape(8, 8)
+_JQT_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64).reshape(8, 8)
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+_DC_LUM_BITS = (0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_LUM_VALS = tuple(range(12))
+_DC_CHR_BITS = (0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_DC_CHR_VALS = tuple(range(12))
+_AC_LUM_BITS = (0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_LUM_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA)
+_AC_CHR_BITS = (0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_AC_CHR_VALS = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA)
+
+
+def _jpeg_quality_tables(quality: int):
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    def q(base):
+        t = (base * scale + 50) // 100
+        return np.clip(t, 1, 255).astype(np.int64)
+    return q(_JQT_LUM), q(_JQT_CHR)
+
+
+def _huff_codes(bits, vals):
+    """(bits, vals) -> {symbol: (code, length)} per T.81 C.2."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DCT_M = None
+
+
+def _dct_matrix() -> np.ndarray:
+    global _DCT_M
+    if _DCT_M is None:
+        u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        m[0, :] = m[0, :] / np.sqrt(2.0)
+        _DCT_M = m
+    return _DCT_M
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int):
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _magnitude(v: int):
+    """JPEG magnitude category + appended bits."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(bw, block_q, prev_dc, dc_codes, ac_codes):
+    zz = block_q.flatten()[_ZIGZAG]
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - prev_dc)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def _jpeg_encode(rgb: np.ndarray, quality: int = 85) -> bytes:
+    """Baseline JFIF: YCbCr, 4:2:0, Annex K huffman tables."""
+    h, w, _ = rgb.shape
+    qt_l, qt_c = _jpeg_quality_tables(quality)
+    m = _dct_matrix()
+
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+
+    # pad to a multiple of 16 by edge replication (MCU = 16x16 at 4:2:0)
+    ph = (h + 15) // 16 * 16
+    pw = (w + 15) // 16 * 16
+
+    def pad(p):
+        return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    y, cb, cr = pad(y), pad(cb), pad(cr)
+    # 4:2:0: average each 2x2
+    cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    def quant_block(plane, by, bx, qt):
+        blk = plane[by:by + 8, bx:bx + 8] - 128.0
+        coef = m @ blk @ m.T
+        return np.round(coef / qt).astype(np.int64)
+
+    dc_l = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_l = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_c = _huff_codes(_DC_CHR_BITS, _DC_CHR_VALS)
+    ac_c = _huff_codes(_AC_CHR_BITS, _AC_CHR_VALS)
+
+    bw = _BitWriter()
+    prev = [0, 0, 0]  # Y, Cb, Cr DC predictors
+    for my in range(0, ph, 16):
+        for mx in range(0, pw, 16):
+            for sy in (0, 8):
+                for sx in (0, 8):
+                    prev[0] = _encode_block(
+                        bw, quant_block(y, my + sy, mx + sx, qt_l),
+                        prev[0], dc_l, ac_l)
+            prev[1] = _encode_block(
+                bw, quant_block(cb, my // 2, mx // 2, qt_c),
+                prev[1], dc_c, ac_c)
+            prev[2] = _encode_block(
+                bw, quant_block(cr, my // 2, mx // 2, qt_c),
+                prev[2], dc_c, ac_c)
+    bw.flush()
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    def dqt(tid: int, qt) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(
+            int(qt.flatten()[_ZIGZAG][k]) for k in range(64)))
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits[1:17])
+                   + bytes(vals))
+
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+              + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    sos = seg(0xDA, bytes([3]) + bytes([1, 0x00]) + bytes([2, 0x11])
+              + bytes([3, 0x11]) + bytes([0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
+               + bytes([0, 0]))
+    return (b"\xFF\xD8" + app0 + dqt(0, qt_l) + dqt(1, qt_c) + sof
+            + dht(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
+            + dht(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
+            + dht(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
+            + dht(1, 1, _AC_CHR_BITS, _AC_CHR_VALS)
+            + sos + bytes(bw.out) + b"\xFF\xD9")
+
+
 def _image_spec(i: int):
     w = 8 + _h(i, "w") % 40
     h = 8 + _h(i, "h") % 40
@@ -120,12 +381,22 @@ def _audio_samples(i: int, n: int, channels: int) -> np.ndarray:
         .clip(-32768, 32767).astype(np.int16)
 
 
+def _is_jpeg_row(i: int) -> bool:
+    """Every 4th image row carries a baseline JPEG instead of a PNG."""
+    return i % 3 == 0 and (i // 3) % 4 == 3
+
+
 def media_row(i: int) -> dict:
     kind = ("image", "audio", "video")[i % 3]
     if kind == "image":
         w, h, colour = _image_spec(i)
-        arr = _body(i, h * w * _PNG_CH[colour]).reshape(h, w * _PNG_CH[colour])
-        payload = _png_encode(arr, colour)
+        if _is_jpeg_row(i):
+            src = _body(i, h * w * 3).reshape(h, w, 3)
+            payload = _jpeg_encode(src, 85)
+        else:
+            arr = _body(i, h * w * _PNG_CH[colour]).reshape(
+                h, w * _PNG_CH[colour])
+            payload = _png_encode(arr, colour)
         frames = 1
     elif kind == "audio":
         n, channels = _audio_spec(i)
@@ -151,6 +422,19 @@ def media_ground_truth(i: int) -> dict:
     kind = ("image", "audio", "video")[i % 3]
     if kind == "image":
         w, h, colour = _image_spec(i)
+        if _is_jpeg_row(i):
+            # JPEG is LOSSY, so source-array stats cannot serve as the
+            # round-trip truth; the golden instead comes from the
+            # INDEPENDENT naive decoder (tests/oracle/jpeg_oracle.py —
+            # its own parser; IDCT/upsample/color are shared spec), and
+            # the engine decoder must match it bit-for-bit.
+            from tests.oracle.jpeg_oracle import oracle_decode_jpeg
+
+            src = _body(i, h * w * 3).reshape(h, w, 3)
+            dec = oracle_decode_jpeg(_jpeg_encode(src, 85))
+            return {"width": w, "height": h, "n_frames": 1,
+                    "mean_value": round(float(dec.mean()), 6),
+                    "decode_status": "ok"}
         arr = _body(i, h * w * _PNG_CH[colour])
         return {"width": w, "height": h, "n_frames": 1,
                 "mean_value": round(float(arr.mean()), 6),

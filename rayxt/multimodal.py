@@ -11,12 +11,18 @@ format specs, stdlib+numpy only):
 * **PNG** (`_decode_png`): 8-bit greyscale / RGB / RGBA,
   non-interlaced — signature, chunk walk, concatenated-IDAT zlib
   inflate, scanline unfiltering (None/Sub/Up/Average/Paeth);
+* **JPEG** (`_decode_jpeg`): baseline sequential DCT (SOF0, 8-bit,
+  any sampling factors, optional restart intervals) — marker walk,
+  canonical huffman from DHT, dequantize, float64 IDCT, nearest
+  upsample, JFIF YCbCr->RGB.  Verified bit-identical against the
+  independent naive decoder in ``tests/oracle/jpeg_oracle.py``;
+  progressive/arithmetic JPEG raises ``NotImplementedError``;
 * **WAV** (`_decode_wav`): RIFF PCM16, any channel count;
 * **RAYX**: the deterministic synthetic container used for video
   fixtures (raw frames), kept as the frame-sampling substrate.
 
-Anything else (JPEG, MP4, …) needs codec libraries absent from this
-image and raises ``NotImplementedError`` -> ``decode_status
+Anything else (MP4, …) needs codec libraries absent from this image
+and raises ``NotImplementedError`` -> ``decode_status
 unsupported_codec``.  Heavy formats would slot into the same
 actor-pool stage (decoders are per-actor state).
 """
@@ -139,6 +145,265 @@ def _decode_png(payload: bytes):
     return w, h, 1, float(recon.mean()) if recon.size else 0.0
 
 
+# -- baseline JPEG (ITU-T T.81, pure numpy) ---------------------------------
+
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+_JPEG_IDCT_M = None
+
+
+def _jpeg_idct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT basis (float64).  SHARED SPEC with the
+    conformance oracle (tests/oracle/jpeg_oracle.py builds the same
+    matrix the same way so rounding is bit-identical)."""
+    global _JPEG_IDCT_M
+    if _JPEG_IDCT_M is None:
+        u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        m[0, :] = m[0, :] / np.sqrt(2.0)
+        _JPEG_IDCT_M = m
+    return _JPEG_IDCT_M
+
+
+class _JpegBitReader:
+    """Entropy-coded segment reader: un-stuffs FF00, stops at markers,
+    resets cleanly at RSTn."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker = None
+
+    def _fill(self):
+        d = self.data
+        while self.n <= 24:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) | 0
+                self.n += 8
+                continue
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                else:  # a real marker terminates the entropy segment
+                    self.marker = nxt
+                    self.acc = (self.acc << 8) | 0
+                    self.n += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self):
+        """Skip to just after the RSTn marker, clearing bit state."""
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        self.pos = p + 2
+        self.acc = 0
+        self.n = 0
+        self.marker = None
+
+
+def _jpeg_build_huff(bits, vals):
+    """(BITS, HUFFVAL) -> {(length, code): symbol} per T.81 C.2."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_decode_huff(br: _JpegBitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """Sign-extend a magnitude-category value (T.81 F.2.2.1)."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg_array(payload: bytes) -> np.ndarray:
+    """Baseline JFIF -> (h, w, ncomp) uint8.
+
+    Supports: baseline sequential DCT (SOF0), 8-bit, 1-4 components,
+    any sampling factors dividing the max, optional restart intervals.
+    Progressive (SOF2) and arithmetic coding raise NotImplementedError.
+    """
+    if not payload.startswith(b"\xFF\xD8"):
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = []  # (id, h_samp, v_samp, qt_id)
+    w = h = None
+    restart_interval = 0
+    pos = 2
+    data = payload
+    scan_comps = None
+    scan_pos = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_JPEG_ZIGZAG] = np.frombuffer(
+                    body[p + 1:p + 65], dtype=np.uint8).astype(np.int64)
+                qt[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17:p + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _jpeg_build_huff(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("non-8-bit JPEG")
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (progressive etc.)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tables = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append((cid, tables >> 4, tables & 0xF))
+            scan_pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if w is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    m = _jpeg_idct_matrix()
+
+    planes = {}
+    for cid, hs, vs, _tq in comps:
+        planes[cid] = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8),
+                               dtype=np.float64)
+    by_id = {c[0]: c for c in comps}
+
+    br = _JpegBitReader(data, scan_pos)
+    pred = {cid: 0 for cid, _, _ in scan_comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.align_restart()
+                pred = {cid: 0 for cid in pred}
+            mcu_count += 1
+            for cid, dc_id, ac_id in scan_comps:
+                _, hs, vs, tq = by_id[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = np.zeros(64, dtype=np.int64)
+                        size = _jpeg_decode_huff(br, huff_dc[dc_id])
+                        diff = _jpeg_extend(br.read_bits(size), size) \
+                            if size else 0
+                        pred[cid] += diff
+                        coef[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_huff(br, huff_ac[ac_id])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            coef[k] = _jpeg_extend(br.read_bits(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.int64)
+                        block[_JPEG_ZIGZAG] = coef
+                        deq = (block.reshape(8, 8) * qt[tq]).astype(np.float64)
+                        pix = m.T @ deq @ m + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = pix
+
+    out = np.zeros((h, w, len(comps)), dtype=np.float64)
+    for k, (cid, hs, vs, _tq) in enumerate(comps):
+        up = planes[cid].repeat(vmax // vs, axis=0).repeat(hmax // hs, axis=1)
+        out[:, :, k] = up[:h, :w]
+    if len(comps) == 3:
+        y_, cb, cr = out[:, :, 0], out[:, :, 1], out[:, :, 2]
+        rgb = np.empty_like(out)
+        rgb[:, :, 0] = y_ + 1.402 * (cr - 128.0)
+        rgb[:, :, 1] = (y_ - 0.344136286 * (cb - 128.0)
+                        - 0.714136286 * (cr - 128.0))
+        rgb[:, :, 2] = y_ + 1.772 * (cb - 128.0)
+        out = rgb
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg(payload: bytes):
+    """JPEG -> (w, h, 1, mean over decoded channel bytes)."""
+    arr = _decode_jpeg_array(payload)
+    return arr.shape[1], arr.shape[0], 1, \
+        float(arr.mean()) if arr.size else 0.0
+
+
 def _decode_wav(payload: bytes):
     """RIFF/WAVE PCM16 -> (samples_per_channel, channels, 1, sample mean)."""
     if payload[8:12] != b"WAVE":
@@ -176,6 +441,8 @@ def _decode_payload(payload: bytes):
         raise ValueError("short payload")
     if payload.startswith(_PNG_SIG):
         return _decode_png(payload)
+    if payload.startswith(b"\xFF\xD8"):
+        return _decode_jpeg(payload)
     if payload.startswith(b"RIFF"):
         return _decode_wav(payload)
     if not payload.startswith(_MAGIC):
@@ -226,8 +493,11 @@ class ResizeImages:
     """Actor-pool stage: nearest-neighbor resize, payload -> payload.
 
     Real PNGs are decoded, resized per channel and re-encoded as PNG;
-    RAYX raw-frame payloads are resized frame by frame.  Audio (and any
-    unsupported format) passes through unchanged."""
+    JPEGs are decoded and re-encoded as (lossless) PNG — resizing is a
+    pipeline transform, not a format preserver, and re-encoding lossy
+    JPEG would compound generation loss; RAYX raw-frame payloads are
+    resized frame by frame.  Audio (and any unsupported format) passes
+    through unchanged."""
 
     def __init__(self, target_w: int = 32, target_h: int = 32):
         self.tw, self.th = target_w, target_h
@@ -240,8 +510,17 @@ class ResizeImages:
             xi = np.arange(self.tw) * w // self.tw
             out = img[np.ix_(yi, xi)].reshape(self.th, self.tw * ch)
             return _encode_png(out, colour)
+        if payload.startswith(b"\xFF\xD8"):
+            img = _decode_jpeg_array(payload)  # (h, w, ch) uint8
+            h, w, ch = img.shape
+            yi = np.arange(self.th) * h // self.th
+            xi = np.arange(self.tw) * w // self.tw
+            out = img[np.ix_(yi, xi)].reshape(self.th, self.tw * ch)
+            colour = {1: 0, 3: 2, 4: 6}[ch]
+            return _encode_png(out, colour)
         if not payload.startswith(_MAGIC):
-            raise NotImplementedError("resize supports PNG and RAYX payloads")
+            raise NotImplementedError(
+                "resize supports PNG, JPEG and RAYX payloads")
         w, h, frames, _ = _decode_payload(payload)
         body = np.frombuffer(payload, dtype=np.uint8, offset=16)
         frame_px = w * h

@@ -112,8 +112,11 @@ def test_media_decode_round_trips_ground_truth():
             gt["width"], gt["height"], gt["n_frames"], gt["mean_value"]
         ), f"row {i} ({row['kind']})"
     assert kinds == {"image", "audio", "video"}
+    # JPEG is supported now; a truncated/garbage JPEG is a poison row
+    with pytest.raises(ValueError):
+        _decode_payload(b"\xff\xd8\xff\xe0" + b"\0" * 30)
     with pytest.raises(NotImplementedError):
-        _decode_payload(b"\xff\xd8\xff\xe0" + b"\0" * 30)  # JPEG magic
+        _decode_payload(b"\x00\x00\x00\x18ftypmp42" + b"\0" * 30)  # MP4
 
 
 def test_ivf_ann_recall_gate(ray_session):
@@ -223,3 +226,29 @@ def test_ddsketch_quantiles_match_oracle_and_accuracy(ray_session):
                 assert est == 0
             else:
                 assert abs(est / exact - 1.0) <= alpha + 1e-9, (k, q, est, exact)
+
+
+def test_jpeg_engine_matches_independent_oracle():
+    """Engine JPEG decoder == tests/oracle/jpeg_oracle.py bit-for-bit
+    on every JPEG fixture row, and the decode is a faithful lossy
+    round trip of the source (bounded RMSE)."""
+    from fixtures.gen_media import _body, _image_spec, _is_jpeg_row, media_row
+    from rayxt.multimodal import _decode_jpeg_array
+    from tests.oracle.jpeg_oracle import oracle_decode_jpeg
+
+    checked = 0
+    for i in range(0, 300):
+        if not _is_jpeg_row(i):
+            continue
+        row = media_row(i)
+        a = _decode_jpeg_array(row["payload"])
+        b = oracle_decode_jpeg(row["payload"])
+        assert (a == b).all(), f"engine/oracle divergence on media_id {i}"
+        w, h, _ = _image_spec(i)
+        assert a.shape == (h, w, 3)
+        src = _body(i, h * w * 3).reshape(h, w, 3).astype(np.float64)
+        rmse = float(np.sqrt(((a.astype(np.float64) - src) ** 2).mean()))
+        # uniform-noise source is the worst case for JPEG q85
+        assert rmse < 80.0, (i, rmse)
+        checked += 1
+    assert checked >= 20
