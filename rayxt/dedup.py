@@ -217,23 +217,26 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str = "text", *, k: int = 3,
         num_cpus=1,
     ).materialize()  # checkpoint: band expansion + verify both read it
 
+    # checkpointed: 24-byte rows (~5x smaller than the sig table that is
+    # already materialized above), and feeding the bucket groupby from a
+    # live stream pays a measurable fixed shuffle-map penalty on this VM
     buckets = sigs.map_batches(
         _band_bucket_rows,
         fn_kwargs=dict(id_col=id_col, bands=bands,
                        rows_per_band=num_perm // bands),
         batch_format="pyarrow",
-    )
+    ).materialize()
 
-    def ids_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def ids_of_bucket(g: pd.DataFrame) -> pa.Table:
         ids = g[id_col].sort_values().head(max_bucket).tolist()
         out_a = [ids[x] for x in range(len(ids)) for _ in range(x + 1, len(ids))]
         out_b = [ids[y] for x in range(len(ids)) for y in range(x + 1, len(ids))]
-        # typed columns even when empty: Ray Data needs a schema from
-        # every block or an all-empty candidate set breaks the groupby
-        return pd.DataFrame(
-            {"id_a": pd.Series(out_a, dtype="int64"),
-             "id_b": pd.Series(out_b, dtype="int64")}
-        )
+        # typed columns even when empty (Ray Data needs a schema from
+        # every block), and ARROW blocks: the downstream pair aggregate
+        # is vectorized on arrow blocks but pays ~5ms per distinct pair
+        # on pandas blocks (Ray sort-aggregate slow path)
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64())})
 
     from ray.data.aggregate import Count
 
@@ -326,11 +329,13 @@ def simhash_pairs(ds, id_col: str, text_col: str = "text", *,
              "simhash": pa.array(rows_h, pa.int64())}
         )
 
+    # checkpointed (32-byte rows): see the minhash bucket note — a
+    # groupby fed from a live stream pays a fixed shuffle-map penalty
     sig = ds.select_columns([id_col, text_col]).map_batches(
         sig_batch, batch_format="pyarrow"
-    )
+    ).materialize()
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(id_col).head(max_bucket)
         ids = g[id_col].tolist()
         hs = [h + (1 << 63) for h in g["simhash"].tolist()]
@@ -342,11 +347,11 @@ def simhash_pairs(ds, id_col: str, text_col: str = "text", *,
                     out_a.append(ids[x])
                     out_b.append(ids[y])
                     out_d.append(d)
-        return pd.DataFrame(
-            {"id_a": pd.Series(out_a, dtype="int64"),
-             "id_b": pd.Series(out_b, dtype="int64"),
-             "hamming": pd.Series(out_d, dtype="int64")}
-        )
+        # arrow blocks: the pair aggregate below is vectorized on arrow
+        # but ~5ms per distinct pair on pandas blocks
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "hamming": pa.array(out_d, pa.int64())})
 
     cand = sig.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
 

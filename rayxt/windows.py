@@ -227,19 +227,28 @@ def group_quantiles_sketch(ds, *, key: str, value_col: str,
     gamma = _dd_gamma(alpha)
     names = [f"p{int(q * 100)}" for q in qs]
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame):
+        import pyarrow as pa
+
         vals = df[value_col].to_numpy(dtype=np.float64)
         kind, idx = _dd_buckets(vals, gamma)
         g = (pd.DataFrame({key: df[key], "kind": kind, "idx": idx})
              .groupby([key, "kind", "idx"], sort=False)
              .size().rename("count").reset_index())
         g["count"] = g["count"].astype("int64")
-        return g
+        # emit ARROW blocks: Ray's sort-aggregate reduce is vectorized on
+        # arrow blocks but costs ~5ms PER DISTINCT GROUP on pandas blocks
+        # (measured 8.5s vs 1.0s for the same 1924-group merge)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
+    # checkpoint the partials: they are tiny (<= keys x buckets rows per
+    # input block) and feeding a groupby from a live stream measurably
+    # re-executes/slows the shuffle map side (~4s fixed on this VM)
+    partials = ds.map_batches(partial, batch_format="pandas").materialize()
     merged = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby([key, "kind", "idx"])
+        partials.groupby([key, "kind", "idx"])
         .aggregate(Sum("count", alias_name="count"))
+        .materialize()  # <= keys x buckets rows; same shuffle-feed note
     )
 
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
