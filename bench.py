@@ -84,13 +84,24 @@ def run_bench() -> dict:
 
     # headline: ONE streaming execution — read -> actor-pool extract ->
     # hive-partitioned shard write, zero all-to-all exchanges (the
-    # streaming sink; see rayxt/pipeline.py sink-mode notes)
-    t0 = time.time()
-    ex = extract_pages(read_pages(pages), concurrency=pool, batch_size=128)
-    summary = write_partitioned_streaming(
-        ex, out_dir, num_partitions=128, resume=False
-    )
-    headline = time.time() - t0
+    # streaming sink; see rayxt/pipeline.py sink-mode notes).  Median of
+    # >= 3 in-process repeats: this VM drifts +-15-30% run to run (the
+    # interleaved A/B protocol in BENCH/BASELINE.md measured 26-36s for
+    # the IDENTICAL configuration), so a single draw is noise-ambiguous.
+    import statistics
+
+    h_trials = int(os.environ.get("RAYXT_HEADLINE_TRIALS", "3"))
+    h_times = []
+    for _ in range(h_trials):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        ex = extract_pages(read_pages(pages), concurrency=pool,
+                           batch_size=128)
+        summary = write_partitioned_streaming(
+            ex, out_dir, num_partitions=128, resume=False
+        )
+        h_times.append(time.time() - t0)
+    headline = statistics.median(h_times)
     n_docs = int(summary["rows"].sum())
     queries["extract_write"] = round(headline, 3)
     # per-stage ds.stats() of the executed headline plan (BASELINE.md
@@ -174,7 +185,10 @@ def run_scaling() -> None:
     """
 
     def one(ncpu: int) -> dict:
+        # one headline run per child: this mode medians across FRESH
+        # processes already; in-process repeats would cube the cost
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAYXT_HEADLINE_TRIALS="1",
                    RAYXT_BENCH_EXTRACT=os.environ.get("RAYXT_BENCH_EXTRACT", "1"))
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
