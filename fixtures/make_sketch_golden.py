@@ -30,6 +30,7 @@ from tests.oracle.sketches import (  # noqa: E402
     oracle_langid,
     oracle_lsh_topk,
     oracle_minhash_pairs,
+    oracle_ngram_jaccard_pairs,
     oracle_simhash_pairs,
 )
 
@@ -53,6 +54,13 @@ def main() -> None:
         "id_b": pa.array([p[1] for p in mh], pa.int64()),
         "jaccard": pa.array([p[2] for p in mh], pa.float64()),
     }), os.path.join(DATA_DIR, "golden_minhash_pairs.parquet"))
+
+    nj = oracle_ngram_jaccard_pairs(ids, texts, threshold=0.5)
+    pq.write_table(pa.table({
+        "id_a": pa.array([p[0] for p in nj], pa.int64()),
+        "id_b": pa.array([p[1] for p in nj], pa.int64()),
+        "jaccard": pa.array([p[2] for p in nj], pa.float64()),
+    }), os.path.join(DATA_DIR, "golden_jaccard_pairs.parquet"))
 
     sh = oracle_simhash_pairs(ids, texts, max_hamming=3)
     pq.write_table(pa.table({
@@ -147,7 +155,8 @@ def main() -> None:
         "hits": pa.array([totals[r] for r in rules], pa.int64()),
     }), os.path.join(DATA_DIR, "golden_rule_hits.parquet"))
 
-    for name in ("golden_minhash_pairs", "golden_simhash_pairs",
+    for name in ("golden_minhash_pairs", "golden_jaccard_pairs",
+                 "golden_simhash_pairs",
                  "golden_neardup_clusters", "golden_langid",
                  "golden_fingerprint", "golden_ann_lsh", "golden_ann_ivf",
                  "golden_media_decode", "golden_rule_hits",

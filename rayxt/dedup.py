@@ -36,6 +36,7 @@ __all__ = [
     "simhash_of",
     "simhash_pairs",
     "ngram_jaccard",
+    "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
 ]
 
@@ -173,6 +174,47 @@ def _band_bucket_rows(batch: pa.Table, *, id_col: str, bands: int,
     )
 
 
+def _lsh_candidate_pairs(sigs, *, id_col: str, bands: int,
+                         rows_per_band: int, max_bucket: int):
+    """Band-bucket expansion + bucket-local pair emission + pure-aggregate
+    pair dedup over a materialized ``(id, sig)`` table.  Shared by the
+    estimated-Jaccard (``minhash_lsh_pairs``) and exact-Jaccard
+    (``ngram_jaccard_pairs``) verify paths."""
+    # checkpointed: 24-byte rows (~5x smaller than the sig table that is
+    # already materialized), and feeding the bucket groupby from a live
+    # stream pays a measurable fixed shuffle-map penalty on this VM
+    buckets = sigs.map_batches(
+        _band_bucket_rows,
+        fn_kwargs=dict(id_col=id_col, bands=bands,
+                       rows_per_band=rows_per_band),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def ids_of_bucket(g: pd.DataFrame) -> pa.Table:
+        ids = g[id_col].sort_values().head(max_bucket).tolist()
+        out_a = [ids[x] for x in range(len(ids)) for _ in range(x + 1, len(ids))]
+        out_b = [ids[y] for x in range(len(ids)) for y in range(x + 1, len(ids))]
+        # typed columns even when empty (Ray Data needs a schema from
+        # every block), and ARROW blocks: the downstream pair aggregate
+        # is vectorized on arrow blocks but pays ~5ms per distinct pair
+        # on pandas blocks (Ray sort-aggregate slow path)
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    # pair dedup via a pure aggregate (hash-partitioned, vectorized) —
+    # NOT map_groups: candidate pairs form millions of 1-2 row groups
+    # and a per-group pandas UDF would dominate wall time at scale.
+    return (
+        buckets.groupby(["band", "bucket"])
+        .map_groups(ids_of_bucket, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     sa = set(" ".join(t) for t in _tok_shingles(a, k))
     sb = set(" ".join(t) for t in _tok_shingles(b, k))
@@ -217,39 +259,9 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str = "text", *, k: int = 3,
         num_cpus=1,
     ).materialize()  # checkpoint: band expansion + verify both read it
 
-    # checkpointed: 24-byte rows (~5x smaller than the sig table that is
-    # already materialized above), and feeding the bucket groupby from a
-    # live stream pays a measurable fixed shuffle-map penalty on this VM
-    buckets = sigs.map_batches(
-        _band_bucket_rows,
-        fn_kwargs=dict(id_col=id_col, bands=bands,
-                       rows_per_band=num_perm // bands),
-        batch_format="pyarrow",
-    ).materialize()
-
-    def ids_of_bucket(g: pd.DataFrame) -> pa.Table:
-        ids = g[id_col].sort_values().head(max_bucket).tolist()
-        out_a = [ids[x] for x in range(len(ids)) for _ in range(x + 1, len(ids))]
-        out_b = [ids[y] for x in range(len(ids)) for y in range(x + 1, len(ids))]
-        # typed columns even when empty (Ray Data needs a schema from
-        # every block), and ARROW blocks: the downstream pair aggregate
-        # is vectorized on arrow blocks but pays ~5ms per distinct pair
-        # on pandas blocks (Ray sort-aggregate slow path)
-        return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                         "id_b": pa.array(out_b, pa.int64())})
-
-    from ray.data.aggregate import Count
-
-    # pair dedup via a pure aggregate (hash-partitioned, vectorized) —
-    # NOT map_groups: candidate pairs form millions of 1-2 row groups
-    # and a per-group pandas UDF would dominate wall time at scale.
-    cand = (
-        buckets.groupby(["band", "bucket"])
-        .map_groups(ids_of_bucket, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
+    cand = _lsh_candidate_pairs(sigs, id_col=id_col, bands=bands,
+                                rows_per_band=num_perm // bands,
+                                max_bucket=max_bucket)
 
     sig_a = sigs.map_batches(
         lambda t: pa.table({"id_a": t[id_col], "sig_a": t["sig"]}),
@@ -282,6 +294,97 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str = "text", *, k: int = 3,
             "id_a": pa.array(ia[keep], pa.int64()),
             "id_b": pa.array(ib[keep], pa.int64()),
             "jaccard": pa.array(est[keep], pa.float64()),
+        })
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def _shingle_set_rows(batch: pa.Table, *, id_col: str, text_col: str,
+                      k: int) -> pa.Table:
+    """(id, text) -> (id, sh): the doc's unique k-token shingle hashes as
+    packed SORTED little-endian int64 bytes.  8 bytes per shingle cross
+    the verify joins instead of the text; sortedness lets the per-pair
+    verify intersect two arrays with one linear merge."""
+    ids = batch[id_col].to_pylist()
+    packed = [np.sort(_shingle_hashes(t or "", k)).astype("<i8").tobytes()
+              for t in batch[text_col].to_pylist()]
+    return pa.table({id_col: pa.array(ids),
+                     "sh": pa.array(packed, pa.binary())})
+
+
+def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text", *, k: int = 3,
+                        num_perm: int = 64, bands: int = 16,
+                        threshold: float = 0.7, max_bucket: int = 64,
+                        concurrency=(1, 4), join_partitions: int = 8):
+    """Exact n-gram Jaccard near-dup: LSH candidate generation (same
+    band/bucket stage as :func:`minhash_lsh_pairs`) followed by EXACT
+    Jaccard verification over each doc's hashed k-token shingle set.
+
+    Returns unique pairs ``(id_a, id_b, jaccard)`` with ``id_a < id_b``
+    and exact Jaccard (|A∩B| / |A∪B| over 64-bit shingle hashes, rounded
+    to 6 digits) >= threshold.  Exchange accounting: candidates come
+    from 24-byte band rows; the verify joins move one sorted shingle-hash
+    array (8 bytes/shingle) per candidate side — the text itself never
+    crosses an exchange.
+    """
+    narrow = ds.select_columns([id_col, text_col])
+    sigs = narrow.map_batches(
+        minhash_signatures,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, k=k, num_perm=num_perm, bands=bands
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    ).materialize()  # checkpoint: feeds the band expansion
+
+    shingles = narrow.map_batches(
+        _shingle_set_rows,
+        fn_kwargs=dict(id_col=id_col, text_col=text_col, k=k),
+        batch_format="pyarrow",
+    ).materialize()  # checkpoint: both verify joins read it
+
+    cand = _lsh_candidate_pairs(sigs, id_col=id_col, bands=bands,
+                                rows_per_band=num_perm // bands,
+                                max_bucket=max_bucket)
+
+    sh_a = shingles.map_batches(
+        lambda t: pa.table({"id_a": t[id_col], "sh_a": t["sh"]}),
+        batch_format="pyarrow",
+    )
+    sh_b = shingles.map_batches(
+        lambda t: pa.table({"id_b": t[id_col], "sh_b": t["sh"]}),
+        batch_format="pyarrow",
+    )
+    joined = cand.join(
+        sh_a, "inner", num_partitions=join_partitions, on=("id_a",)
+    ).join(sh_b, "inner", num_partitions=join_partitions, on=("id_b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        jac = np.empty(t.num_rows, dtype=np.float64)
+        for i, (pa_bytes, pb_bytes) in enumerate(
+                zip(t["sh_a"].to_pylist(), t["sh_b"].to_pylist())):
+            a = np.frombuffer(pa_bytes, dtype="<i8")
+            b = np.frombuffer(pb_bytes, dtype="<i8")
+            # both sides pre-sorted & unique: one linear merge per pair
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            jac[i] = inter / union if union else 1.0
+        jac = np.round(jac, 6)
+        keep = jac >= threshold
+        if not keep.any():
+            return empty
+        ia = np.asarray(t["id_a"].to_pylist(), dtype=np.int64)
+        ib = np.asarray(t["id_b"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "id_a": pa.array(ia[keep], pa.int64()),
+            "id_b": pa.array(ib[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
         })
 
     return joined.map_batches(verify, batch_format="pyarrow")

@@ -91,6 +91,40 @@ def oracle_minhash_pairs(ids, texts, *, k: int = 3, num_perm: int = 64,
     return sorted((ia, ib, j) for (ia, ib), j in pairs.items())
 
 
+def oracle_ngram_jaccard_pairs(ids, texts, *, k: int = 3, num_perm: int = 64,
+                               bands: int = 16, threshold: float = 0.7,
+                               max_bucket: int = 64) -> list[tuple[int, int, float]]:
+    """All (id_a < id_b, jaccard) pairs that share at least one LSH band
+    bucket (same candidate generation as ``oracle_minhash_pairs``) whose
+    EXACT Jaccard over 64-bit-hashed k-token shingle sets >= threshold —
+    plain Python sets, no arrays."""
+    a, b = minhash_perm_params(num_perm)
+    rows_per_band = num_perm // bands
+    shingle_sets: dict[int, set[int]] = {}
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i, text in zip(ids, texts):
+        shingle_sets[i] = {sha1_int64(s) for s in token_shingles(text or "", k)}
+        sig = minhash_signature(text or "", a, b, k)
+        for band in range(bands):
+            seg = sig[band * rows_per_band:(band + 1) * rows_per_band]
+            key = sha1_int64(f"{band}:" + ",".join(map(str, seg)))
+            buckets[(band, key)].append(i)
+    pairs: dict[tuple[int, int], float] = {}
+    for members in buckets.values():
+        members = sorted(members)[:max_bucket]
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                ia, ib = members[x], members[y]
+                if (ia, ib) in pairs:
+                    continue
+                sa, sb = shingle_sets[ia], shingle_sets[ib]
+                union = len(sa | sb)
+                jac = (len(sa & sb) / union) if union else 1.0
+                if round(jac, 6) >= threshold:
+                    pairs[(ia, ib)] = round(jac, 6)
+    return sorted((ia, ib, j) for (ia, ib), j in pairs.items())
+
+
 # -- SimHash ----------------------------------------------------------------
 
 

@@ -13,6 +13,7 @@ from tests.oracle.sketches import (
     oracle_fingerprint,
     oracle_langid,
     oracle_minhash_pairs,
+    oracle_ngram_jaccard_pairs,
     oracle_simhash_pairs,
 )
 
@@ -59,6 +60,28 @@ def test_minhash_pairs_match_oracle(docs_ds):
     assert [(int(a), int(b), round(j, 6)) for a, b, j in got] == \
            [(int(a), int(b), j) for a, b, j in want]
     assert len(want) > 0  # planted families must surface
+
+
+def test_ngram_jaccard_pairs_match_oracle(docs_ds):
+    from rayxt.dedup import ngram_jaccard_pairs
+
+    ds, ids, texts = docs_ds
+    got = ngram_jaccard_pairs(ds, "doc_id", threshold=0.5,
+                              concurrency=1).to_pandas()
+    got = sorted((int(a), int(b), round(float(j), 6))
+                 for a, b, j in got[["id_a", "id_b", "jaccard"]].to_numpy())
+    want = oracle_ngram_jaccard_pairs(ids, texts, threshold=0.5)
+    assert got == [(int(a), int(b), j) for a, b, j in want]
+    assert len(got) > 0  # planted families must surface
+    # exact Jaccard, not the MinHash estimate: the one-token mutations
+    # must come out at their true similarity (38 shared / 44 union of
+    # 3-shingles for a single mid-doc substitution is ~0.7-0.9, never 1.0
+    # unless the mutation re-picked the same token)
+    est = {(a, b): j for a, b, j in
+           oracle_minhash_pairs(ids, texts, threshold=0.5)}
+    exact = {(a, b): j for a, b, j in want}
+    both = set(est) & set(exact)
+    assert both and any(abs(est[p] - exact[p]) > 1e-9 for p in both)
 
 
 def test_simhash_pairs_match_oracle(docs_ds):
