@@ -373,21 +373,22 @@ def corpus_stats(ds):
     per batch), so the shuffle moves partials, not rows."""
 
     def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = t.select(["lang", "n_chars", "html_len", "status"]).to_pandas()
-        df["is_ok"] = (df["status"] == "ok").astype("int64")
-        g = (
-            df.groupby("lang", sort=False)
-            .agg(
-                docs=("lang", "size"),
-                ok_docs=("is_ok", "sum"),
-                chars_out=("n_chars", "sum"),
-                bytes_in=("html_len", "sum"),
-            )
-            .reset_index()
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        is_ok = pc.cast(pc.equal(t["status"], "ok"), pa.int64())
+        narrow = pa.table({
+            "lang": t["lang"],
+            "is_ok": is_ok,
+            "n_chars": t["n_chars"],
+            "html_len": t["html_len"],
+        })
+        # null-lang rows are dropped (the former pandas-groupby behavior;
+        # Arrow's group_by would keep a null key with count=0 instead)
+        narrow = narrow.filter(pc.is_valid(narrow["lang"]))
+        g = narrow.group_by("lang").aggregate([
+            ("lang", "count"), ("is_ok", "sum"),
+            ("n_chars", "sum"), ("html_len", "sum"),
+        ])
+        return g.rename_columns(
+            ["lang", "docs", "ok_docs", "chars_out", "bytes_in"])
 
     from ray.data.aggregate import Sum
 
