@@ -286,8 +286,13 @@ def _encode_block(bw, block_q, prev_dc, dc_codes, ac_codes):
     return dc
 
 
-def _jpeg_encode(rgb: np.ndarray, quality: int = 85) -> bytes:
-    """Baseline JFIF: YCbCr, 4:2:0, Annex K huffman tables."""
+def _jpeg_encode(rgb: np.ndarray, quality: int = 85,
+                 restart_interval: int = 0) -> bytes:
+    """Baseline JFIF: YCbCr, 4:2:0, Annex K huffman tables.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (byte-aligned, DC predictors reset) — the T.81
+    restart machinery real-world encoders use for error resilience."""
     h, w, _ = rgb.shape
     qt_l, qt_c = _jpeg_quality_tables(quality)
     m = _dct_matrix()
@@ -323,8 +328,17 @@ def _jpeg_encode(rgb: np.ndarray, quality: int = 85) -> bytes:
 
     bw = _BitWriter()
     prev = [0, 0, 0]  # Y, Cb, Cr DC predictors
+    mcu_count = 0
+    rst = 0
     for my in range(0, ph, 16):
         for mx in range(0, pw, 16):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.flush()  # pad to byte boundary with 1-bits
+                bw.out += bytes([0xFF, 0xD0 + rst])  # RSTn, raw (unstuffed)
+                rst = (rst + 1) % 8
+                prev = [0, 0, 0]
+            mcu_count += 1
             for sy in (0, 8):
                 for sx in (0, 8):
                     prev[0] = _encode_block(
@@ -355,12 +369,14 @@ def _jpeg_encode(rgb: np.ndarray, quality: int = 85) -> bytes:
               + bytes([3, 0x11]) + bytes([0, 63, 0]))
     app0 = seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
                + bytes([0, 0]))
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) \
+        if restart_interval else b""
     return (b"\xFF\xD8" + app0 + dqt(0, qt_l) + dqt(1, qt_c) + sof
             + dht(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
             + dht(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
             + dht(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
             + dht(1, 1, _AC_CHR_BITS, _AC_CHR_VALS)
-            + sos + bytes(bw.out) + b"\xFF\xD9")
+            + dri + sos + bytes(bw.out) + b"\xFF\xD9")
 
 
 def _image_spec(i: int):
@@ -386,13 +402,19 @@ def _is_jpeg_row(i: int) -> bool:
     return i % 3 == 0 and (i // 3) % 4 == 3
 
 
+def _jpeg_ri(i: int) -> int:
+    """Restart interval for JPEG row i: cycles 0 (no DRI), 1, 2 MCUs so
+    two thirds of the JPEG rows exercise the RSTn machinery."""
+    return (i // 12) % 3
+
+
 def media_row(i: int) -> dict:
     kind = ("image", "audio", "video")[i % 3]
     if kind == "image":
         w, h, colour = _image_spec(i)
         if _is_jpeg_row(i):
             src = _body(i, h * w * 3).reshape(h, w, 3)
-            payload = _jpeg_encode(src, 85)
+            payload = _jpeg_encode(src, 85, restart_interval=_jpeg_ri(i))
         else:
             arr = _body(i, h * w * _PNG_CH[colour]).reshape(
                 h, w * _PNG_CH[colour])
@@ -431,7 +453,8 @@ def media_ground_truth(i: int) -> dict:
             from tests.oracle.jpeg_oracle import oracle_decode_jpeg
 
             src = _body(i, h * w * 3).reshape(h, w, 3)
-            dec = oracle_decode_jpeg(_jpeg_encode(src, 85))
+            dec = oracle_decode_jpeg(
+                _jpeg_encode(src, 85, restart_interval=_jpeg_ri(i)))
             return {"width": w, "height": h, "n_frames": 1,
                     "mean_value": round(float(dec.mean()), 6),
                     "decode_status": "ok"}

@@ -9,7 +9,9 @@ so a correct engine decoder matches bit-for-bit; everything else is
 re-derived here.
 
 Supports exactly what ``fixtures/gen_media._jpeg_encode`` emits:
-baseline SOF0, 8-bit, up to 4 components, no restart markers.
+baseline SOF0, 8-bit, up to 4 components, optional DRI/RSTn restart
+intervals (the scan splits into independent restart segments, each with
+fresh byte alignment and DC predictors).
 """
 
 from __future__ import annotations
@@ -97,6 +99,7 @@ def oracle_decode_jpeg(payload: bytes) -> np.ndarray:
     width = height = None
     scan = None
     scan_comps = None
+    restart_interval = 0
     while i + 4 <= len(payload):
         assert payload[i] == 0xFF
         marker = payload[i + 1]
@@ -132,26 +135,32 @@ def oracle_decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
         elif marker == 0xDD:
-            raise AssertionError("oracle: restart markers unsupported")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
             ns = seg[0]
             scan_comps = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4,
                            seg[2 + 2 * c] & 0xF) for c in range(ns)]
-            # entropy data: from after SOS header to the next real marker
+            # entropy data: from after the SOS header to the next real
+            # marker, split into restart segments at RSTn (each segment
+            # restarts byte-aligned with fresh DC predictors)
             j = i + 2 + ln
-            raw = bytearray()
+            segments = [bytearray()]
             while j < len(payload):
                 b = payload[j]
                 if b == 0xFF:
                     nxt = payload[j + 1] if j + 1 < len(payload) else 0xD9
                     if nxt == 0x00:
-                        raw.append(0xFF)
+                        segments[-1].append(0xFF)
+                        j += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        segments.append(bytearray())
                         j += 2
                         continue
                     break
-                raw.append(b)
+                segments[-1].append(b)
                 j += 1
-            scan = bytes(raw)
+            scan = [bytes(s) for s in segments]
             break
         i += 2 + ln
     assert width is not None and scan is not None
@@ -165,10 +174,18 @@ def oracle_decode_jpeg(payload: bytes) -> np.ndarray:
     planes = {cid: np.zeros((mcy * vs * 8, mcx * hs * 8), dtype=np.float64)
               for cid, hs, vs, _ in comps}
 
-    bits = _Bits(scan)
+    seg_idx = 0
+    bits = _Bits(scan[seg_idx])
     pred = {cid: 0 for cid, _, _ in scan_comps}
+    mcu_count = 0
     for my in range(mcy):
         for mx in range(mcx):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                seg_idx += 1
+                bits = _Bits(scan[seg_idx])
+                pred = {cid: 0 for cid, _, _ in scan_comps}
+            mcu_count += 1
             for cid, dct, act in scan_comps:
                 _, hs, vs, tq = by_id[cid]
                 for by in range(vs):

@@ -275,3 +275,28 @@ def test_jpeg_engine_matches_independent_oracle():
         assert rmse < 80.0, (i, rmse)
         checked += 1
     assert checked >= 20
+    # the fixture must actually exercise the restart-marker path
+    from fixtures.gen_media import _jpeg_ri
+
+    assert any(_jpeg_ri(i) > 0 for i in range(300) if _is_jpeg_row(i))
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn framing changes the bitstream, never the pixels: for any
+    restart interval the engine and oracle decoders must both produce
+    exactly the no-DRI decode of the same source."""
+    from fixtures.gen_media import _jpeg_encode
+    from rayxt.multimodal import _decode_jpeg_array
+    from tests.oracle.jpeg_oracle import oracle_decode_jpeg
+
+    rng = np.random.default_rng(11)
+    for (h, w) in [(8, 8), (17, 33), (48, 40), (16, 64)]:
+        src = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = oracle_decode_jpeg(_jpeg_encode(src, 85))
+        for ri in (1, 2, 3, 5):
+            enc = _jpeg_encode(src, 85, restart_interval=ri)
+            assert b"\xff\xdd" in enc  # DRI segment present
+            o = oracle_decode_jpeg(enc)
+            e = _decode_jpeg_array(enc)
+            assert np.array_equal(o, base), (h, w, ri)
+            assert np.array_equal(e, o), (h, w, ri)
