@@ -198,16 +198,34 @@ def asof_join(left, right, *, key: str, on: str,
             for name in rt_schema.names
         })
 
+    def prune_latest_batch(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch partial: keep only each (key, bucket)'s latest row of
+        # THIS batch (same tie-break as take_latest; argmax is
+        # associative, so batch-argmax then group-argmax == group-argmax)
+        return (df.sort_values([on, *rtmp], kind="mergesort")
+                .groupby([key, "__b"], sort=False).tail(1))
+
+    # the full right side crosses only the FINAL co-group exchange; the
+    # bucket-latest scan shuffles at most one row per (key, bucket) per
+    # input batch thanks to the partial prune above
     latests = (
-        rt.groupby([key, "__b"])
+        rt.map_batches(prune_latest_batch, batch_format="pandas")
+        .map_batches(to_rt_schema, batch_format="pandas")
+        .groupby([key, "__b"])
         .map_groups(take_latest, batch_format="pandas")
         .map_batches(to_rt_schema, batch_format="pandas")
     )
 
     from ray.data.aggregate import Count
 
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        # narrow per-batch distinct: only (key, __b) pairs cross the
+        # marker aggregate's exchange, never full left rows
+        return t.select([key, "__b"]).group_by([key, "__b"]).aggregate([])
+
     left_buckets = (
-        lt.groupby([key, "__b"]).aggregate(Count(alias_name="_n"))
+        lt.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby([key, "__b"]).aggregate(Count(alias_name="_n"))
     )
 
     def markers(t: pa.Table) -> pa.Table:
