@@ -1,0 +1,55 @@
+"""Deterministic, partition-independent sampling (SURVEY P8).
+
+Membership must be a pure function of the row key — never of block
+layout or a per-worker RNG — so a resumed, repartitioned or re-scaled
+run samples the SAME rows.  Two paths:
+
+* ``hash_sample_int`` (here): the corpus-scale path.  A multiplicative
+  hash modulo the Mersenne prime 2^31-1 over an integer key; every
+  intermediate stays below 2^62, so the identical arithmetic is exact
+  in vectorized numpy int64 AND in ANSI-SQL BIGINT — the DuckDB oracle
+  runs the same expression, no per-row Python anywhere.
+* md5-prefix sampling (``__ray_entry__``'s ``doc_sample``): string-key
+  parity path matching SQL ``md5()`` byte-for-byte; per-row hashing is
+  inherent to that contract, so it stays the small-query variant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["MERSENNE31", "hash_sample_int", "sample_sql_predicate"]
+
+MERSENNE31 = (1 << 31) - 1
+_DEFAULT_A = 1103515245  # glibc LCG multiplier; any odd a < 2^31 works
+_DEFAULT_B = 12345
+
+
+def hash_sample_int(ds, id_col: str, rate: float, *,
+                    a: int = _DEFAULT_A, b: int = _DEFAULT_B):
+    """Keep rows whose hash bucket falls below ``rate`` of the hash
+    space: ``((id % p) * a + b) % p < floor(rate * p)``, p = 2^31-1.
+
+    ``id_col`` must be non-negative (numpy and SQL ``%`` agree there;
+    they differ on negatives).  Fully vectorized — one numpy expression
+    per batch, no shuffle, streaming-safe.
+    """
+    assert 0 < a < MERSENNE31 and 0 <= b < MERSENNE31
+    threshold = int(rate * MERSENNE31)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids % MERSENNE31) * a + b) % MERSENNE31  # < 2^62: no wrap
+        return t.filter(pa.array(h < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_sql_predicate(id_col: str, rate: float, *,
+                         a: int = _DEFAULT_A, b: int = _DEFAULT_B) -> str:
+    """The ANSI-SQL restatement of :func:`hash_sample_int`'s predicate
+    (exact BIGINT arithmetic — the oracle side of the pair)."""
+    threshold = int(rate * MERSENNE31)
+    return (f"(({id_col} % {MERSENNE31}) * {a} + {b}) % {MERSENNE31}"
+            f" < {threshold}")

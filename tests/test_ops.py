@@ -15,6 +15,27 @@ def docs(ray_session):
     return rd.read_parquet(f"{SF}/documents.parquet")
 
 
+def test_hash_sample_int_partition_independent_and_sql_exact(ray_session, docs):
+    """P8 scale-path sampler: same rows at any partitioning, and the
+    numpy arithmetic equals DuckDB's BIGINT restatement exactly."""
+    import duckdb
+
+    from rayxt.sampling import hash_sample_int, sample_sql_predicate
+
+    got = sorted(hash_sample_int(docs, "doc_id", 0.1)
+                 .to_pandas()["doc_id"].tolist())
+    re_part = sorted(hash_sample_int(docs.repartition(7), "doc_id", 0.1)
+                     .to_pandas()["doc_id"].tolist())
+    assert got == re_part
+    want = [r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM '{SF}/documents.parquet' "
+        f"WHERE {sample_sql_predicate('doc_id', 0.1)} ORDER BY doc_id"
+    ).fetchall()]
+    assert got == want
+    n_total = docs.count()
+    assert 0.05 * n_total <= len(got) <= 0.15 * n_total
+
+
 # -- text analysis ----------------------------------------------------------
 
 def test_token_count_matches_split(ray_session, docs):
