@@ -244,3 +244,33 @@ def test_sessionize_bucketed_matches_unsalted_on_hot_key(ray_session):
     assert got["duration_us"].tolist() == want["duration_us"].tolist()
     assert (got["session_start"].to_numpy()
             == want["session_start"].to_numpy()).all()
+
+
+def test_range_join_count_matches_bruteforce(ray_session, ev_df):
+    import ray.data as rd
+
+    from rayxt.joins import range_join_count
+
+    left = ev_df[ev_df["kind"] == "a"][["event_id", "user_id", "ts"]]
+    right = ev_df[ev_df["kind"] == "b"][["user_id", "ts"]]
+    before_us = 6 * 3600 * 1_000_000  # 6h window, inclusive both ends
+    after_us = 3600 * 1_000_000
+    got = range_join_count(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(3),
+        key="user_id", on="ts", before=before_us, after=after_us,
+        left_cols=["event_id", "user_id", "ts"], out_col="n",
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    want = []
+    for row in left.sort_values("event_id").itertuples():
+        lo = row.ts - datetime.timedelta(microseconds=before_us)
+        hi = row.ts + datetime.timedelta(microseconds=after_us)
+        n = ((right["user_id"] == row.user_id)
+             & (right["ts"] >= lo) & (right["ts"] <= hi)).sum()
+        want.append(int(n))
+    assert got["n"].tolist() == want
+    assert (got["event_id"].to_numpy()
+            == left.sort_values("event_id")["event_id"].to_numpy()).all()
+    assert got["event_id"].dtype == np.int64  # no null-upcast widening
+    assert sum(want) > 0
