@@ -18,7 +18,47 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["sessionize", "group_quantiles", "group_quantiles_sketch",
-           "grouped_topk"]
+           "grouped_topk", "assign_hopping_windows"]
+
+
+def assign_hopping_windows(ds, *, ts_col: str = "ts", size_us: int,
+                           hop_us: int, cols: list[str]):
+    """Hopping (sliding) window assignment: replicate each row into
+    every window that covers it, adding an int64 ``win`` column (the
+    window's start index; start time = ``win * hop_us``).
+
+    A row at microsecond ``t`` is covered by windows whose start index
+    ``w`` satisfies ``w*hop <= t < w*hop + size``, i.e. the ``m =
+    size//hop`` indices ``floor(t/hop) - m + 1 .. floor(t/hop)``
+    (``size`` must be a multiple of ``hop``; tumbling is ``m == 1``).
+
+    Scale shape: the expansion is ``m`` zero-copy column-slice copies
+    of each batch concatenated with a shifted ``win`` — no per-row
+    Python — and the downstream ``groupby(key, win)`` aggregate
+    combines partials per block BEFORE the exchange, so the shuffle
+    carries per-(key, win) partials, not the m-fold row expansion.
+    Like the tumbling query, integer division == floor only for
+    post-1970 timestamps.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    assert size_us % hop_us == 0 and size_us > 0
+    m = size_us // hop_us
+
+    def expand(t: pa.Table) -> pa.Table:
+        # normalize to us regardless of storage unit (parquet us,
+        # pandas-derived ns)
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        b = pc.divide(us, hop_us)
+        keep = [t[c] for c in cols]
+        shifted = [
+            pa.table(dict(zip(cols, keep), win=pc.subtract(b, i)))
+            for i in range(m)
+        ]
+        return pa.concat_tables(shifted)
+
+    return ds.map_batches(expand, batch_format="pyarrow")
 
 
 def grouped_topk(ds, *, key: str, order_col: str, k: int = 10,

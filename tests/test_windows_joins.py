@@ -274,3 +274,33 @@ def test_range_join_count_matches_bruteforce(ray_session, ev_df):
             == left.sort_values("event_id")["event_id"].to_numpy()).all()
     assert got["event_id"].dtype == np.int64  # no null-upcast widening
     assert sum(want) > 0
+
+
+def test_hopping_windows_match_bruteforce(ray_session, ev_df):
+    import ray.data as rd
+
+    from rayxt.windows import assign_hopping_windows
+
+    size_us, hop_us = 7_200_000_000, 1_800_000_000  # 2h every 30min
+    got = assign_hopping_windows(
+        rd.from_pandas(ev_df).repartition(4), ts_col="ts",
+        size_us=size_us, hop_us=hop_us, cols=["event_id"],
+    ).to_pandas().sort_values(["event_id", "win"]).reset_index(drop=True)
+
+    # every event appears in exactly size/hop windows
+    assert (got.groupby("event_id").size() == size_us // hop_us).all()
+    assert len(got) == len(ev_df) * (size_us // hop_us)
+
+    # each assigned window actually covers the event, and the windows
+    # flanking the assigned range do not
+    ts_us = (ev_df.set_index("event_id")["ts"].to_numpy()
+             .astype("datetime64[us]").astype("int64"))
+    ev_ts = dict(zip(ev_df["event_id"], ts_us))
+    for eid, win in zip(got["event_id"], got["win"]):
+        start = win * hop_us
+        assert start <= ev_ts[eid] < start + size_us
+    lo = got.groupby("event_id")["win"].min()
+    hi = got.groupby("event_id")["win"].max()
+    for eid in ev_df["event_id"]:
+        assert not (lo[eid] - 1) * hop_us <= ev_ts[eid] < (lo[eid] - 1) * hop_us + size_us
+        assert not (hi[eid] + 1) * hop_us <= ev_ts[eid] < (hi[eid] + 1) * hop_us + size_us
