@@ -26,6 +26,7 @@ from tests.oracle.sketches import (  # noqa: E402
     ddsketch_group_quantiles,
     oracle_components,
     oracle_fingerprint,
+    oracle_hll_distinct,
     oracle_ivf_topk,
     oracle_langid,
     oracle_lsh_topk,
@@ -143,6 +144,16 @@ def main() -> None:
         "p95": pa.array([dq[k][1] for k in etypes], pa.float64()),
     }), os.path.join(DATA_DIR, "golden_ev_quantiles_sketch.parquet"))
 
+    evu = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["event_type", "user_id"])
+    hll = oracle_hll_distinct(evu.column("event_type").to_pylist(),
+                              evu.column("user_id").to_pylist(), p=10)
+    etypes = sorted(hll)
+    pq.write_table(pa.table({
+        "event_type": pa.array(etypes, pa.string()),
+        "n_users_hll": pa.array([hll[k] for k in etypes], pa.int64()),
+    }), os.path.join(DATA_DIR, "golden_ev_hll.parquet"))
+
     pages = pq.read_table(os.path.join(DATA_DIR, "pages_conf.parquet"),
                           columns=["html"])
     totals: dict[str, int] = {}
@@ -160,7 +171,7 @@ def main() -> None:
                  "golden_neardup_clusters", "golden_langid",
                  "golden_fingerprint", "golden_ann_lsh", "golden_ann_ivf",
                  "golden_media_decode", "golden_rule_hits",
-                 "golden_ev_quantiles_sketch"):
+                 "golden_ev_quantiles_sketch", "golden_ev_hll"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")
 

@@ -385,3 +385,51 @@ def ddsketch_group_quantiles(rows, *, qs=(0.5, 0.95), alpha=0.01, ndigits=6):
             ests.append(round(float(est), ndigits))
         out[k] = ests
     return out
+
+
+# -- HyperLogLog grouped distinct count -------------------------------------
+# Frozen definition (mirrors rayxt.sketches.group_distinct_hll):
+# splitmix64 finalizer; register = top p bits, rank rho = (64-p) -
+# bit_length(low bits) + 1; estimator computes sum(2^-M_j) as the EXACT
+# integer sum(2^(R - M_j)) with R = 64-p+1, so the only float ops are a
+# fixed scalar sequence (no accumulation-order sensitivity); linear
+# counting when raw <= 2.5m and empty registers remain.
+
+_SM1 = 0x9E3779B97F4A7C15
+_SM2 = 0xBF58476D1CE4E5B9
+_SM3 = 0x94D049BB133111EB
+_M64 = (1 << 64) - 1
+
+
+def oracle_splitmix64(x: int) -> int:
+    z = (x + _SM1) & _M64
+    z = ((z ^ (z >> 30)) * _SM2) & _M64
+    z = ((z ^ (z >> 27)) * _SM3) & _M64
+    return z ^ (z >> 31)
+
+
+def oracle_hll_distinct(keys, values, p: int = 10) -> dict:
+    import math
+
+    m = 1 << p
+    regs: dict = defaultdict(lambda: [0] * m)
+    for k, v in zip(keys, values):
+        h = oracle_splitmix64(int(v) & _M64)
+        r = h >> (64 - p)
+        w = h & ((1 << (64 - p)) - 1)
+        rho = (64 - p) - w.bit_length() + 1
+        if rho > regs[k][r]:
+            regs[k][r] = rho
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    big_r = 64 - p + 1
+    out = {}
+    for k, regvals in regs.items():
+        s = sum(1 << (big_r - rj) for rj in regvals)
+        raw = (alpha * m * m * float(2 ** big_r)) / float(s)
+        zeros = sum(1 for rj in regvals if rj == 0)
+        if raw <= 2.5 * m and zeros > 0:
+            est = m * math.log(m / zeros)
+        else:
+            est = raw
+        out[k] = int(math.floor(est + 0.5))
+    return out

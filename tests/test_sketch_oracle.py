@@ -300,3 +300,41 @@ def test_jpeg_restart_markers_roundtrip():
             e = _decode_jpeg_array(enc)
             assert np.array_equal(o, base), (h, w, ri)
             assert np.array_equal(e, o), (h, w, ri)
+
+
+def test_hll_matches_oracle_and_accuracy(ray_session):
+    """Engine HLL == naive oracle restatement regardless of batching
+    (Max-merge is order-free and the estimator has no float
+    accumulation), and the estimate is within 4*stderr (1.04/sqrt(m))
+    of the exact distinct count.  Cardinalities straddle the linear-
+    counting/raw-estimator switch so BOTH branches are exercised."""
+    import ray.data as rd
+
+    from rayxt.sketches import group_distinct_hll
+    from tests.oracle.sketches import oracle_hll_distinct
+
+    rng = np.random.default_rng(23)
+    # 'small' stays in linear counting (m=1024, n<<2.5m); 'big' exceeds
+    # 2.5*m so the raw estimator path runs
+    keys = np.concatenate([np.repeat("small", 5000), np.repeat("big", 60000)])
+    vals = np.concatenate([
+        rng.integers(0, 400, 5000),
+        rng.integers(0, 40000, 60000),
+    ]).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "v": vals})
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (group_distinct_hll(ds.repartition(9), key="k", value_col="v",
+                              p=10, out_col="n")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    want = oracle_hll_distinct(df["k"].tolist(), df["v"].tolist(), p=10)
+    assert {r["k"]: int(r["n"]) for _, r in got.iterrows()} == want
+
+    tol = 4 * 1.04 / np.sqrt(1024)  # 4 standard errors ~ 13%
+    for k in ("small", "big"):
+        exact = df[df["k"] == k]["v"].nunique()
+        est = int(got[got["k"] == k]["n"].iloc[0])
+        assert abs(est / exact - 1.0) <= tol, (k, est, exact)
+        if k == "big":
+            assert exact > 2.5 * 1024  # raw-estimator branch really ran
