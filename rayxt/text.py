@@ -183,3 +183,86 @@ def add_fingerprint(ds, col: str = "text", out: str = "fingerprint"):
         return t.append_column(out, pa.array(fps, pa.string()))
 
     return ds.map_batches(batch_fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (two-pass: distributed document-frequency aggregate, then a
+# broadcast-idf scoring pass; terms are ASCII [A-Za-z0-9]+ runs
+# lowercased AFTER extraction so Python re and DuckDB RE2 tokenize
+# byte-identically — no Unicode case-fold divergence)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOKEN_PATTERN = r"[A-Za-z0-9]+"
+_TFIDF_RE = re.compile(TFIDF_TOKEN_PATTERN)
+
+
+def _term_frame(t: pa.Table, id_col: str, text_col: str) -> pd.DataFrame:
+    """Flatten a batch into one row per (doc, occurrence): tokenizing a
+    string is inherently per-row; everything downstream is vectorized."""
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    toks = [_TFIDF_RE.findall(x or "") for x in t[text_col].to_pylist()]
+    counts = np.fromiter((len(x) for x in toks), dtype=np.int64,
+                         count=len(toks))
+    flat = [tok.lower() for doc in toks for tok in doc]
+    return pd.DataFrame({id_col: np.repeat(ids, counts), "term": flat})
+
+
+def document_frequency(ds, *, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """``term -> number of docs containing it``.  Per-batch partial
+    (distinct terms per doc, counted per batch) cuts the exchange to
+    one row per (batch, term); a Sum aggregate merges partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf = _term_frame(t, id_col, text_col).drop_duplicates()
+        cnt = tf["term"].value_counts()
+        return pa.table({
+            "term": pa.array(cnt.index, pa.string()),
+            "df_partial": pa.array(cnt.to_numpy(), pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("term").aggregate(Sum("df_partial", alias_name="df")))
+
+
+def tfidf_top_terms(ds, *, n_docs: int, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 1,
+                    ndigits: int = 6):
+    """Per-document top-``k`` terms by tf-idf (``tf * ln(N/df)``), ties
+    broken lexicographically — deterministic and partition-independent.
+
+    Scale shape: pass 1 is the :func:`document_frequency` aggregate;
+    the resulting ``term -> idf`` table goes through ``ray.put`` ONCE
+    (broadcast, not re-shipped per batch — documented assumption: the
+    vocabulary fits in worker memory; a hash join on ``term`` is the
+    general path).  Pass 2 scores each doc entirely inside its batch —
+    a document never spans rows, so top-k needs NO shuffle at all.
+    """
+    import ray
+
+    df_tbl = document_frequency(ds, id_col=id_col, text_col=text_col)
+    dfp = df_tbl.to_pandas()
+    idf = pd.Series(
+        np.log(float(n_docs) / dfp["df"].to_numpy().astype(np.float64)),
+        index=dfp["term"])
+    idf_ref = ray.put(idf)
+
+    def score(t: pa.Table) -> pa.Table:
+        idf_map = ray.get(idf_ref)  # plasma-local after first fetch
+        frame = _term_frame(t, id_col, text_col)
+        if frame.empty:
+            return pa.table({id_col: pa.array([], t[id_col].type),
+                             "term": pa.array([], pa.string()),
+                             "tfidf": pa.array([], pa.float64())})
+        tf = (frame.groupby([id_col, "term"], sort=False)
+              .size().reset_index(name="tf"))
+        tf["tfidf"] = (tf["tf"].to_numpy().astype(np.float64)
+                       * idf_map[tf["term"]].to_numpy()).round(ndigits)
+        tf = tf.sort_values([id_col, "tfidf", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = tf.groupby(id_col, sort=False).head(k)
+        return pa.Table.from_pandas(
+            top[[id_col, "term", "tfidf"]], preserve_index=False)
+
+    return ds.map_batches(score, batch_format="pyarrow")

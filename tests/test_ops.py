@@ -351,3 +351,50 @@ def test_connected_components(ray_session):
     out = connected_components(pairs).to_pandas().sort_values("id")
     got = dict(zip(out["id"], out["cluster_id"]))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_tfidf_top_terms(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from rayxt.text import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "apple banana apple cherry",
+            "banana banana cherry",
+            "",                      # zero tokens: contributes no rows
+            "Apple APPLE zz9",       # case folds into 'apple'; rare 'zz9'
+            "cherry cherry cherry",
+        ],
+    })
+    n = len(docs)
+    got = tfidf_top_terms(
+        rd.from_pandas(docs).repartition(3), n_docs=n, id_col="doc_id",
+        text_col="text", k=1,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # brute force: ASCII token runs, lowercased, tf * ln(N/df)
+    import re as _re
+    toks = {r.doc_id: [w.lower() for w in _re.findall("[A-Za-z0-9]+", r.text)]
+            for r in docs.itertuples()}
+    df = {}
+    for ws in toks.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    want = {}
+    for did, ws in toks.items():
+        if not ws:
+            continue
+        scores = {w: round(ws.count(w) * math.log(n / df[w]), 6)
+                  for w in set(ws)}
+        best = min(scores, key=lambda w: (-scores[w], w))  # ties: lexic.
+        want[did] = (best, scores[best])
+
+    assert got["doc_id"].tolist() == sorted(want)  # doc 3 absent
+    for _, r in got.iterrows():
+        assert (r["term"], r["tfidf"]) == want[r["doc_id"]], r["doc_id"]
+    # doc 4: 'apple' (tf=2, df=2) must beat 'zz9' (tf=1, df=1) here
+    assert got.set_index("doc_id").loc[4, "term"] == "apple"
