@@ -19,7 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["MERSENNE31", "hash_sample_int", "sample_sql_predicate"]
+__all__ = ["MERSENNE31", "hash_sample_int", "sample_sql_predicate",
+           "stratified_hash_sample", "stratified_sample_sql_predicate"]
 
 MERSENNE31 = (1 << 31) - 1
 _DEFAULT_A = 1103515245  # glibc LCG multiplier; any odd a < 2^31 works
@@ -53,3 +54,47 @@ def sample_sql_predicate(id_col: str, rate: float, *,
     threshold = int(rate * MERSENNE31)
     return (f"(({id_col} % {MERSENNE31}) * {a} + {b}) % {MERSENNE31}"
             f" < {threshold}")
+
+
+def stratified_hash_sample(ds, id_col: str, stratum_col: str,
+                           rates: dict, *, default_rate: float = 0.0,
+                           a: int = _DEFAULT_A, b: int = _DEFAULT_B):
+    """Per-stratum deterministic sampling: the same hash as
+    :func:`hash_sample_int`, but the keep-threshold depends on the
+    row's stratum (e.g. boost rare languages, downsample the head).
+
+    The stratum->threshold table is tiny and ships once with the
+    pickled UDF; the per-batch lookup is ``pc.index_in`` + ``take`` —
+    vectorized, no shuffle, and membership stays a pure function of
+    ``(id, stratum)``, so resumes and repartitions sample identically.
+    """
+    import pyarrow.compute as pc
+
+    assert 0 < a < MERSENNE31 and 0 <= b < MERSENNE31
+    strata = pa.array(sorted(rates), pa.string())
+    thresholds = pa.array(
+        [int(rates[s] * MERSENNE31) for s in sorted(rates)], pa.int64())
+    default_thr = int(default_rate * MERSENNE31)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids % MERSENNE31) * a + b) % MERSENNE31
+        idx = pc.index_in(t[stratum_col], value_set=strata)
+        thr = pc.fill_null(pc.take(thresholds, idx), default_thr)
+        return t.filter(pa.array(h < thr.to_numpy(zero_copy_only=False)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample_sql_predicate(id_col: str, stratum_col: str,
+                                    rates: dict, *,
+                                    default_rate: float = 0.0,
+                                    a: int = _DEFAULT_A,
+                                    b: int = _DEFAULT_B) -> str:
+    """ANSI-SQL restatement of :func:`stratified_hash_sample`."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(rates[s] * MERSENNE31)}"
+        for s in sorted(rates))
+    return (f"(({id_col} % {MERSENNE31}) * {a} + {b}) % {MERSENNE31}"
+            f" < CASE {stratum_col} {cases}"
+            f" ELSE {int(default_rate * MERSENNE31)} END")

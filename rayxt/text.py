@@ -26,6 +26,10 @@ __all__ = [
     "fingerprint_of",
     "BPE_TOKEN_PATTERN",
     "STOPWORD_PATTERN",
+    "TFIDF_TOKEN_PATTERN",
+    "document_frequency",
+    "tfidf_top_terms",
+    "top_ngrams",
 ]
 
 # BPE-style pre-tokenizer classes (letters runs / digit runs / single
@@ -266,3 +270,55 @@ def tfidf_top_terms(ds, *, n_docs: int, id_col: str = "doc_id",
             top[[id_col, "term", "tfidf"]], preserve_index=False)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def top_ngrams(ds, *, text_col: str = "text", n: int = 2, k: int = 20,
+               out_cols: tuple = ("ngram", "n")):
+    """Corpus-wide top-``k`` word ``n``-grams by occurrence count
+    (ties -> lexicographically smallest ngram — a total order, so the
+    cut is deterministic).
+
+    Scale shape: per-batch partial counts (numpy char-join over the
+    flat token array, cross-document pairs masked out) -> Sum-merge
+    ``groupby(ngram)`` -> per-block partial top-k (a block-local
+    non-top-k ngram can never be global top-k) -> tiny driver-side
+    final sort over <= k rows per block.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = [_TFIDF_RE.findall(x or "") for x in t[text_col].to_pylist()]
+        flat = np.array([w.lower() for doc in toks for w in doc],
+                        dtype=object)
+        if len(flat) < n:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n_partial": pa.array([], pa.int64())})
+        lens = np.fromiter((len(x) for x in toks), dtype=np.int64,
+                           count=len(toks))
+        # doc index per token: an n-gram is valid only if its first and
+        # last token belong to the same document
+        doc_of = np.repeat(np.arange(len(toks)), lens)
+        grams = flat[: len(flat) - n + 1].copy()
+        for j in range(1, n):
+            grams = grams + " "
+            grams = grams + flat[j: len(flat) - n + 1 + j]
+        valid = doc_of[: len(flat) - n + 1] == doc_of[n - 1:]
+        cnt = pd.Series(grams[valid]).value_counts()
+        return pa.table({
+            "ngram": pa.array(cnt.index, pa.string()),
+            "n_partial": pa.array(cnt.to_numpy(), pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("ngram").aggregate(Sum("n_partial", alias_name="__n")))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["__n", "ngram"], ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    cand = agg.map_batches(block_topk, batch_format="pandas").to_pandas()
+    top = (cand.sort_values(["__n", "ngram"], ascending=[False, True],
+                            kind="mergesort").head(k)
+           .reset_index(drop=True))
+    return pd.DataFrame({out_cols[0]: top["ngram"],
+                         out_cols[1]: top["__n"].astype("int64")})

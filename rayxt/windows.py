@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["sessionize", "group_quantiles", "group_quantiles_sketch",
-           "grouped_topk", "assign_hopping_windows"]
+           "grouped_topk", "assign_hopping_windows", "grouped_mode"]
 
 
 def assign_hopping_windows(ds, *, ts_col: str = "ts", size_us: int,
@@ -318,3 +318,56 @@ def group_quantiles(ds, *, key: str, value_col: str,
         return pd.DataFrame(out)
 
     return ds.groupby(key).map_groups(gq, batch_format="pandas")
+
+
+def grouped_mode(ds, *, key: str, value_col: str, out_col: str = "mode",
+                 count_col: str = "n"):
+    """Most frequent ``value_col`` per ``key`` (ties -> smallest value:
+    deterministic, partition-independent).
+
+    Two pure aggregates, no per-group UDF: ``groupby(key, value)``
+    Count (partials combine per block before the exchange), then an
+    argmax ``AggregateFn`` whose accumulate keeps ONE candidate per
+    block (vectorized max + filter) — the same candidate-row pattern as
+    :func:`rayxt.pipeline.dedup_latest_by_url`.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn, Count
+
+    counts = ds.groupby([key, value_col]).aggregate(
+        Count(alias_name="__n"))
+
+    def better(a, b):
+        return a["n"] > b["n"] or (a["n"] == b["n"] and a["v"] < b["v"])
+
+    def accumulate_block(acc, block):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0:
+            return acc
+        mx = pc.max(block["__n"])
+        sub = block.filter(pc.equal(block["__n"], mx))
+        cand = {"n": mx.as_py(), "v": pc.min(sub[value_col]).as_py()}
+        return cand if acc is None or better(cand, acc) else acc
+
+    def merge(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a if not better(b, a) else b
+
+    best = counts.groupby(key).aggregate(AggregateFn(
+        init=lambda k: None, merge=merge, name="__best",
+        accumulate_block=accumulate_block))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        col = t["__best"].combine_chunks()
+        return pa.table({
+            key: t[key],
+            out_col: pc.struct_field(col, "v"),
+            count_col: pc.cast(pc.struct_field(col, "n"), pa.int64()),
+        })
+
+    return best.map_batches(unpack, batch_format="pyarrow")

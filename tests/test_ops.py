@@ -398,3 +398,71 @@ def test_tfidf_top_terms(ray_session):
         assert (r["term"], r["tfidf"]) == want[r["doc_id"]], r["doc_id"]
     # doc 4: 'apple' (tf=2, df=2) must beat 'zz9' (tf=1, df=1) here
     assert got.set_index("doc_id").loc[4, "term"] == "apple"
+
+
+def test_grouped_mode_ties_and_partition_independence(ray_session):
+    import ray.data as rd
+
+    from rayxt.windows import grouped_mode
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2, 3, 3, 3, 3],
+        "t": ["a", "b", "b", "c", "a", "z", "y", "z", "y"],
+    })
+    for parts in (1, 4):
+        out = grouped_mode(rd.from_pandas(df).repartition(parts), key="u",
+                           value_col="t", out_col="m", count_col="n"
+                           ).to_pandas().sort_values("u").reset_index(drop=True)
+        # u=2 ties 1-1 -> 'a'; u=3 ties 2-2 -> 'y'
+        assert out.to_dict("records") == [
+            {"u": 1, "m": "b", "n": 2}, {"u": 2, "m": "a", "n": 1},
+            {"u": 3, "m": "y", "n": 2}]
+
+
+def test_stratified_sample_is_per_stratum_hash_sample(ray_session):
+    import ray.data as rd
+
+    from rayxt.sampling import hash_sample_int, stratified_hash_sample
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "id": np.arange(4000),
+        "s": rng.choice(["en", "de", "xx"], size=4000),
+    })
+    rates = {"en": 0.1, "de": 0.5}
+    got = stratified_hash_sample(
+        rd.from_pandas(df).repartition(5), "id", "s", rates,
+        default_rate=0.0).to_pandas().sort_values("id").reset_index(drop=True)
+    # equivalent to running the flat sampler per stratum; 'xx' dropped
+    parts = []
+    for s, r in rates.items():
+        sub = df[df["s"] == s]
+        parts.append(hash_sample_int(
+            rd.from_pandas(sub), "id", r).to_pandas())
+    want = (pd.concat(parts).sort_values("id").reset_index(drop=True))
+    assert got["id"].tolist() == want["id"].tolist()
+    assert (got["s"] != "xx").all() and len(got) > 0
+
+
+def test_top_ngrams_matches_bruteforce(ray_session):
+    import re as _re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from rayxt.text import top_ngrams
+
+    rng = np.random.default_rng(17)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 30)))
+             for _ in range(200)]
+    df = pd.DataFrame({"doc_id": range(200), "text": texts})
+    got = top_ngrams(rd.from_pandas(df).repartition(6), text_col="text",
+                     n=2, k=5)
+
+    cnt = Counter()
+    for t in texts:
+        ws = [w.lower() for w in _re.findall("[A-Za-z0-9]+", t)]
+        cnt.update(" ".join(p) for p in zip(ws, ws[1:]))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["ngram"], got["n"])) == want
