@@ -18,7 +18,8 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["sessionize", "group_quantiles", "group_quantiles_sketch",
-           "grouped_topk", "assign_hopping_windows", "grouped_mode"]
+           "grouped_topk", "assign_hopping_windows", "grouped_mode",
+           "sequence_stats", "pivot_count"]
 
 
 def assign_hopping_windows(ds, *, ts_col: str = "ts", size_us: int,
@@ -371,3 +372,73 @@ def grouped_mode(ds, *, key: str, value_col: str, out_col: str = "mode",
         })
 
     return best.map_batches(unpack, batch_format="pyarrow")
+
+
+def sequence_stats(ds, *, key: str, ts_col: str, tie_col: str,
+                   keep_cols: tuple = ()):
+    """Ordered window functions per key: 1-based position
+    (``ROW_NUMBER``) and microseconds since the previous event
+    (``LAG`` diff; null for the first).  Order is ``(ts, tie_col)`` —
+    a unique total order, so output is partition-independent.
+
+    One hash exchange on ``key``, vectorized numpy per group (same
+    one-key-fits-one-worker assumption as :func:`sessionize`; the
+    outputs are integers, so there is no float-accumulation parity
+    concern with SQL window engines).
+    """
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tie_col], kind="mergesort")
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.empty(len(g), dtype=np.float64)
+        gap[0] = np.nan
+        gap[1:] = (us[1:] - us[:-1]).astype(np.float64)
+        out = {c: g[c].reset_index(drop=True)
+               for c in (tie_col, key, ts_col, *keep_cols)}
+        out["pos"] = pd.Series(np.arange(1, len(g) + 1, dtype=np.int64))
+        out["gap_us"] = pd.Series(gap).astype("Int64")
+        return pd.DataFrame(out)
+
+    return ds.groupby(key).map_groups(stats, batch_format="pandas")
+
+
+def pivot_count(ds, *, key: str, cat_col: str, categories: tuple,
+                prefix: str = "n_"):
+    """Pivot a low-cardinality category column into per-key count
+    columns (``key, n_<cat>...``) — the wide-aggregation shape feature
+    tables use.
+
+    Pure-aggregate dataflow: a vectorized per-batch partial pivot
+    (pandas crosstab) runs BEFORE the exchange, so the shuffle carries
+    one row per (block, key) with ``len(categories)`` int columns; a
+    Sum per column merges partials.  ``categories`` must be the closed
+    set (enforced) — an open set needs the tall ``groupby(key, cat)``
+    form instead.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    cats = list(categories)
+    cols = [f"{prefix}{c}" for c in cats]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bad = set(df[cat_col].unique()) - set(cats)
+        assert not bad, f"unexpected categories: {bad}"
+        ct = pd.crosstab(df[key], df[cat_col]).reindex(
+            columns=cats, fill_value=0)
+        out = ct.reset_index()
+        out.columns = [key, *cols]
+        return out
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(key)
+           .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+
+    def to_int(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        for c in cols:
+            t = t.set_column(t.column_names.index(c), c,
+                             pc.cast(t[c], pa.int64()))
+        return t
+
+    return agg.map_batches(to_int, batch_format="pyarrow")

@@ -304,3 +304,41 @@ def test_hopping_windows_match_bruteforce(ray_session, ev_df):
     for eid in ev_df["event_id"]:
         assert not (lo[eid] - 1) * hop_us <= ev_ts[eid] < (lo[eid] - 1) * hop_us + size_us
         assert not (hi[eid] + 1) * hop_us <= ev_ts[eid] < (hi[eid] + 1) * hop_us + size_us
+
+
+def test_sequence_stats_matches_bruteforce(ray_session, ev_df):
+    import ray.data as rd
+
+    from rayxt.windows import sequence_stats
+
+    got = sequence_stats(
+        rd.from_pandas(ev_df[["event_id", "user_id", "ts"]]).repartition(4),
+        key="user_id", ts_col="ts", tie_col="event_id",
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    want = ev_df.sort_values(["ts", "event_id"]).copy()
+    want["pos"] = want.groupby("user_id").cumcount() + 1
+    us = want["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    want["us"] = us
+    want["gap_us"] = want.groupby("user_id")["us"].diff()
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert got["pos"].tolist() == want["pos"].tolist()
+    g = got["gap_us"].astype("float64")
+    w = want["gap_us"]
+    assert ((g.isna() == w.isna()).all()
+            and (g.dropna().to_numpy() == w.dropna().to_numpy()).all())
+
+
+def test_pivot_count_matches_crosstab(ray_session, ev_df):
+    import ray.data as rd
+
+    from rayxt.windows import pivot_count
+
+    got = pivot_count(
+        rd.from_pandas(ev_df[["user_id", "kind"]]).repartition(5),
+        key="user_id", cat_col="kind", categories=("a", "b"),
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    want = (pd.crosstab(ev_df["user_id"], ev_df["kind"])
+            .reindex(columns=["a", "b"], fill_value=0))
+    assert got["n_a"].tolist() == want["a"].tolist()
+    assert got["n_b"].tolist() == want["b"].tolist()
