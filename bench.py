@@ -141,7 +141,8 @@ def run_bench() -> dict:
     q_trials = int(os.environ.get("RAYXT_QUERY_TRIALS", "3"))
     for qname in ("q1_pricing", "doc_groupby_lang", "pages_dedup_url",
                   "emb_ann_topk", "doc_token_counts", "ev_sessions",
-                  "emb_label_centroids", "ev_value_quantiles_sketch"):
+                  "emb_label_centroids", "ev_value_quantiles_sketch",
+                  "ev_hopping", "ev_distinct_users_hll", "doc_tfidf_top"):
         fn = entrymod.queries()[qname]
         times = []
         for _ in range(q_trials):

@@ -27,6 +27,7 @@ from tests.oracle.sketches import (  # noqa: E402
     oracle_components,
     oracle_fingerprint,
     oracle_hll_distinct,
+    oracle_kmeans,
     oracle_ivf_topk,
     oracle_langid,
     oracle_lsh_topk,
@@ -144,6 +145,16 @@ def main() -> None:
         "p95": pa.array([dq[k][1] for k in etypes], pa.float64()),
     }), os.path.join(DATA_DIR, "golden_ev_quantiles_sketch.parquet"))
 
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    km = oracle_kmeans(emb.column("vec_id").to_pylist(),
+                       emb.column("embedding").to_pylist(), k=8, iters=5)
+    kids = sorted(km)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(kids, pa.int64()),
+        "cluster": pa.array([km[i] for i in kids], pa.int64()),
+    }), os.path.join(DATA_DIR, "golden_kmeans.parquet"))
+
     evu = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
                         columns=["event_type", "user_id"])
     hll = oracle_hll_distinct(evu.column("event_type").to_pylist(),
@@ -171,7 +182,8 @@ def main() -> None:
                  "golden_neardup_clusters", "golden_langid",
                  "golden_fingerprint", "golden_ann_lsh", "golden_ann_ivf",
                  "golden_media_decode", "golden_rule_hits",
-                 "golden_ev_quantiles_sketch", "golden_ev_hll"):
+                 "golden_ev_quantiles_sketch", "golden_ev_hll",
+                 "golden_kmeans"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")
 

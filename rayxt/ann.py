@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "hyperplane_bucket",
+__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "hyperplane_bucket", "kmeans",
            "embedding_centroids"]
 
 
@@ -346,3 +346,91 @@ def lsh_topk(ds, queries, *, id_col: str = "vec_id", vec_col: str = "embedding",
     return partial.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pandas"
     )
+
+
+def kmeans(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
+           k: int = 8, iters: int = 5, ndigits: int = 9):
+    """Distributed Lloyd's k-means — the canonical iterative algorithm,
+    expressed so every pass is streaming and aggregate-only.
+
+    Deterministic contract (restated by the naive oracle in
+    ``tests/oracle/sketches.py``): init = the vectors of the ``k``
+    smallest ids; distance = squared L2 in float64, argmin ties -> the
+    lowest cluster index; after each update the centroids are ROUNDED
+    to ``ndigits`` before broadcast, so the 1e-15-ulp spread from
+    partial-sum merge order cannot feed back into assignments.
+    Empty clusters keep their previous centroid.
+
+    Per iteration: centroids go through ``ray.put`` once (k*dim — tiny);
+    each batch assigns vectors by one vectorized distance matrix and emits
+    ``k*dim`` partial ``(cluster, dim, sum, n)`` rows; a pure Sum
+    aggregate merges partials; the driver recomputes the k*dim table.
+    The embeddings themselves never shuffle; each iteration re-streams
+    the source (at corpus scale, re-reading pruned parquet beats
+    pinning the dataset in the object store).
+
+    Returns the final per-vector assignment dataset ``(id_col,
+    cluster)``.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    # deterministic init: the k rows with the smallest ids
+    seed_rows = (ds.sort(id_col).limit(k).select_columns([vec_col])
+                 .take_all())
+    centroids = np.round(
+        np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                  for r in seed_rows]), ndigits)
+
+    def assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 is constant
+        # per row, so argmin over (-2 x.c + ||c||^2) suffices — but the
+        # oracle restates FULL squared distances, so compute them too
+        # (identical float64 op sequence on both sides)
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(t: pa.Table) -> pa.Table:
+            cents = ray.get(cref)
+            m = _as_matrix(t[vec_col].to_pylist())
+            lab = assign(m, cents)
+            dim = m.shape[1]
+            kk = cents.shape[0]
+            sums = np.zeros((kk, dim), dtype=np.float64)
+            np.add.at(sums, lab, m)
+            cnt = np.bincount(lab, minlength=kk).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.repeat(np.arange(kk), dim),
+                                    pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim), kk), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(cnt, dim), pa.int64()),
+            })
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["cluster", "dim"])
+               .aggregate(Sum("s", alias_name="s"),
+                          Sum("n", alias_name="n")).to_pandas())
+        new = centroids.copy()
+        agg = agg.sort_values(["cluster", "dim"])
+        for c, g in agg.groupby("cluster"):
+            n = int(g["n"].iloc[0])
+            if n > 0:
+                new[int(c)] = g["s"].to_numpy() / n
+        centroids = np.round(new, ndigits)
+
+    cref = ray.put(centroids)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        m = _as_matrix(t[vec_col].to_pylist())
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": pa.array(assign(m, cents), pa.int64()),
+        })
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")

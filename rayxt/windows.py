@@ -375,11 +375,17 @@ def grouped_mode(ds, *, key: str, value_col: str, out_col: str = "mode",
 
 
 def sequence_stats(ds, *, key: str, ts_col: str, tie_col: str,
-                   keep_cols: tuple = ()):
+                   keep_cols: tuple = (), first_gap: int | None = None):
     """Ordered window functions per key: 1-based position
     (``ROW_NUMBER``) and microseconds since the previous event
-    (``LAG`` diff; null for the first).  Order is ``(ts, tie_col)`` —
-    a unique total order, so output is partition-independent.
+    (``LAG`` diff).  Order is ``(ts, tie_col)`` — a unique total
+    order, so output is partition-independent.
+
+    The first event's gap is null (nullable Int64) by default; pass
+    ``first_gap`` (e.g. ``-1``) to get a plain non-null int64 column
+    instead — cross-engine value comparison of nullable integers is
+    representation-dependent (pandas NA vs float NaN vs Arrow null),
+    a plain sentinel is not.
 
     One hash exchange on ``key``, vectorized numpy per group (same
     one-key-fits-one-worker assumption as :func:`sessionize`; the
@@ -390,13 +396,19 @@ def sequence_stats(ds, *, key: str, ts_col: str, tie_col: str,
     def stats(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, tie_col], kind="mergesort")
         us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        gap = np.empty(len(g), dtype=np.float64)
-        gap[0] = np.nan
-        gap[1:] = (us[1:] - us[:-1]).astype(np.float64)
         out = {c: g[c].reset_index(drop=True)
                for c in (tie_col, key, ts_col, *keep_cols)}
         out["pos"] = pd.Series(np.arange(1, len(g) + 1, dtype=np.int64))
-        out["gap_us"] = pd.Series(gap).astype("Int64")
+        if first_gap is None:
+            gap = np.empty(len(g), dtype=np.float64)
+            gap[0] = np.nan
+            gap[1:] = (us[1:] - us[:-1]).astype(np.float64)
+            out["gap_us"] = pd.Series(gap).astype("Int64")
+        else:
+            gap = np.empty(len(g), dtype=np.int64)
+            gap[0] = first_gap
+            gap[1:] = us[1:] - us[:-1]
+            out["gap_us"] = pd.Series(gap)
         return pd.DataFrame(out)
 
     return ds.groupby(key).map_groups(stats, batch_format="pandas")

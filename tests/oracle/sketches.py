@@ -433,3 +433,33 @@ def oracle_hll_distinct(keys, values, p: int = 10) -> dict:
             est = raw
         out[k] = int(math.floor(est + 0.5))
     return out
+
+
+# -- k-means ---------------------------------------------------------------
+# Frozen definition (mirrors rayxt.ann.kmeans): init = vectors of the k
+# smallest ids; full squared-L2 float64 distances, argmin ties -> lowest
+# cluster; centroids rounded to ndigits after every update (so partial-
+# sum merge-order ulps cannot feed back); empty clusters keep their
+# previous centroid.
+
+
+def oracle_kmeans(ids, vecs, *, k: int = 8, iters: int = 5,
+                  ndigits: int = 9):
+    order = np.argsort(np.asarray(ids), kind="stable")
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    cents = np.round(m[order[:k]], ndigits)
+
+    def assign(mat, c):
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    for _ in range(iters):
+        lab = assign(m, cents)
+        new = cents.copy()
+        for c in range(k):
+            sel = m[lab == c]
+            if len(sel):
+                new[c] = sel.sum(axis=0) / len(sel)
+        cents = np.round(new, ndigits)
+    final = assign(m, cents)
+    return {int(i): int(c) for i, c in zip(ids, final)}

@@ -338,3 +338,39 @@ def test_hll_matches_oracle_and_accuracy(ray_session):
         assert abs(est / exact - 1.0) <= tol, (k, est, exact)
         if k == "big":
             assert exact > 2.5 * 1024  # raw-estimator branch really ran
+
+
+def test_kmeans_matches_oracle_any_partitioning(ray_session):
+    """Engine k-means == naive oracle restatement for any batching
+    (centroid rounding decouples assignments from partial-sum merge
+    order), and the clustering actually separates planted clusters."""
+    import ray.data as rd
+
+    from rayxt.ann import kmeans
+    from tests.oracle.sketches import oracle_kmeans
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((4, 16)) * 6.0
+    labels = rng.integers(0, 4, size=300)
+    vecs = (centers[labels] + rng.standard_normal((300, 16))).astype(
+        np.float32)
+    ids = np.arange(300)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    }))
+    want = oracle_kmeans(ids.tolist(), vecs.tolist(), k=4, iters=4)
+    for parts in (2, 7):
+        got = (kmeans(ds.repartition(parts), id_col="vec_id",
+                      vec_col="embedding", k=4, iters=4)
+               .to_pandas().sort_values("vec_id"))
+        assert dict(zip(got["vec_id"], got["cluster"])) == want
+    # planted structure partially recovered (id-seeded init can drop a
+    # planted cluster, so gate the row-weighted purity, not the worst
+    # cluster) and all k clusters are non-empty
+    dfm = pd.DataFrame({"c": got["cluster"].to_numpy(),
+                        "l": labels[got["vec_id"].to_numpy()]})
+    purity = (dfm.groupby("c")["l"]
+              .agg(lambda s: s.value_counts().iloc[0]).sum()) / len(dfm)
+    assert purity > 0.6
+    assert dfm["c"].nunique() == 4

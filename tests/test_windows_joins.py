@@ -328,6 +328,15 @@ def test_sequence_stats_matches_bruteforce(ray_session, ev_df):
     assert ((g.isna() == w.isna()).all()
             and (g.dropna().to_numpy() == w.dropna().to_numpy()).all())
 
+    # sentinel mode: plain int64, no nulls (cross-engine-hash-safe path)
+    got2 = sequence_stats(
+        rd.from_pandas(ev_df[["event_id", "user_id", "ts"]]).repartition(4),
+        key="user_id", ts_col="ts", tie_col="event_id", first_gap=-1,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert str(got2["gap_us"].dtype) == "int64"
+    assert (got2["gap_us"].to_numpy()
+            == w.fillna(-1).to_numpy().astype("int64")).all()
+
 
 def test_pivot_count_matches_crosstab(ray_session, ev_df):
     import ray.data as rd
