@@ -232,20 +232,67 @@ def document_frequency(ds, *, id_col: str = "doc_id",
 
 def tfidf_top_terms(ds, *, n_docs: int, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 1,
-                    ndigits: int = 6):
+                    ndigits: int = 6, join_path: bool = False,
+                    join_partitions: int = 8):
     """Per-document top-``k`` terms by tf-idf (``tf * ln(N/df)``), ties
     broken lexicographically — deterministic and partition-independent.
 
     Scale shape: pass 1 is the :func:`document_frequency` aggregate;
     the resulting ``term -> idf`` table goes through ``ray.put`` ONCE
     (broadcast, not re-shipped per batch — documented assumption: the
-    vocabulary fits in worker memory; a hash join on ``term`` is the
-    general path).  Pass 2 scores each doc entirely inside its batch —
-    a document never spans rows, so top-k needs NO shuffle at all.
+    vocabulary fits in worker memory).  Pass 2 scores each doc entirely
+    inside its batch — a document never spans rows, so top-k needs NO
+    shuffle at all.
+
+    ``join_path=True`` is the open-vocabulary general path: the tf rows
+    hash-join the df table on ``term`` (both sides shuffle — no driver
+    materialization of the vocabulary), then a per-doc top-k with
+    per-batch partial pruning.  Bit-identical output to the broadcast
+    path (same float64 op sequence; asserted by tests), at the cost of
+    two extra exchanges.
     """
     import ray
 
     df_tbl = document_frequency(ds, id_col=id_col, text_col=text_col)
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        frame = _term_frame(t, id_col, text_col)
+        if frame.empty:
+            return pa.table({id_col: pa.array([], t[id_col].type),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        tf = (frame.groupby([id_col, "term"], sort=False)
+              .size().reset_index(name="tf"))
+        tf["tf"] = tf["tf"].astype(np.int64)
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    if join_path:
+        from rayxt.windows import grouped_topk
+
+        def add_idf(t: pa.Table) -> pa.Table:
+            idf = np.log(float(n_docs)
+                         / t["df"].to_numpy(zero_copy_only=False)
+                         .astype(np.float64))
+            return pa.table({"term": t["term"],
+                             "idf": pa.array(idf, pa.float64())})
+
+        idf_ds = df_tbl.map_batches(add_idf, batch_format="pyarrow")
+        joined = ds.map_batches(tf_rows, batch_format="pyarrow").join(
+            idf_ds, "inner", num_partitions=join_partitions, on=("term",))
+
+        def score_joined(t: pa.Table) -> pa.Table:
+            s = (t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+                 * t["idf"].to_numpy(zero_copy_only=False)).round(ndigits)
+            return pa.table({id_col: t[id_col], "term": t["term"],
+                             "tfidf": pa.array(s, pa.float64())})
+
+        scored = joined.map_batches(score_joined, batch_format="pyarrow")
+        top = grouped_topk(scored, key=id_col, order_col="tfidf", k=k,
+                           descending=True, tie_cols=("term",))
+        return top.map_batches(
+            lambda df: df[[id_col, "term", "tfidf"]],
+            batch_format="pandas")
+
     dfp = df_tbl.to_pandas()
     idf = pd.Series(
         np.log(float(n_docs) / dfp["df"].to_numpy().astype(np.float64)),

@@ -466,3 +466,27 @@ def test_top_ngrams_matches_bruteforce(ray_session):
         cnt.update(" ".join(p) for p in zip(ws, ws[1:]))
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert list(zip(got["ngram"], got["n"])) == want
+
+
+def test_tfidf_join_path_matches_broadcast(ray_session):
+    """The open-vocabulary hash-join path must produce exactly the
+    broadcast path's output (same float64 op sequence)."""
+    import ray.data as rd
+
+    from rayxt.text import tfidf_top_terms
+
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = pd.DataFrame({
+        "doc_id": range(150),
+        "text": [" ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+                 for _ in range(150)],
+    })
+    ds = rd.from_pandas(docs).repartition(5)
+    a = (tfidf_top_terms(ds, n_docs=150, k=2)
+         .to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True))
+    b = (tfidf_top_terms(ds, n_docs=150, k=2, join_path=True,
+                         join_partitions=3)
+         .to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) > 0
