@@ -19,7 +19,7 @@ import pandas as pd
 
 __all__ = ["sessionize", "group_quantiles", "group_quantiles_sketch",
            "grouped_topk", "assign_hopping_windows", "grouped_mode",
-           "sequence_stats", "pivot_count"]
+           "sequence_stats", "pivot_count", "global_rank"]
 
 
 def assign_hopping_windows(ds, *, ts_col: str = "ts", size_us: int,
@@ -454,3 +454,59 @@ def pivot_count(ds, *, key: str, cat_col: str, categories: tuple,
         return t
 
     return agg.map_batches(to_int, batch_format="pyarrow")
+
+
+def global_rank(ds, *, order_col: str, tie_col: str, ntile: int | None = None,
+                keep_cols: tuple = ()):
+    """Global dense row numbering by ``(order_col, tie_col)`` — and
+    optional SQL-``NTILE`` bucketing — WITHOUT a global sort.
+
+    Pass 1 counts rows per ``order_col`` value (a pure aggregate); the
+    driver turns the (small) value histogram into cumulative offsets
+    and broadcasts them.  Pass 2 ranks each value-group locally:
+    ``rank = offset[value] + position within the value's tie order``
+    — one hash exchange, vectorized per group.
+
+    Documented assumption (the reason this beats ``Dataset.sort`` at
+    scale): ``order_col`` has bounded cardinality (lengths, scores in
+    fixed precision, bucketed floats) so the histogram fits on the
+    driver, and no single value dominates (a one-value column
+    degenerates to one worker).  ``ntile`` reproduces SQL NTILE
+    exactly: the first ``N % ntile`` buckets get one extra row.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    hist = (ds.groupby(order_col).aggregate(Count(alias_name="__n"))
+            .to_pandas().sort_values(order_col))
+    counts = hist["__n"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    off_ref = ray.put(dict(zip(hist[order_col].tolist(),
+                               offsets.tolist())))
+
+    if ntile is not None:
+        q, r = divmod(total, ntile)
+
+        def bucket_of(rank: np.ndarray) -> np.ndarray:
+            # SQL NTILE: first r buckets hold q+1 rows, the rest q
+            cut = r * (q + 1)
+            small = rank <= cut
+            out = np.empty(len(rank), dtype=np.int64)
+            out[small] = (rank[small] - 1) // (q + 1) + 1
+            if q > 0:
+                out[~small] = r + (rank[~small] - 1 - cut) // q + 1
+            return out
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[g[order_col].iloc[0]]
+        g = g.sort_values(tie_col, kind="mergesort").reset_index(drop=True)
+        out = {c: g[c] for c in (tie_col, order_col, *keep_cols)}
+        rank = off + np.arange(1, len(g) + 1, dtype=np.int64)
+        out["rank"] = pd.Series(rank)
+        if ntile is not None:
+            out["bucket"] = pd.Series(bucket_of(rank))
+        return pd.DataFrame(out)
+
+    return ds.groupby(order_col).map_groups(rank_group,
+                                            batch_format="pandas")

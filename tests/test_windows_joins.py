@@ -351,3 +351,26 @@ def test_pivot_count_matches_crosstab(ray_session, ev_df):
             .reindex(columns=["a", "b"], fill_value=0))
     assert got["n_a"].tolist() == want["a"].tolist()
     assert got["n_b"].tolist() == want["b"].tolist()
+
+
+def test_global_rank_ntile_matches_bruteforce(ray_session, ev_df):
+    import ray.data as rd
+
+    from rayxt.windows import global_rank
+
+    # value column with heavy duplication (the histogram assumption)
+    df = ev_df[["event_id", "user_id"]].copy()
+    got = global_rank(
+        rd.from_pandas(df).repartition(5), order_col="user_id",
+        tie_col="event_id", ntile=7,
+    ).to_pandas().sort_values("rank").reset_index(drop=True)
+
+    want = df.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    want["rank"] = np.arange(1, len(want) + 1)
+    n, k = len(want), 7
+    q, r = divmod(n, k)
+    sizes = [q + 1] * r + [q] * (k - r)
+    buckets = np.repeat(np.arange(1, k + 1), sizes)
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["rank"].tolist() == want["rank"].tolist()
+    assert got["bucket"].tolist() == buckets.tolist()
