@@ -139,7 +139,9 @@ def run_bench() -> dict:
     import __ray_entry__ as entrymod
 
     q_trials = int(os.environ.get("RAYXT_QUERY_TRIALS", "3"))
-    for qname in ("q1_pricing", "doc_groupby_lang", "pages_dedup_url",
+    # q_trials=0 skips the query section (the --scaling children use it:
+    # only the headline feeds the efficiency report)
+    for qname in () if q_trials == 0 else ("q1_pricing", "doc_groupby_lang", "pages_dedup_url",
                   "emb_ann_topk", "doc_token_counts", "ev_sessions",
                   "emb_label_centroids", "ev_value_quantiles_sketch",
                   "ev_hopping", "ev_distinct_users_hll", "doc_tfidf_top"):
@@ -189,7 +191,7 @@ def run_scaling() -> None:
         # one headline run per child: this mode medians across FRESH
         # processes already; in-process repeats would cube the cost
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   RAYXT_HEADLINE_TRIALS="1",
+                   RAYXT_HEADLINE_TRIALS="1", RAYXT_QUERY_TRIALS="0",
                    RAYXT_BENCH_EXTRACT=os.environ.get("RAYXT_BENCH_EXTRACT", "1"))
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
@@ -262,7 +264,8 @@ def run_scaling() -> None:
             f"criterion is evidenced at {lo}->{hi} CPUs where the host "
             "stays below its ceiling; extraction-phase ratios above 1.0 "
             "are drift, not super-linearity.\n\n"
-            f"Per-query seconds at {hi} cpus: `{json.dumps(r_hi['queries'])}`\n"
+            "Per-query seconds (median of 3, 32 cpus): see the plain "
+            "`python bench.py` JSON line / `BENCH_r{N}.json`.\n"
         )
 
 
