@@ -56,7 +56,15 @@ def dedup_keep_first(ds, id_col: str, text_col: str = "text", *,
     """Materialize the SURVIVING rows of exact dedup (min-id row per
     content hash): groupby(hash) -> Min(id) reps, then an inner join
     back on (hash, id).  The reps side is two 8-byte columns; the full
-    rows cross the exchange exactly once (they are the output)."""
+    rows cross the exchange exactly once (they are the output).
+
+    The reps side is checkpointed (tiny: 16 bytes per distinct hash) so
+    we can (a) short-circuit an empty input — Ray's hash join cannot
+    survive a fully-empty side, the partitioner emits no shards and
+    acero rejects the schema-less table — and (b) scale the join's
+    partition count to the reps row count so no partition statistically
+    receives zero shards from the small side (the documented n//32
+    rule, see connected_components)."""
     from ray.data.aggregate import Min
 
     hashed = ds.map_batches(
@@ -64,8 +72,12 @@ def dedup_keep_first(ds, id_col: str, text_col: str = "text", *,
     )
     reps = hashed.groupby("content_hash").aggregate(
         Min(id_col, alias_name=id_col)
-    )
-    joined = hashed.join(reps, "inner", num_partitions=join_partitions,
+    ).materialize()
+    n_reps = reps.count()
+    if n_reps == 0:
+        return ds  # reps empty <=> input empty; schema already correct
+    parts = max(1, min(join_partitions, n_reps // 32))
+    joined = hashed.join(reps, "inner", num_partitions=parts,
                          on=("content_hash", id_col))
     return joined.drop_columns(["content_hash"])
 

@@ -294,6 +294,10 @@ def tfidf_top_terms(ds, *, n_docs: int, id_col: str = "doc_id",
             batch_format="pandas")
 
     dfp = df_tbl.to_pandas()
+    if dfp.empty:
+        # empty-input aggregates come back schema-less (no columns)
+        dfp = pd.DataFrame({"term": pd.Series([], dtype=object),
+                            "df": pd.Series([], dtype="int64")})
     idf = pd.Series(
         np.log(float(n_docs) / dfp["df"].to_numpy().astype(np.float64)),
         index=dfp["term"])
@@ -360,10 +364,15 @@ def top_ngrams(ds, *, text_col: str = "text", n: int = 2, k: int = 20,
            .groupby("ngram").aggregate(Sum("n_partial", alias_name="__n")))
 
     def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            # empty-input aggregate blocks come back schema-less
+            return pd.DataFrame({"ngram": pd.Series([], dtype=object),
+                                 "__n": pd.Series([], dtype="int64")})
         return df.sort_values(["__n", "ngram"], ascending=[False, True],
                               kind="mergesort").head(k)
 
-    cand = agg.map_batches(block_topk, batch_format="pandas").to_pandas()
+    cand = block_topk(
+        agg.map_batches(block_topk, batch_format="pandas").to_pandas())
     top = (cand.sort_values(["__n", "ngram"], ascending=[False, True],
                             kind="mergesort").head(k)
            .reset_index(drop=True))

@@ -431,6 +431,7 @@ def pivot_count(ds, *, key: str, cat_col: str, categories: tuple,
     from ray.data.aggregate import Sum
 
     cats = list(categories)
+    assert cats, "pivot_count needs a non-empty closed category set"
     cols = [f"{prefix}{c}" for c in cats]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -477,8 +478,11 @@ def global_rank(ds, *, order_col: str, tie_col: str, ntile: int | None = None,
     import ray
     from ray.data.aggregate import Count
 
-    hist = (ds.groupby(order_col).aggregate(Count(alias_name="__n"))
-            .to_pandas().sort_values(order_col))
+    hist = ds.groupby(order_col).aggregate(Count(alias_name="__n")).to_pandas()
+    if hist.empty:
+        # empty-input aggregates come back schema-less (no columns)
+        hist = pd.DataFrame({order_col: [], "__n": []})
+    hist = hist.sort_values(order_col)
     counts = hist["__n"].to_numpy(np.int64)
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
     total = int(counts.sum())

@@ -1,0 +1,108 @@
+"""Every library operator must survive an EMPTY (but correctly typed)
+input dataset — at corpus scale a filter routinely drains whole
+partitions, and Ray Data's schema-less empty blocks are a documented
+crash class (see dedup.connected_components notes).  Each test asserts
+a zero-row result with the right columns, not an exception."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _empty(schema: dict):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(
+        {k: pa.array([], t) for k, t in schema.items()}))
+
+
+EV = {"event_id": pa.int64(), "user_id": pa.int64(),
+      "ts": pa.timestamp("us"), "value": pa.float64()}
+DOC = {"doc_id": pa.int64(), "text": pa.string(), "lang": pa.string(),
+       "n_chars": pa.int64()}
+
+
+def test_windows_ops_on_empty(ray_session):
+    from rayxt.windows import (assign_hopping_windows, grouped_mode,
+                               grouped_topk, group_quantiles_sketch,
+                               sequence_stats, sessionize, pivot_count,
+                               global_rank)
+
+    ds = _empty(EV)
+    assert assign_hopping_windows(
+        ds, ts_col="ts", size_us=7_200_000_000, hop_us=1_800_000_000,
+        cols=["user_id", "value"]).count() == 0
+    assert sessionize(ds, key="user_id", ts_col="ts").count() == 0
+    assert grouped_topk(ds, key="user_id", order_col="value",
+                        k=3).count() == 0
+    assert grouped_mode(ds, key="user_id",
+                        value_col="event_id").count() == 0
+    assert group_quantiles_sketch(ds, key="user_id",
+                                  value_col="value").count() == 0
+    assert sequence_stats(ds, key="user_id", ts_col="ts",
+                          tie_col="event_id", first_gap=-1).count() == 0
+    piv = pivot_count(ds.map_batches(
+        lambda t: t.append_column("kind", pa.array([], pa.string())),
+        batch_format="pyarrow"), key="user_id", cat_col="kind",
+        categories=("a", "b"))
+    assert piv.count() == 0
+    assert global_rank(ds, order_col="value",
+                       tie_col="event_id").count() == 0
+
+
+def test_joins_on_empty(ray_session):
+    from rayxt.joins import asof_join, broadcast_lookup, range_join_count
+
+    left = _empty(EV)
+    right = _empty(EV)
+    assert asof_join(left, right, key="user_id", on="ts",
+                     left_cols=["event_id", "user_id", "ts"],
+                     right_cols=["event_id"],
+                     right_suffix="_b").count() == 0
+    assert range_join_count(
+        left, right, key="user_id", on="ts", before=10, after=0,
+        left_cols=["event_id", "user_id", "ts"]).count() == 0
+    assert broadcast_lookup(left, key_col="user_id", keys=[1], values=["x"],
+                            out_col="v").count() == 0
+    # one-sided empties: every left row still counts zero right matches
+    import ray.data as rd
+    l2 = rd.from_pandas(pd.DataFrame({
+        "event_id": [1], "user_id": [7],
+        "ts": pd.to_datetime(["2024-01-01"]).astype("datetime64[us]"),
+        "value": [0.5]}))
+    out = range_join_count(l2, right, key="user_id", on="ts", before=10,
+                           after=0, left_cols=["event_id", "user_id", "ts"],
+                           out_col="n").to_pandas()
+    assert out["n"].tolist() == [0]
+
+
+def test_text_and_sampling_on_empty(ray_session):
+    from rayxt.sampling import hash_sample_int, stratified_hash_sample
+    from rayxt.text import (add_bpe_token_count, add_fingerprint,
+                            add_stopword_ratio, add_token_count,
+                            document_frequency, tfidf_top_terms, top_ngrams)
+
+    ds = _empty(DOC)
+    assert add_token_count(ds).count() == 0
+    assert add_bpe_token_count(ds).count() == 0
+    assert add_stopword_ratio(ds).count() == 0
+    assert add_fingerprint(ds).count() == 0
+    assert hash_sample_int(ds, "doc_id", 0.5).count() == 0
+    assert stratified_hash_sample(ds, "doc_id", "lang",
+                                  {"en": 0.5}).count() == 0
+    assert document_frequency(ds).count() == 0
+    assert tfidf_top_terms(ds, n_docs=1).count() == 0
+    ng = top_ngrams(ds, n=2, k=5)
+    assert len(ng) == 0
+
+
+def test_dedup_and_sketches_on_empty(ray_session):
+    from rayxt.dedup import dedup_keep_first, exact_dedup
+    from rayxt.sketches import group_distinct_hll
+
+    ds = _empty(DOC)
+    assert exact_dedup(ds, "doc_id").count() == 0
+    assert dedup_keep_first(ds, "doc_id", join_partitions=2).count() == 0
+    assert group_distinct_hll(_empty(EV), key="user_id",
+                              value_col="event_id").count() == 0
