@@ -71,8 +71,14 @@ def grouped_topk(ds, *, key: str, order_col: str, k: int = 10,
     before the exchange (a row outside its batch's per-key top-k can
     never be in the global top-k), so the shuffle moves at most
     ``n_keys * k`` rows per input batch — the same partial-merge
-    pattern as :mod:`rayxt.ann`'s top-k, applied per group.
+    pattern as :mod:`rayxt.ann`'s top-k, applied per group.  The final
+    per-key merge is a pure ``AggregateFn`` carrying at most ``k``
+    candidate rows (the :func:`grouped_mode` argmax pattern generalized
+    from one candidate to k) — no per-group UDF in the reduce.
     """
+    import pyarrow as pa
+    from ray.data.aggregate import AggregateFn
+
     sort_cols = [order_col, *tie_cols]
     ascending = [not descending] + [True] * len(tie_cols)
 
@@ -81,7 +87,46 @@ def grouped_topk(ds, *, key: str, order_col: str, k: int = 10,
         return df.groupby(key, sort=False).head(k).reset_index(drop=True)
 
     partials = ds.map_batches(topk, batch_format="pandas")
-    return partials.groupby(key).map_groups(topk, batch_format="pandas")
+
+    def sort_rows(rows: list) -> list:
+        # stable multi-pass: minor keys first, each ascending, then the
+        # order column with the requested direction — works for any
+        # comparable dtype (no numeric negation trick needed)
+        for c in reversed(tie_cols):
+            rows.sort(key=lambda r: r[c])
+        rows.sort(key=lambda r: r[order_col], reverse=descending)
+        return rows[:k]
+
+    def accumulate_block(acc, block):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0:
+            return acc
+        df = block.to_pandas().sort_values(
+            sort_cols, ascending=ascending, kind="mergesort").head(k)
+        return sort_rows((acc or []) + df.to_dict("records"))
+
+    def merge(a, b):
+        if not a:
+            return b
+        if not b:
+            return a
+        return sort_rows(a + b)
+
+    agg = partials.groupby(key).aggregate(AggregateFn(
+        init=lambda _k: None, merge=merge, name="__top",
+        accumulate_block=accumulate_block))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        if "__top" not in t.column_names:  # schema-less empty block
+            return t
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(t["__top"].combine_chunks())
+        return pa.table({f.name: pc.struct_field(flat, f.name)
+                         for f in flat.type})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
 
 
 def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
