@@ -99,10 +99,11 @@ def test_text_and_sampling_on_empty(ray_session):
 
 def test_dedup_and_sketches_on_empty(ray_session):
     from rayxt.dedup import dedup_keep_first, exact_dedup
-    from rayxt.sketches import group_distinct_hll
+    from rayxt.sketches import group_distinct_hll, heavy_hitters
 
     ds = _empty(DOC)
     assert exact_dedup(ds, "doc_id").count() == 0
     assert dedup_keep_first(ds, "doc_id", join_partitions=2).count() == 0
     assert group_distinct_hll(_empty(EV), key="user_id",
                               value_col="event_id").count() == 0
+    assert heavy_hitters(ds, value_col="lang", k=3).count() == 0

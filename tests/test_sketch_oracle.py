@@ -340,6 +340,36 @@ def test_hll_matches_oracle_and_accuracy(ray_session):
             assert exact > 2.5 * 1024  # raw-estimator branch really ran
 
 
+def test_heavy_hitters_equals_exact_topk(ray_session):
+    """Candidate pass + exact recount == exact top-k whenever every
+    top-k value's count exceeds n/m — asserted on a Zipf-ish skew over
+    many small blocks, so local-heaviness thresholds really trigger."""
+    import ray.data as rd
+
+    from rayxt.sketches import heavy_hitters
+
+    rng = np.random.default_rng(41)
+    # ~40 hot values with Zipf-ish counts over a 5000-word long tail
+    hot = [f"hot{i:02d}" for i in range(40)]
+    hot_counts = (4000 / np.arange(1, 41)).astype(int)
+    vals = ([v for v, c in zip(hot, hot_counts) for _ in range(int(c))]
+            + [f"tail{int(i)}" for i in rng.integers(0, 5000, 12000)])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+
+    exact = (df["v"].value_counts().rename_axis("v").reset_index(name="n")
+             .sort_values(["n", "v"], ascending=[False, True]).head(10)
+             .reset_index(drop=True))
+    n = len(df)
+    assert exact["n"].min() * 256 > n  # the documented m precondition
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (heavy_hitters(ds.repartition(16), value_col="v", k=10, m=256)
+           .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, exact.astype({"n": "int64"}), check_dtype=False)
+
+
 def test_kmeans_matches_oracle_any_partitioning(ray_session):
     """Engine k-means == naive oracle restatement for any batching
     (centroid rounding decouples assignments from partial-sum merge
