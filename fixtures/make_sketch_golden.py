@@ -145,6 +145,15 @@ def main() -> None:
         "p95": pa.array([dq[k][1] for k in etypes], pa.float64()),
     }), os.path.join(DATA_DIR, "golden_ev_quantiles_sketch.parquet"))
 
+    # corpus-wide (one giant group): same restatement with a constant key
+    gq = ddsketch_group_quantiles(
+        (("all", v) for v in ev.column("value").to_pylist()),
+        qs=(0.5, 0.95), alpha=0.01)["all"]
+    pq.write_table(pa.table({
+        "p50": pa.array([gq[0]], pa.float64()),
+        "p95": pa.array([gq[1]], pa.float64()),
+    }), os.path.join(DATA_DIR, "golden_ev_quantiles_global.parquet"))
+
     emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
                         columns=["vec_id", "embedding"])
     km = oracle_kmeans(emb.column("vec_id").to_pylist(),
@@ -182,8 +191,8 @@ def main() -> None:
                  "golden_neardup_clusters", "golden_langid",
                  "golden_fingerprint", "golden_ann_lsh", "golden_ann_ivf",
                  "golden_media_decode", "golden_rule_hits",
-                 "golden_ev_quantiles_sketch", "golden_ev_hll",
-                 "golden_kmeans"):
+                 "golden_ev_quantiles_sketch", "golden_ev_quantiles_global",
+                 "golden_ev_hll", "golden_kmeans"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")
 

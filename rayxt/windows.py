@@ -18,8 +18,9 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["sessionize", "group_quantiles", "group_quantiles_sketch",
-           "grouped_topk", "assign_hopping_windows", "grouped_mode",
-           "sequence_stats", "pivot_count", "global_rank"]
+           "corpus_quantiles_sketch", "grouped_topk",
+           "assign_hopping_windows", "grouped_mode", "sequence_stats",
+           "pivot_count", "global_rank"]
 
 
 def assign_hopping_windows(ds, *, ts_col: str = "ts", size_us: int,
@@ -347,6 +348,47 @@ def group_quantiles_sketch(ds, *, key: str, value_col: str,
         return pd.DataFrame(out)
 
     return merged.groupby(key).map_groups(finalize, batch_format="pandas")
+
+
+def corpus_quantiles_sketch(ds, *, value_col: str, qs: tuple = (0.5, 0.95),
+                            alpha: float = 0.01, ndigits: int = 6):
+    """Corpus-WIDE DDSketch quantiles — the one-giant-group case that
+    motivates the sketch path: no key at all, so no worker ever holds
+    the group's raw values.  Each batch emits bounded ``(kind, idx,
+    count)`` bucket partials, the merge is a pure ``Sum`` over at most
+    ``O(log(range)/alpha)`` distinct buckets, and the finalize runs
+    driver-side over that tiny bucket table.  Same frozen bucket /
+    rank-floor(q*(n-1)) definition as :func:`group_quantiles_sketch`
+    (oracle: ``tests/oracle/sketches.ddsketch_group_quantiles`` with a
+    constant key).  Returns a one-row pandas DataFrame (empty input:
+    zero rows)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    gamma = _dd_gamma(alpha)
+    names = [f"p{int(q * 100)}" for q in qs]
+
+    def partial(df: pd.DataFrame):
+        vals = df[value_col].to_numpy(dtype=np.float64)
+        kind, idx = _dd_buckets(vals, gamma)
+        g = (pd.DataFrame({"kind": kind, "idx": idx})
+             .groupby(["kind", "idx"], sort=False)
+             .size().rename("count").reset_index())
+        g["count"] = g["count"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .groupby(["kind", "idx"])
+              .aggregate(Sum("count", alias_name="count"))
+              .to_pandas())
+    if merged.empty:
+        return pd.DataFrame({n: pd.Series([], dtype="float64")
+                             for n in names})
+    vals = _dd_quantiles_from_buckets(
+        merged["kind"].to_numpy(), merged["idx"].to_numpy(),
+        merged["count"].to_numpy(), qs, gamma, ndigits)
+    return pd.DataFrame({n: pd.Series([v], dtype="float64")
+                         for n, v in zip(names, vals)})
 
 
 def group_quantiles(ds, *, key: str, value_col: str,

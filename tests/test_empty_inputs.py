@@ -24,10 +24,10 @@ DOC = {"doc_id": pa.int64(), "text": pa.string(), "lang": pa.string(),
 
 
 def test_windows_ops_on_empty(ray_session):
-    from rayxt.windows import (assign_hopping_windows, grouped_mode,
-                               grouped_topk, group_quantiles_sketch,
-                               sequence_stats, sessionize, pivot_count,
-                               global_rank)
+    from rayxt.windows import (assign_hopping_windows, corpus_quantiles_sketch,
+                               grouped_mode, grouped_topk,
+                               group_quantiles_sketch, sequence_stats,
+                               sessionize, pivot_count, global_rank)
 
     ds = _empty(EV)
     assert assign_hopping_windows(
@@ -40,6 +40,7 @@ def test_windows_ops_on_empty(ray_session):
                         value_col="event_id").count() == 0
     assert group_quantiles_sketch(ds, key="user_id",
                                   value_col="value").count() == 0
+    assert len(corpus_quantiles_sketch(ds, value_col="value")) == 0
     assert sequence_stats(ds, key="user_id", ts_col="ts",
                           tie_col="event_id", first_gap=-1).count() == 0
     piv = pivot_count(ds.map_batches(

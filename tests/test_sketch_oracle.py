@@ -340,6 +340,32 @@ def test_hll_matches_oracle_and_accuracy(ray_session):
             assert exact > 2.5 * 1024  # raw-estimator branch really ran
 
 
+def test_corpus_quantiles_sketch_matches_oracle(ray_session):
+    """Corpus-wide DDSketch == the naive restatement with a constant
+    key, for any batching, and within the alpha relative-error bound of
+    the exact rank element."""
+    import ray.data as rd
+
+    from rayxt.windows import corpus_quantiles_sketch
+    from tests.oracle.sketches import ddsketch_group_quantiles
+
+    rng = np.random.default_rng(59)
+    vals = np.concatenate([rng.lognormal(0, 2.0, 20000),
+                           -rng.lognormal(1, 1.0, 5000), [0.0] * 37])
+    rng.shuffle(vals)
+
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals, pa.float64())}))
+    got = corpus_quantiles_sketch(ds.repartition(11), value_col="value",
+                                  qs=(0.5, 0.95), alpha=0.01)
+    want = ddsketch_group_quantiles((("all", v) for v in vals),
+                                    qs=(0.5, 0.95), alpha=0.01)["all"]
+    assert got["p50"].iloc[0] == want[0]
+    assert got["p95"].iloc[0] == want[1]
+    for q, est in (("p50", got["p50"].iloc[0]), ("p95", got["p95"].iloc[0])):
+        exact = np.sort(vals)[int({"p50": .5, "p95": .95}[q] * (len(vals) - 1))]
+        assert abs(est - exact) <= 0.011 * abs(exact) + 1e-12, (q, est, exact)
+
+
 def test_heavy_hitters_equals_exact_topk(ray_session):
     """Candidate pass + exact recount == exact top-k whenever every
     top-k value's count exceeds n/m — asserted on a Zipf-ish skew over
