@@ -33,6 +33,7 @@ from tests.oracle.sketches import (  # noqa: E402
     oracle_lsh_topk,
     oracle_minhash_pairs,
     oracle_ngram_jaccard_pairs,
+    oracle_repetition,
     oracle_simhash_pairs,
 )
 
@@ -88,6 +89,14 @@ def main() -> None:
         "fingerprint": pa.array([oracle_fingerprint(t or "") for t in texts],
                                 pa.string()),
     }), os.path.join(DATA_DIR, "golden_fingerprint.parquet"))
+
+    reps = [oracle_repetition(t or "") for t in texts]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "max_word_frac": pa.array([r[0] for r in reps], pa.float64()),
+        "top_2gram_frac": pa.array([r[1] for r in reps], pa.float64()),
+        "dup_3gram_frac": pa.array([r[2] for r in reps], pa.float64()),
+    }), os.path.join(DATA_DIR, "golden_repetition.parquet"))
 
     emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
                         columns=["vec_id", "embedding", "label"])
@@ -189,7 +198,8 @@ def main() -> None:
     for name in ("golden_minhash_pairs", "golden_jaccard_pairs",
                  "golden_simhash_pairs",
                  "golden_neardup_clusters", "golden_langid",
-                 "golden_fingerprint", "golden_ann_lsh", "golden_ann_ivf",
+                 "golden_fingerprint", "golden_repetition",
+                 "golden_ann_lsh", "golden_ann_ivf",
                  "golden_media_decode", "golden_rule_hits",
                  "golden_ev_quantiles_sketch", "golden_ev_quantiles_global",
                  "golden_ev_hll", "golden_kmeans"):

@@ -30,6 +30,8 @@ __all__ = [
     "document_frequency",
     "tfidf_top_terms",
     "top_ngrams",
+    "repetition_profile",
+    "add_repetition_signals",
 ]
 
 # BPE-style pre-tokenizer classes (letters runs / digit runs / single
@@ -187,6 +189,66 @@ def add_fingerprint(ds, col: str = "text", out: str = "fingerprint"):
         return t.append_column(out, pa.array(fps, pa.string()))
 
     return ds.map_batches(batch_fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# repetition quality signals (Gopher-style: repeated words / n-grams
+# mark low-quality machine-generated or boilerplate text)
+# ---------------------------------------------------------------------------
+
+
+def repetition_profile(text: str) -> tuple[float, float, float]:
+    """FROZEN per-document repetition signals over whitespace tokens
+    (independently restated in ``tests/oracle/sketches.py``):
+
+    - ``max_word_frac``: count of the most frequent word / word count
+    - ``top_2gram_frac``: count of the most frequent word-bigram /
+      bigram count (0.0 with fewer than 2 words)
+    - ``dup_3gram_frac``: fraction of word-trigram occurrences whose
+      trigram occurs more than once (0.0 with fewer than 3 words)
+
+    Each ratio is ``round(..., 6)`` — both sides compute the identical
+    float sequence, so goldens are bit-stable."""
+    words = text.split()
+    n = len(words)
+    if n == 0:
+        return 0.0, 0.0, 0.0
+    counts: dict = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    max_word = round(max(counts.values()) / n, 6)
+    if n < 2:
+        return max_word, 0.0, 0.0
+    c2: dict = {}
+    for i in range(n - 1):
+        g = (words[i], words[i + 1])
+        c2[g] = c2.get(g, 0) + 1
+    top2 = round(max(c2.values()) / (n - 1), 6)
+    if n < 3:
+        return max_word, top2, 0.0
+    c3: dict = {}
+    for i in range(n - 2):
+        g = (words[i], words[i + 1], words[i + 2])
+        c3[g] = c3.get(g, 0) + 1
+    dup3 = round(sum(c for c in c3.values() if c > 1) / (n - 2), 6)
+    return max_word, top2, dup3
+
+
+def add_repetition_signals(ds, col: str = "text"):
+    """Append ``max_word_frac`` / ``top_2gram_frac`` / ``dup_3gram_frac``
+    float64 columns.  Counting n-grams is inherently per-row (like
+    LangId / fingerprinting); the stage is stateless and embarrassingly
+    parallel, O(words) per document."""
+
+    def batch_rep(t: pa.Table) -> pa.Table:
+        profs = [repetition_profile(x or "") for x in t[col].to_pylist()]
+        for i, name in enumerate(("max_word_frac", "top_2gram_frac",
+                                  "dup_3gram_frac")):
+            t = t.append_column(
+                name, pa.array([p[i] for p in profs], pa.float64()))
+        return t
+
+    return ds.map_batches(batch_rep, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -219,6 +219,29 @@ def oracle_langid(text: str) -> str:
     return best if best_score > 0 else "en"
 
 
+def oracle_repetition(text: str) -> tuple:
+    """Independent restatement of the frozen repetition signals
+    (``rayxt.text.repetition_profile``): most-frequent-word fraction,
+    most-frequent-bigram fraction, duplicated-trigram occurrence
+    fraction, each round(..., 6), over whitespace tokens."""
+    from collections import Counter
+
+    words = text.split()
+    n = len(words)
+    if n == 0:
+        return 0.0, 0.0, 0.0
+    max_word = round(Counter(words).most_common(1)[0][1] / n, 6)
+    if n < 2:
+        return max_word, 0.0, 0.0
+    c2 = Counter(zip(words, words[1:]))
+    top2 = round(c2.most_common(1)[0][1] / (n - 1), 6)
+    if n < 3:
+        return max_word, top2, 0.0
+    c3 = Counter(zip(words, words[1:], words[2:]))
+    dup3 = round(sum(c for c in c3.values() if c > 1) / (n - 2), 6)
+    return max_word, top2, dup3
+
+
 def oracle_fingerprint(text: str) -> str:
     """FNV-1a over token bytes with a 0x20 separator step, hex-formatted."""
     h = 14695981039346656037

@@ -119,6 +119,27 @@ def test_langid_fingerprint_match_oracle(docs_ds):
         assert format(fingerprint_of(t), "016x") == oracle_fingerprint(t)
 
 
+def test_repetition_signals_match_oracle(docs_ds):
+    """Engine repetition profile == independent Counter restatement on
+    the corpus plus the word-count edge cases (0/1/2 words, all-same)."""
+    from rayxt.text import add_repetition_signals, repetition_profile
+    from tests.oracle.sketches import oracle_repetition
+
+    ds, ids, texts = docs_ds
+    samples = texts[:20] + ["", "one", "two words", "a a a a a",
+                            "x y x y x y", "a b c a b c a b c"]
+    for t in samples:
+        assert repetition_profile(t) == oracle_repetition(t), t
+
+    got = (add_repetition_signals(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(sorted(zip(ids, texts))):
+        want = oracle_repetition(t[1])
+        row = got.iloc[i]
+        assert (row["max_word_frac"], row["top_2gram_frac"],
+                row["dup_3gram_frac"]) == want
+
+
 def test_media_decode_round_trips_ground_truth():
     """PNG / WAV / RAYX decoders must invert the fixture encodings:
     decode(encode(source)) == the generator's pre-encoding stats."""
