@@ -1,0 +1,262 @@
+"""PDF extraction: engine vs generator ground truth vs the independent
+naive oracle, feature-targeted units, container damage, fuzz, and the
+Ray actor-pool stage."""
+
+import random
+
+import pytest
+
+from fixtures.gen_pdf import (
+    _build_pdf,
+    ensure_pdf_parquet,
+    pdf_ground_truth,
+    pdf_row,
+)
+from rayxt.pdf import (
+    PdfDocument,
+    extract_pdf_text,
+    extract_text,
+    interpret_content,
+    layout_runs,
+)
+from tests.oracle.pdf_oracle import _page_text, _runs_of, oracle_extract
+
+N_CORPUS = 250  # matches the committed golden
+
+
+def _wrap_page(ops: bytes) -> bytes:
+    """Minimal single-page PDF around raw content ops."""
+    from fixtures.gen_pdf import _PdfWriter
+
+    w = _PdfWriter()
+    catalog = w.reserve()
+    pages = w.reserve()
+    c = w.add_stream(ops, flate=False, indirect_length=False)
+    page = w.add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+        b"/Contents %d 0 R >>" % (pages, c)
+    )
+    w.put(pages, b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page)
+    w.put(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages)
+    return w.render(catalog)
+
+
+# ---------------------------------------------------------------------------
+# feature units
+# ---------------------------------------------------------------------------
+
+
+def test_literal_string_escapes_and_octal():
+    n, text, st = extract_text(_wrap_page(
+        b"BT 72 720 Td (a\\(b\\)c \\\\ \\101 \\12x (nested) end) Tj ET"
+    ))
+    assert st == "ok"
+    assert text == "a(b)c \\ A \nx (nested) end"
+
+
+def test_hex_string_whitespace_and_odd_pad():
+    # '48 656C6C 6F' = Hello; trailing odd digit '4' pads to 0x40 = '@'
+    n, text, st = extract_text(_wrap_page(b"BT 72 720 Td <48 656C6C 6F 4> Tj ET"))
+    assert text == "Hello@"
+
+
+def test_tj_kerning_threshold():
+    n, text, st = extract_text(_wrap_page(
+        b"BT 72 720 Td [(a) -100 (b) -100.5 (c) -20 (d)] TJ ET"
+    ))
+    # policy: strictly below -100 is a space
+    assert text == "ab cd"
+
+
+def test_same_line_runs_join_with_one_space_and_equal_x_concat():
+    ops = (b"BT 72 720 Td (left) Tj (cat) Tj 228 0 Td (right) Tj ET")
+    n, text, st = extract_text(_wrap_page(ops))
+    assert text == "leftcat right"
+
+
+def test_lines_sort_by_descending_y_regardless_of_emission_order():
+    ops = (b"BT 1 0 0 1 72 100 Tm (bottom) Tj "
+           b"1 0 0 1 72 700 Tm (top) Tj ET")
+    n, text, st = extract_text(_wrap_page(ops))
+    assert text == "top\nbottom"
+
+
+def test_quote_operators_advance_by_leading():
+    ops = (b"BT 16 TL 72 720 Td (one) Tj (two) ' 1 2 (three) \" ET")
+    n, text, st = extract_text(_wrap_page(ops))
+    assert text == "one\ntwo\nthree"
+
+
+def test_td_sets_leading_t_star_uses_it():
+    ops = (b"BT 72 720 Td (a) Tj 0 -20 TD (b) Tj T* (c) Tj ET")
+    n, text, st = extract_text(_wrap_page(ops))
+    assert text == "a\nb\nc"
+
+
+def test_in_string_raw_newline_normalises():
+    n, text, st = extract_text(_wrap_page(b"BT 72 720 Td (ab\r\ncd\rx) Tj ET"))
+    assert text == "ab\ncd\nx"
+
+
+def test_graphics_noise_and_inline_image_skipped():
+    ops = (b"BT 72 720 Td (kept) Tj ET q 0.2 w BI /W 2 /H 2 ID \xff\x00(Tj "
+           b"garbage EI Q BT 72 700 Td (also) Tj ET")
+    n, text, st = extract_text(_wrap_page(ops))
+    assert text == "kept\nalso"
+
+
+# ---------------------------------------------------------------------------
+# container features / damage
+# ---------------------------------------------------------------------------
+
+
+def test_multi_page_flate_indirect_length_and_array_contents():
+    # i=37: 37%4=1 flate, 37%5=2 split contents, 37%7=2 (direct len)
+    # i=58: 58%7=2... pick indices covering each variant
+    for i in (1, 2, 3, 22 + 23, 37, 58):  # 45 is truncated; skip
+        if i % 23 in (21, 22) or i % 29 == 17:
+            continue
+        gt = pdf_ground_truth(i)
+        got = extract_text(pdf_row(i)["pdf"])
+        assert got == (gt["n_pages"], gt["text"], gt["status"]), f"i={i}"
+
+
+def test_broken_xref_falls_back_to_sequential_scan():
+    i = 21  # i % 23 == 21 -> startxref points at garbage, body intact
+    assert i % 23 == 21
+    payload = pdf_row(i)["pdf"]
+    gt = pdf_ground_truth(i)
+    assert gt["status"] == "ok"
+    n, text, st = extract_text(payload)
+    assert (n, text, st) == (gt["n_pages"], gt["text"], "ok")
+
+
+def test_truncated_and_non_pdf_statuses():
+    t = pdf_row(22)["pdf"]  # truncated
+    assert extract_text(t) == (0, "", "parse_error")
+    h = pdf_row(17)["pdf"]  # html payload
+    assert extract_text(h) == (0, "", "not_pdf")
+    assert extract_text(b"") == (0, "", "not_pdf")
+    assert extract_text(b"%PDF-1.4\ngarbage") == (0, "", "parse_error")
+
+
+def test_xref_offsets_actually_used():
+    """A doc whose xref is valid parses without the sequential scan."""
+    payload, n_pages, text = _build_pdf(0)
+    doc = PdfDocument(payload)
+    assert doc._offsets  # xref path populated offsets
+    assert len(doc.page_contents()) == n_pages
+
+
+# ---------------------------------------------------------------------------
+# corpus equivalence: engine == generator ground truth == naive oracle
+# ---------------------------------------------------------------------------
+
+
+def test_full_corpus_engine_matches_ground_truth_and_oracle():
+    for i in range(N_CORPUS):
+        row = pdf_row(i)
+        gt = pdf_ground_truth(i)
+        expected = (gt["n_pages"], gt["text"], gt["status"])
+        assert extract_text(row["pdf"]) == expected, f"engine i={i}"
+        assert oracle_extract(row["pdf"]) == expected, f"oracle i={i}"
+
+
+# ---------------------------------------------------------------------------
+# fuzz: engine and oracle agree on arbitrary content streams
+# ---------------------------------------------------------------------------
+
+
+def test_content_fuzz_engine_matches_oracle():
+    rng = random.Random(20260817)
+    words = [b"alpha", b"beta(x)", b"g\\amma", b"d elta", b"", b")q("]
+
+    def lit(w):
+        esc = (w.replace(b"\\", b"\\\\").replace(b"(", b"\\(")
+               .replace(b")", b"\\)"))
+        r = rng.random()
+        if r < 0.3:
+            return b"<" + w.hex().encode() + b">"
+        if r < 0.4:
+            return b"(\\101\\12" + esc + b"\\n\\t\\q)"
+        return b"(" + esc + b")"
+
+    def num():
+        return str(rng.choice(
+            [-250, -100.0, -99.9, -101, -20, 0, 1.5, 72, 300, 719.95]
+        )).encode()
+
+    def chunk():
+        r = rng.random()
+        w = rng.choice(words)
+        if r < 0.15:
+            return num() + b" " + num() + b" Td"
+        if r < 0.25:
+            return num() + b" " + num() + b" TD"
+        if r < 0.30:
+            return num() + b" TL"
+        if r < 0.35:
+            return b"1 0 0 1 " + num() + b" " + num() + b" Tm"
+        if r < 0.50:
+            return lit(w) + b" Tj"
+        if r < 0.60:
+            return lit(w) + b" '"
+        if r < 0.65:
+            return b"0.5 0.1 " + lit(w) + b" \""
+        if r < 0.80:
+            els = b" ".join(
+                rng.choice([lit(rng.choice(words)), num()])
+                for _ in range(rng.randint(1, 6))
+            )
+            return b"[" + els + b"] TJ"
+        if r < 0.90:
+            return rng.choice([b"BT", b"ET", b"T*", b"q", b"Q", b"S", b"f",
+                               b"% comment line"])
+        return num()  # stray operand
+
+    for _ in range(800):
+        content = b"\n".join(chunk() for _ in range(rng.randint(1, 30)))
+        eng = layout_runs(interpret_content(content))
+        ora = _page_text(_runs_of(content))
+        assert eng == ora, content[:300]
+
+
+# ---------------------------------------------------------------------------
+# Ray stage
+# ---------------------------------------------------------------------------
+
+
+def test_extract_pdf_text_stage(ray_session, tmp_path):
+    import ray.data as rd
+
+    path = ensure_pdf_parquet(str(tmp_path / "pdfs.parquet"), 60)
+    out = extract_pdf_text(rd.read_parquet(path), concurrency=2).to_pandas()
+    assert len(out) == 60
+    assert "pdf" not in out.columns  # payload bytes dropped in-stage
+    out = out.set_index("pdf_id")
+    for i in range(60):
+        gt = pdf_ground_truth(i)
+        row = out.loc[i]
+        assert (int(row.n_pages), row.text, row.status) == (
+            gt["n_pages"], gt["text"], gt["status"]
+        ), f"i={i}"
+        assert int(row.n_chars) == gt["n_chars"]
+
+
+def test_golden_matches_oracle_regeneration():
+    """The committed golden is exactly the oracle's output today."""
+    import pyarrow.parquet as pq
+    import os
+
+    golden_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "data", "golden_pdf_text.parquet",
+    )
+    golden = pq.read_table(golden_path).to_pylist()
+    assert len(golden) == N_CORPUS
+    for rec in golden:
+        row = pdf_row(rec["pdf_id"])
+        n, text, st = oracle_extract(row["pdf"])
+        assert (n, text, len(text), st) == (
+            rec["n_pages"], rec["text"], rec["n_chars"], rec["status"]
+        )
