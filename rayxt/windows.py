@@ -20,7 +20,8 @@ import pandas as pd
 __all__ = ["sessionize", "group_quantiles", "group_quantiles_sketch",
            "corpus_quantiles_sketch", "grouped_topk",
            "assign_hopping_windows", "grouped_mode", "sequence_stats",
-           "pivot_count", "global_rank"]
+           "pivot_count", "global_rank", "rolling_stats",
+           "ordered_string_agg", "dense_grid"]
 
 
 def assign_hopping_windows(ds, *, ts_col: str = "ts", size_us: int,
@@ -601,3 +602,79 @@ def global_rank(ds, *, order_col: str, tie_col: str, ntile: int | None = None,
 
     return ds.groupby(order_col).map_groups(rank_group,
                                             batch_format="pandas")
+
+
+def rolling_stats(ds, *, key: str, ts_col: str, tie_col: str,
+                  value_col: str, window: int, ndigits: int = 6,
+                  keep_cols: tuple = ()):
+    """Per-key rolling window aggregates over the last ``window`` rows
+    (current + ``window-1`` preceding) in the unique ``(ts, tie)``
+    order — SQL ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``.
+
+    Outputs ``roll_sum`` / ``roll_avg`` (rounded to ``ndigits`` —
+    sliding-sum float association differs across engines, rounding on
+    both sides is the parity contract) and ``roll_max`` (exact).
+
+    Same shape and one-key-fits-one-worker assumption as
+    :func:`sequence_stats`: one hash exchange on ``key``, vectorized
+    numpy per group.
+    """
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tie_col], kind="mergesort")
+        v = g[value_col].to_numpy(dtype=np.float64)
+        r = pd.Series(v).rolling(window, min_periods=1)
+        out = {c: g[c].reset_index(drop=True)
+               for c in (tie_col, key, ts_col, *keep_cols)}
+        out["roll_sum"] = pd.Series(
+            np.round(r.sum().to_numpy(), ndigits))
+        out["roll_avg"] = pd.Series(
+            np.round(r.mean().to_numpy(), ndigits))
+        out["roll_max"] = pd.Series(r.max().to_numpy())
+        return pd.DataFrame(out)
+
+    return ds.groupby(key).map_groups(roll, batch_format="pandas")
+
+
+def ordered_string_agg(ds, *, key: str, ts_col: str, tie_col: str,
+                       cat_col: str, sep: str = ",",
+                       out_col: str = "path"):
+    """Per-key ordered concatenation of a category column (SQL
+    ``STRING_AGG(cat, sep ORDER BY ts, tie)``) — the event-path /
+    session-sequence shape.  One hash exchange on ``key``; the
+    documented one-key-fits-one-worker assumption bounds the output
+    string by the key's event count.
+    """
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tie_col], kind="mergesort")
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            out_col: [sep.join(g[cat_col].astype(str))],
+            "n_events": pd.Series([len(g)], dtype="int64"),
+        })
+
+    return ds.groupby(key).map_groups(agg, batch_format="pandas")
+
+
+def dense_grid(ds, *, dim_a: str, dim_b: str, count_col: str = "n"):
+    """Dense reporting grid: every (dim_a, dim_b) combination with its
+    row count, zero-filled — the CROSS JOIN + LEFT JOIN densify shape.
+
+    The sparse counts come from a distributed ``groupby``; the two
+    dimension domains and the final densify are tiny by construction
+    (|A| x |B| cells), so they run on the driver — materializing a
+    small AGGREGATE result is the documented exception to the
+    no-driver-materialization rule.
+    """
+    from ray.data.aggregate import Count
+
+    sparse = (ds.groupby([dim_a, dim_b]).aggregate(Count(alias_name="cnt"))
+              .to_pandas())
+    grid = pd.MultiIndex.from_product(
+        [sorted(sparse[dim_a].unique()), sorted(sparse[dim_b].unique())],
+        names=[dim_a, dim_b],
+    ).to_frame(index=False)
+    out = grid.merge(sparse, on=[dim_a, dim_b], how="left")
+    out[count_col] = out["cnt"].fillna(0).astype("int64")
+    return out.drop(columns=["cnt"])

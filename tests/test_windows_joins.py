@@ -374,3 +374,58 @@ def test_global_rank_ntile_matches_bruteforce(ray_session, ev_df):
     assert got["event_id"].tolist() == want["event_id"].tolist()
     assert got["rank"].tolist() == want["rank"].tolist()
     assert got["bucket"].tolist() == buckets.tolist()
+
+
+def test_rolling_stats_matches_pandas(ray_session, ev_df):
+    import ray.data as rd
+
+    from rayxt.windows import rolling_stats
+
+    out = rolling_stats(
+        rd.from_pandas(ev_df).repartition(5), key="user_id", ts_col="ts",
+        tie_col="event_id", value_col="value", window=4,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    want = ev_df.sort_values(["user_id", "ts", "event_id"]).copy()
+    r = want.groupby("user_id")["value"].rolling(4, min_periods=1)
+    want["roll_sum"] = np.round(r.sum().reset_index(0, drop=True), 6)
+    want["roll_avg"] = np.round(r.mean().reset_index(0, drop=True), 6)
+    want["roll_max"] = r.max().reset_index(0, drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    for col in ("roll_sum", "roll_avg", "roll_max"):
+        assert np.allclose(out[col], want[col]), col
+
+
+def test_ordered_string_agg_matches_bruteforce(ray_session, ev_df):
+    import ray.data as rd
+
+    from rayxt.windows import ordered_string_agg
+
+    out = ordered_string_agg(
+        rd.from_pandas(ev_df).repartition(5), key="user_id", ts_col="ts",
+        tie_col="event_id", cat_col="kind",
+    ).to_pandas().set_index("user_id").sort_index()
+
+    for uid, g in ev_df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        assert out.loc[uid, "path"] == ",".join(g["kind"])
+        assert int(out.loc[uid, "n_events"]) == len(g)
+
+
+def test_dense_grid_matches_bruteforce(ray_session, ev_df):
+    import ray.data as rd
+
+    from rayxt.windows import dense_grid
+
+    df = ev_df.copy()
+    df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+    out = dense_grid(rd.from_pandas(df).repartition(5),
+                     dim_a="day", dim_b="kind")
+    out = out.sort_values(["day", "kind"]).reset_index(drop=True)
+
+    days = sorted(df["day"].unique())
+    kinds = sorted(df["kind"].unique())
+    assert len(out) == len(days) * len(kinds)
+    counts = df.groupby(["day", "kind"]).size()
+    for _, row in out.iterrows():
+        assert row["n"] == counts.get((row["day"], row["kind"]), 0)
