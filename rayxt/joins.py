@@ -19,7 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["asof_join", "broadcast_lookup", "range_join_count"]
+__all__ = ["asof_join", "broadcast_lookup", "broadcast_semi_filter",
+           "range_join_count"]
 
 
 def broadcast_lookup(ds, *, key_col: str, keys, values, out_col: str,
@@ -47,6 +48,35 @@ def broadcast_lookup(ds, *, key_col: str, keys, values, out_col: str,
         return out
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def broadcast_semi_filter(ds, keys_ds, *, key_col: str, keys_key: str,
+                          negate: bool = False):
+    """Broadcast semi (``EXISTS``) / anti (``negate=True``) join: the
+    right side's DISTINCT keys collapse to a small table (distributed
+    ``groupby`` count — the big rows never leave their blocks), ship
+    through ``ray.put`` ONCE, and the big side filters per batch with
+    ``pc.is_in`` — zero shuffles of the probe table, versus the hash
+    ``Dataset.join("left_semi")`` path which exchanges both sides.
+    Use when the distinct key set is broadcast-small (the documented
+    small-side assumption shared with :func:`broadcast_lookup`); keep
+    the shuffle join for large-x-large.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    distinct = (keys_ds.groupby(keys_key)
+                .aggregate(Count(alias_name="__c")).to_pandas())
+    key_set = ray.put(pa.array(distinct[keys_key]))
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[key_col], value_set=ray.get(key_set))
+        if negate:
+            mask = pc.invert(mask)
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def asof_join(left, right, *, key: str, on: str,

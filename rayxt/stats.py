@@ -1,0 +1,114 @@
+"""Distributed statistical aggregates built from mergeable partial
+sums — the co-moment family (correlation, covariance) and broadcast
+standardization (z-scores).
+
+Scale shape shared by both operators: a vectorized per-batch partial
+(``n, Σx, Σy, Σx², Σy², Σxy`` as plain float64 columns) runs BEFORE
+the exchange, the shuffle carries one tiny row per (block, key), pure
+``Sum`` aggregates merge them, and a driver-side finalize touches only
+``n_keys`` rows (the documented small-aggregate exception).  Numeric
+caveat: plain co-moments cancel catastrophically when |mean| >> std —
+callers should pass bounded-magnitude columns (derive an hour-of-day,
+not an epoch-microsecond).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["grouped_corr", "zscore"]
+
+
+def _moment_partials(key: str, x_col: str, y_col: str):
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(dtype=np.float64)
+        y = df[y_col].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({
+            key: df[key].to_numpy(), "n": 1.0, "sx": x, "sy": y,
+            "sxx": x * x, "syy": y * y, "sxy": x * y,
+        }).groupby(key, sort=False).sum().reset_index()
+        return g
+
+    return partial
+
+
+def grouped_corr(ds, *, key: str, x_col: str, y_col: str,
+                 ndigits: int = 6, out_col: str = "corr"):
+    """Per-key sample (Pearson) correlation of two columns —
+    ``corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)(n·Σy² − Σy²))``,
+    rounded to ``ndigits`` on both sides of the oracle contract.
+    Keys with fewer than 2 rows or zero variance yield NaN (matching
+    SQL ``corr``'s NULL -> emitted as NaN float, never a null int).
+    """
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(_moment_partials(key, x_col, y_col),
+                          batch_format="pandas")
+           .groupby(key)
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+           .to_pandas())
+    n = agg["n"].to_numpy()
+    sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
+    sxx, syy = agg["sxx"].to_numpy(), agg["syy"].to_numpy()
+    sxy = agg["sxy"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cov = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        corr = cov / np.sqrt(varx * vary)
+    corr = np.where((n >= 2) & (varx > 0) & (vary > 0), corr, np.nan)
+    return pd.DataFrame({
+        key: agg[key],
+        out_col: np.round(corr, ndigits),
+        "n": n.astype(np.int64),
+    }).sort_values(key).reset_index(drop=True)
+
+
+def zscore(ds, *, key: str, value_col: str, ndigits: int = 6,
+           keep_cols: tuple = (), out_col: str = "z", ddof: int = 1):
+    """Per-row standardization against per-key mean/stddev (SQL
+    ``(v − AVG(v) OVER (PARTITION BY key)) / STDDEV_SAMP(v) OVER ...``).
+
+    Two passes, zero extra shuffles of the big table: pass 1 reduces
+    per-key ``(n, Σv, Σv²)`` partials to a tiny stats table, broadcast
+    once via ``ray.put``; pass 2 is a stateless vectorized
+    ``map_batches`` lookup — rows never co-locate by key.  Keys with
+    undefined stddev produce NaN.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        return (pd.DataFrame({key: df[key].to_numpy(), "n": 1.0,
+                              "sv": v, "svv": v * v})
+                .groupby(key, sort=False).sum().reset_index())
+
+    stats = (ds.map_batches(partial, batch_format="pandas")
+             .groupby(key)
+             .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sv", "svv")])
+             .to_pandas())
+    n = stats["n"].to_numpy()
+    mean = stats["sv"].to_numpy() / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (stats["svv"].to_numpy() - n * mean * mean) / (n - ddof)
+        std = np.sqrt(var)
+    std = np.where((n > ddof) & (var > 0), std, np.nan)
+    ref = ray.put({k: (m, s) for k, m, s in zip(stats[key], mean, std)})
+
+    def norm(t: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        keys = t[key].to_pylist()
+        ms = np.array([lookup[k] for k in keys], dtype=np.float64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            z = np.round((v - ms[:, 0]) / ms[:, 1], ndigits)
+        cols = {c: t[c] for c in (key, value_col, *keep_cols)}
+        cols[out_col] = pa.array(z, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -490,3 +490,64 @@ def test_tfidf_join_path_matches_broadcast(ray_session):
          .to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert len(a) > 0
+
+
+def test_grouped_corr_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from rayxt.stats import grouped_corr
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], size=400),
+        "x": rng.random(400) * 50,
+        "y": rng.random(400) * 10,
+    })
+    # make one key genuinely correlated, one key degenerate (n=1)
+    df.loc[df.k == "a", "y"] = df.loc[df.k == "a", "x"] * 0.5 + 1
+    df = pd.concat([df, pd.DataFrame({"k": ["solo"], "x": [1.0],
+                                      "y": [2.0]})], ignore_index=True)
+    out = grouped_corr(rd.from_pandas(df).repartition(5),
+                       key="k", x_col="x", y_col="y").set_index("k")
+    want = df.groupby("k").apply(
+        lambda g: g["x"].corr(g["y"]), include_groups=False)
+    for k in ("a", "b", "c"):
+        assert abs(out.loc[k, "corr"] - round(want[k], 6)) <= 1e-6, k
+    assert np.isnan(out.loc["solo", "corr"])
+    assert out.loc["a", "corr"] == 1.0
+
+
+def test_zscore_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from rayxt.stats import zscore
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame({
+        "rid": range(300),
+        "k": rng.choice(["a", "b"], size=300),
+        "v": rng.random(300) * 100,
+    })
+    out = (zscore(rd.from_pandas(df).repartition(5), key="k",
+                  value_col="v", keep_cols=("rid",))
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    g = df.groupby("k")["v"]
+    want = (df["v"] - df["k"].map(g.mean())) / df["k"].map(g.std(ddof=1))
+    assert np.allclose(out["z"], np.round(want, 6), atol=2e-6)
+
+
+def test_broadcast_semi_filter_matches_isin(ray_session):
+    import ray.data as rd
+
+    from rayxt.joins import broadcast_semi_filter
+
+    big = pd.DataFrame({"id": range(200), "val": range(200)})
+    small = pd.DataFrame({"fk": [3, 3, 7, 150, 199, 400]})
+    semi = broadcast_semi_filter(
+        rd.from_pandas(big).repartition(4), rd.from_pandas(small),
+        key_col="id", keys_key="fk").to_pandas()
+    assert sorted(semi["id"]) == [3, 7, 150, 199]
+    anti = broadcast_semi_filter(
+        rd.from_pandas(big).repartition(4), rd.from_pandas(small),
+        key_col="id", keys_key="fk", negate=True).to_pandas()
+    assert len(anti) == 196 and 3 not in set(anti["id"])
