@@ -130,6 +130,26 @@ def run_bench() -> dict:
         bytes_in = os.path.getsize(pages)
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    # rule-free DOM-heuristic main-content strip over the SAME corpus
+    # (the second extraction path; consumed by an aggregate, no sink)
+    mc_trials = int(os.environ.get("RAYXT_MC_TRIALS", "3"))
+    if mc_trials:
+        import ray.data as rd
+
+        import statistics as _st
+
+        from rayxt.boilerplate import extract_main_content
+
+        mc_times = []
+        for _ in range(mc_trials):
+            t0 = time.time()
+            mc = extract_main_content(
+                rd.read_parquet(pages, columns=["url", "html"]),
+                concurrency=pool, batch_size=64)
+            mc.sum("n_chars")
+            mc_times.append(time.time() - t0)
+        queries["main_content"] = round(_st.median(mc_times), 3)
+
     # representative non-headline pipelines over the sf tables.
     # median of >= 3 in-process repeats per query: single-run numbers on
     # this VM drift +-15-30%, which made r1->r2 per-query deltas

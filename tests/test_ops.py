@@ -551,3 +551,26 @@ def test_broadcast_semi_filter_matches_isin(ray_session):
         rd.from_pandas(big).repartition(4), rd.from_pandas(small),
         key_col="id", keys_key="fk", negate=True).to_pandas()
     assert len(anti) == 196 and 3 not in set(anti["id"])
+
+
+def test_streaming_dedup_first_seen_index(ray_session):
+    import ray.data as rd
+
+    from rayxt.state import streaming_dedup
+
+    rng = np.random.default_rng(41)
+    keys = rng.integers(0, 120, size=1000)
+    df = pd.DataFrame({"k": [f"key-{k}" for k in keys],
+                       "payload": np.arange(1000)})
+    ds = rd.from_pandas(df).repartition(8)
+    deduped, dd = streaming_dedup(ds, key_col="k", n_shards=3,
+                                  batch_size=64)
+    out = deduped.to_pandas()
+    # the distinct key set is deterministic; the surviving rows are not
+    assert sorted(out["k"].unique()) == sorted(df["k"].unique())
+    assert len(out) == df["k"].nunique()  # exactly one row per key
+    assert dd.total_seen() == df["k"].nunique()
+    # second pass through the SAME index drops everything
+    again, _ = (ds.map_batches(dd.filter_batch, batch_format="pyarrow",
+                               batch_size=64), dd)
+    assert again.count() == 0
