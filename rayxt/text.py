@@ -16,6 +16,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = [
+    "add_json_int_field",
+    "add_char_entropy",
+    "char_entropy_of",
+    "add_url_parts",
     "add_token_count",
     "add_bpe_token_count",
     "add_stopword_ratio",
@@ -440,3 +444,70 @@ def top_ngrams(ds, *, text_col: str = "text", n: int = 2, k: int = 20,
            .reset_index(drop=True))
     return pd.DataFrame({out_cols[0]: top["ngram"],
                          out_cols[1]: top["__n"].astype("int64")})
+
+
+def add_json_int_field(ds, *, col: str, field: str, out: str):
+    """Extract an integer field from a FLAT-JSON string column,
+    vectorized: one RE2 kernel per batch (``pc.extract_regex``), no
+    per-row json.loads.  The RE2-on-both-sides trick (see
+    ``add_bpe_token_count``) makes it exactly oracle-checkable, and
+    for flat non-escaped JSON the regex IS the grammar.  Documents
+    with no such field yield null (filter or aggregate before any
+    integer-null-sensitive sink).  Nested/escaped JSON needs a real
+    parser — that variant would be a per-row actor stage like LangId.
+    """
+    import pyarrow.compute as pc
+
+    pattern = '"' + field + '"\\s*:\\s*(?P<v>-?\\d+)'
+
+    def ex(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t[col], pattern=pattern)
+        return t.append_column(
+            out, pc.cast(pc.struct_field(m, "v"), pa.int64()))
+
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
+def char_entropy_of(text: str) -> float:
+    """Shannon entropy (log2) of the character distribution — a cheap
+    quality signal (near-zero for degenerate/repeated text, high for
+    natural prose).  Per-row numpy bincount over codepoints; O(len)
+    like :func:`fingerprint_of`."""
+    if not text:
+        return 0.0
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    _, counts = np.unique(codes, return_counts=True)
+    p = counts / counts.sum()
+    return float(-(p * np.log2(p)).sum())
+
+
+def add_char_entropy(ds, col: str = "text", out: str = "char_entropy",
+                     ndigits: int = 6):
+    def batch_ent(t: pa.Table) -> pa.Table:
+        ents = [round(char_entropy_of(x or ""), ndigits)
+                for x in t[col].to_pylist()]
+        return t.append_column(out, pa.array(ents, pa.float64()))
+
+    return ds.map_batches(batch_ent, batch_format="pyarrow")
+
+
+_URL_PATTERN = (
+    r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<host>[^/?#]*)"
+    r"(?P<path>[^?#]*)"
+)
+
+
+def add_url_parts(ds, col: str = "url"):
+    """Split scheme / host / path out of a URL column with ONE
+    vectorized RE2 kernel per batch — the standard first step of any
+    web-corpus pipeline (host-level grouping, path filters).  The same
+    pattern evaluates identically in DuckDB's regexp_extract (RE2 on
+    both sides), so derived columns stay oracle-checkable."""
+
+    def parts(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t[col], pattern=_URL_PATTERN)
+        out = t.append_column("scheme", pc.struct_field(m, "scheme"))
+        out = out.append_column("host", pc.struct_field(m, "host"))
+        return out.append_column("path", pc.struct_field(m, "path"))
+
+    return ds.map_batches(parts, batch_format="pyarrow")

@@ -574,3 +574,43 @@ def test_streaming_dedup_first_seen_index(ray_session):
     again, _ = (ds.map_batches(dd.filter_batch, batch_format="pyarrow",
                                batch_size=64), dd)
     assert again.count() == 0
+
+
+def test_add_json_int_field(ray_session):
+    import ray.data as rd
+
+    from rayxt.text import add_json_int_field
+
+    df = pd.DataFrame({"props": ['{"k": 12, "j": 1}', '{"j": 2}',
+                                 '{"k": -3}', '{"k":7}']})
+    out = add_json_int_field(rd.from_pandas(df), col="props", field="k",
+                             out="k").to_pandas()
+    assert out["k"].tolist()[0] == 12
+    assert pd.isna(out["k"][1])  # missing field -> null
+    assert out["k"].tolist()[2] == -3
+    assert out["k"].tolist()[3] == 7  # no space after colon
+
+
+def test_char_entropy_and_url_parts(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from rayxt.text import add_char_entropy, add_url_parts, char_entropy_of
+
+    assert char_entropy_of("aabb") == 1.0
+    assert char_entropy_of("") == 0.0
+    # uniform over 4 symbols -> 2 bits
+    assert abs(char_entropy_of("abcd") - 2.0) < 1e-12
+
+    df = pd.DataFrame({"url": ["https://a.example.com/x/y?q=1#frag",
+                               "http://b.org/"],
+                       "text": ["aabb", "abcd"]})
+    out = add_url_parts(
+        add_char_entropy(rd.from_pandas(df))).to_pandas()
+    out = out.sort_values("url").reset_index(drop=True)
+    assert out.loc[1, "scheme"] == "https"
+    assert out.loc[1, "host"] == "a.example.com"
+    assert out.loc[1, "path"] == "/x/y"
+    assert out.loc[0, "path"] == "/"
+    assert out.loc[0, "char_entropy"] == 2.0
