@@ -84,8 +84,8 @@ def _norm(s: str) -> str:
     return " ".join(s.split())
 
 
-def _unit_score(unit: Node) -> int:
-    text_len = len(_norm(_flow(unit)))
+def _unit_score(unit: Node, norm_text: str) -> int:
+    text_len = len(norm_text)
     link_len = 0
     stack = [unit]
     while stack:
@@ -138,8 +138,10 @@ def main_content(html) -> tuple[str, int, str]:
 
     scores: dict[int, int] = {}
     owners: dict[int, Node] = {}
+    norm_cache: dict[int, str] = {}
     for unit in units:
-        credit = _unit_score(unit)
+        norm_cache[id(unit)] = _norm(_flow(unit))
+        credit = _unit_score(unit, norm_cache[id(unit)])
         anc = unit.parent
         while anc is not None and anc.tag not in CANDIDATE_TAGS:
             anc = anc.parent
@@ -160,7 +162,11 @@ def main_content(html) -> tuple[str, int, str]:
         return "", 0, "no_content"
 
     winner = owners[best_id]
-    lines = [t for t in (_norm(_flow(u)) for u in _topmost_units(winner))
+    # unit text was computed during scoring; only units not under body
+    # (impossible) would miss the cache
+    lines = [t for t in
+             (norm_cache.get(id(u)) if id(u) in norm_cache
+              else _norm(_flow(u)) for u in _topmost_units(winner))
              if t]
     return "\n".join(lines), len(lines), "ok"
 
