@@ -41,7 +41,8 @@ import pyarrow as pa
 from .dom import Node, parse_html
 
 __all__ = ["UNIT_TAGS", "BOILER_TAGS", "CANDIDATE_TAGS", "main_content",
-           "ExtractMainContent", "extract_main_content"]
+           "main_content_from_root", "ExtractMainContent",
+           "extract_main_content"]
 
 UNIT_TAGS = frozenset({"p", "h1", "h2", "h3", "h4", "li", "pre",
                        "blockquote"})
@@ -124,6 +125,13 @@ def main_content(html) -> tuple[str, int, str]:
         root = parse_html(html)
     except Exception:
         return "", 0, "error"
+    return main_content_from_root(root)
+
+
+def main_content_from_root(root: Node) -> tuple[str, int, str]:
+    """The heuristic over an already-parsed tree — the entry the
+    ``heuristic_content`` rule program uses so the resumable
+    extraction job / CLI / two-tier paths run it unchanged."""
     body = next((n for n in root.iter() if n.tag == "body"), root)
     units = _topmost_units(body)
     if not units:

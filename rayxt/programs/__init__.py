@@ -6,6 +6,7 @@ actor compiles its own program once in ``__init__`` — cheap broadcast of
 small immutable state (SURVEY.md P2).
 """
 
+from .heuristic_content import heuristic_content_program
 from .main_content import main_content_program
 from .mods_to_tei import mods_to_tei_program
 from .wikipedia_table import wikitable_program
@@ -14,6 +15,7 @@ PROGRAMS = {
     "main_content": main_content_program,
     "wikipedia_table": wikitable_program,
     "mods_to_tei": mods_to_tei_program,
+    "heuristic_content": heuristic_content_program,
 }
 
 

@@ -101,3 +101,34 @@ def test_extract_main_content_stage(ray_session):
     got = sorted(zip(out.url, out.text, out.n_blocks.astype(int),
                      out.status))
     assert got == expected
+
+
+def test_heuristic_content_program_in_resumable_job(ray_session, tmp_path):
+    """The heuristic runs through the FULL flagship job (part_id,
+    resume filter, actor-pool kernel, partitioned sink) as a rule
+    program, producing the same text as direct main_content calls."""
+    from fixtures.gen_pages import ensure_pages_parquet
+    from rayxt.pipeline import run_extraction_job
+
+    src = ensure_pages_parquet(str(tmp_path / "pages.parquet"), 300,
+                               giant_cap=65536)
+    out_dir = str(tmp_path / "out")
+    summary = run_extraction_job(src, out_dir, num_partitions=8,
+                                 program="heuristic_content",
+                                 concurrency=1, batch_size=64)
+    assert int(summary["rows"].sum()) == 300
+
+    import glob
+
+    import pyarrow.dataset as pads
+
+    files = sorted(glob.glob(os.path.join(out_dir, "part_id=*",
+                                          "*.parquet")))
+    got = pads.dataset(files, format="parquet").to_table().to_pandas()
+    src_df = pq.read_table(src, columns=["url", "html"]).to_pandas()
+    # urls can duplicate -> compare the (url, text) multiset
+    want = sorted((u, main_content(h)[0])
+                  for u, h in zip(src_df.url, src_df.html))
+    assert sorted(zip(got.url, got.text)) == want
+    # fixture mix includes zero-byte html rows -> kernel status 'empty'
+    assert set(got.status) <= {"ok", "empty"}
