@@ -98,15 +98,17 @@ def zscore(ds, *, key: str, value_col: str, ndigits: int = 6,
         var = (stats["svv"].to_numpy() - n * mean * mean) / (n - ddof)
         std = np.sqrt(var)
     std = np.where((n > ddof) & (var > 0), std, np.nan)
-    ref = ray.put({k: (m, s) for k, m, s in zip(stats[key], mean, std)})
+    # broadcast as parallel Arrow arrays; per-batch lookup stays fully
+    # vectorized (pc.index_in + numpy take), no per-row Python
+    ref = ray.put((pa.array(stats[key]), mean, std))
 
     def norm(t: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        keys = t[key].to_pylist()
-        ms = np.array([lookup[k] for k in keys], dtype=np.float64)
+        keys, means, stds = ray.get(ref)
+        idx = pc.index_in(t[key], value_set=keys).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         with np.errstate(invalid="ignore"):
-            z = np.round((v - ms[:, 0]) / ms[:, 1], ndigits)
+            z = np.round((v - means[idx]) / stds[idx], ndigits)
         cols = {c: t[c] for c in (key, value_col, *keep_cols)}
         cols[out_col] = pa.array(z, pa.float64())
         return pa.table(cols)
