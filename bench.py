@@ -212,6 +212,7 @@ def run_scaling() -> None:
         # processes already; in-process repeats would cube the cost
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    RAYXT_HEADLINE_TRIALS="1", RAYXT_QUERY_TRIALS="0",
+                   RAYXT_MC_TRIALS="0",
                    RAYXT_BENCH_EXTRACT=os.environ.get("RAYXT_BENCH_EXTRACT", "1"))
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],

@@ -68,6 +68,8 @@ def broadcast_semi_filter(ds, keys_ds, *, key_col: str, keys_key: str,
 
     distinct = (keys_ds.groupby(keys_key)
                 .aggregate(Count(alias_name="__c")).to_pandas())
+    if keys_key not in distinct.columns:  # empty aggregate, schema-less
+        distinct = pd.DataFrame({keys_key: pd.Series([], dtype=object)})
     key_set = ray.put(pa.array(distinct[keys_key]))
 
     def keep(t: pa.Table) -> pa.Table:

@@ -49,6 +49,11 @@ def grouped_corr(ds, *, key: str, x_col: str, y_col: str,
            .aggregate(*[Sum(c, alias_name=c)
                         for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
            .to_pandas())
+    if "n" not in agg.columns:  # empty aggregates lose the schema
+        agg = pd.DataFrame({key: pd.Series([], dtype=object),
+                            **{c: pd.Series([], dtype="float64")
+                               for c in ("n", "sx", "sy", "sxx", "syy",
+                                         "sxy")}})
     n = agg["n"].to_numpy()
     sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
     sxx, syy = agg["sxx"].to_numpy(), agg["syy"].to_numpy()
@@ -92,6 +97,10 @@ def zscore(ds, *, key: str, value_col: str, ndigits: int = 6,
              .groupby(key)
              .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sv", "svv")])
              .to_pandas())
+    if "n" not in stats.columns:  # empty aggregates lose the schema
+        stats = pd.DataFrame({key: pd.Series([], dtype=object),
+                              **{c: pd.Series([], dtype="float64")
+                                 for c in ("n", "sv", "svv")}})
     n = stats["n"].to_numpy()
     mean = stats["sv"].to_numpy() / n
     with np.errstate(invalid="ignore", divide="ignore"):

@@ -671,6 +671,10 @@ def dense_grid(ds, *, dim_a: str, dim_b: str, count_col: str = "n"):
 
     sparse = (ds.groupby([dim_a, dim_b]).aggregate(Count(alias_name="cnt"))
               .to_pandas())
+    if dim_a not in sparse.columns:  # empty aggregates lose the schema
+        sparse = pd.DataFrame({dim_a: pd.Series([], dtype=object),
+                               dim_b: pd.Series([], dtype=object),
+                               "cnt": pd.Series([], dtype="int64")})
     grid = pd.MultiIndex.from_product(
         [sorted(sparse[dim_a].unique()), sorted(sparse[dim_b].unique())],
         names=[dim_a, dim_b],

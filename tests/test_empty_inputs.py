@@ -108,3 +108,53 @@ def test_dedup_and_sketches_on_empty(ray_session):
     assert group_distinct_hll(_empty(EV), key="user_id",
                               value_col="event_id").count() == 0
     assert heavy_hitters(ds, value_col="lang", k=3).count() == 0
+
+
+def test_new_session_ops_on_empty(ray_session):
+    """Round-3 late additions: rolling/string-agg/grid, stats,
+    broadcast semi, streaming dedup, JSON/entropy/url, pdf, heuristic
+    main-content."""
+    from rayxt.joins import broadcast_semi_filter
+    from rayxt.stats import grouped_corr, zscore
+    from rayxt.state import streaming_dedup
+    from rayxt.windows import dense_grid, ordered_string_agg, rolling_stats
+
+    ds = _empty(EV)
+    assert rolling_stats(ds, key="user_id", ts_col="ts",
+                         tie_col="event_id", value_col="value",
+                         window=5).count() == 0
+    et = ds.map_batches(
+        lambda t: t.append_column("kind", pa.array([], pa.string())),
+        batch_format="pyarrow")
+    assert ordered_string_agg(et, key="user_id", ts_col="ts",
+                              tie_col="event_id",
+                              cat_col="kind").count() == 0
+    day = ds.map_batches(
+        lambda t: t.append_column("day", pa.array([], pa.string())),
+        batch_format="pyarrow")
+    assert len(dense_grid(day, dim_a="day", dim_b="user_id")) == 0
+    assert len(grouped_corr(ds, key="user_id", x_col="value",
+                            y_col="value")) == 0
+    assert zscore(ds, key="user_id", value_col="value").count() == 0
+    assert broadcast_semi_filter(ds, _empty(EV), key_col="user_id",
+                                 keys_key="user_id").count() == 0
+    deduped, _dd = streaming_dedup(_empty(DOC), key_col="text")
+    assert deduped.count() == 0
+
+
+def test_new_text_and_extract_ops_on_empty(ray_session):
+    from rayxt.boilerplate import extract_main_content
+    from rayxt.pdf import PDF_SCHEMA, extract_pdf_text
+    from rayxt.text import add_char_entropy, add_json_int_field, add_url_parts
+
+    doc = _empty(DOC)
+    assert add_char_entropy(doc).count() == 0
+    props = _empty({"props": pa.string()})
+    assert add_json_int_field(props, col="props", field="k",
+                              out="k").count() == 0
+    urls = _empty({"url": pa.string()})
+    assert add_url_parts(urls).count() == 0
+    pages = _empty({"url": pa.string(), "html": pa.binary()})
+    assert extract_main_content(pages, concurrency=1).count() == 0
+    pdfs = _empty({f.name: f.type for f in PDF_SCHEMA})
+    assert extract_pdf_text(pdfs, concurrency=1).count() == 0
