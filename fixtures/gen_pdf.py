@@ -321,6 +321,113 @@ def _build_pdf(i: int) -> tuple[bytes, int, str]:
     return payload, n_pages, "\f".join(page_texts)
 
 
+def _apply_png_up_predictor(data: bytes, columns: int) -> bytes:
+    """PNG Up (filter 2) per row — what real writers emit for xref
+    streams (/Predictor 12)."""
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), columns):
+        row = data[r:r + columns]
+        out.append(2)
+        out += bytes((row[k] - prev[k]) & 0xFF for k in range(columns))
+        prev = row
+    return bytes(out)
+
+
+def _build_pdf_modern(i: int) -> tuple[bytes, int, str]:
+    """PDF 1.5+ layout: catalog / pages node / font / page dicts live
+    inside a FlateDecode /Type /ObjStm; the cross-reference is a
+    /Type /XRef STREAM with W=[1,4,2] binary entries under Flate +
+    PNG-Up /Predictor 12 — the dominant real-world file shape."""
+    flate_content = i % 4 == 1
+    n_pages = 1 + (_h(i, "np") % 3)
+
+    # object numbering: 1..n content streams, then objstm container,
+    # then xref stream; members get numbers after that
+    content_nums = list(range(1, n_pages + 1))
+    objstm_num = n_pages + 1
+    xref_num = n_pages + 2
+    catalog = n_pages + 3
+    pages_node = n_pages + 4
+    font = n_pages + 5
+    page_nums = [n_pages + 6 + p for p in range(n_pages)]
+
+    page_texts: list[str] = []
+    content_bodies: list[bytes] = []
+    for p in range(n_pages):
+        ops, expected_lines, _split = _page_ops(i, p)
+        data = zlib.compress(ops, 6) if flate_content else ops
+        extra = b" /Filter /FlateDecode" if flate_content else b""
+        content_bodies.append(
+            b"<< /Length %d%s >>\nstream\n" % (len(data), extra)
+            + data + b"\nendstream")
+        page_texts.append("\n".join(expected_lines))
+
+    members: list[tuple[int, bytes]] = [
+        (catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node),
+        (pages_node, b"<< /Type /Pages /Kids [%s] /Count %d >>" % (
+            b" ".join(b"%d 0 R" % n for n in page_nums), n_pages)),
+        (font, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    for p, pnum in enumerate(page_nums):
+        members.append((pnum,
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+            % (pages_node, font, content_nums[p])))
+
+    bodies = b" ".join(m[1] for m in members)
+    header_parts = []
+    off = 0
+    for num, body in members:
+        header_parts.append(b"%d %d" % (num, off))
+        off += len(body) + 1  # the single joining space
+    header = b" ".join(header_parts) + b"\n"
+    objstm_payload = header + bodies
+    objstm_z = zlib.compress(objstm_payload, 6)
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n"
+        % (len(members), len(header), len(objstm_z))
+    ) + objstm_z + b"\nendstream"
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num, body in zip(content_nums, content_bodies):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += b"%d 0 obj\n" % objstm_num + objstm_body + b"\nendobj\n"
+
+    # xref stream: W=[1,4,2]; entries for 0..max_num
+    xref_at = len(out)
+    offsets[xref_num] = xref_at
+    max_num = page_nums[-1]
+    rows = bytearray()
+    for num in range(max_num + 1):
+        if num == 0:
+            rows += b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        elif num in offsets:
+            rows += b"\x01" + offsets[num].to_bytes(4, "big") + b"\x00\x00"
+        else:
+            idx = next(k for k, m in enumerate(members) if m[0] == num)
+            rows += b"\x02" + objstm_num.to_bytes(4, "big") \
+                + idx.to_bytes(2, "big")
+    packed = zlib.compress(_apply_png_up_predictor(bytes(rows), 7), 6)
+    xref_body = (
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d] "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> "
+        b"/Root %d 0 R /Length %d >>\nstream\n"
+        % (max_num + 1, max_num + 1, catalog, len(packed))
+    ) + packed + b"\nendstream"
+    out += b"%d 0 obj\n" % xref_num + xref_body + b"\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out), n_pages, "\f".join(page_texts)
+
+
+def _is_modern(i: int) -> bool:
+    return i % 11 == 4 and i % 23 not in (21, 22) and i % 29 != 17
+
+
 def pdf_row(i: int) -> dict:
     url = f"https://docs.example-{_h(i, 'host') % 97}.org/p/{i}.pdf"
     if i % 29 == 17:  # not a PDF at all
@@ -328,6 +435,8 @@ def pdf_row(i: int) -> dict:
     elif i % 23 == 22:  # truncated mid-body
         full, _np, _txt = _build_pdf(i)
         payload = full[: int(len(full) * 0.6)]
+    elif _is_modern(i):  # PDF 1.5 xref-stream + ObjStm layout
+        payload, _np, _txt = _build_pdf_modern(i)
     else:
         payload, _np, _txt = _build_pdf(i)
     return {"pdf_id": i, "url": url, "pdf": payload}
@@ -342,7 +451,10 @@ def pdf_ground_truth(i: int) -> dict:
     if i % 23 == 22:
         return {"pdf_id": i, "url": url, "n_pages": 0, "text": "",
                 "n_chars": 0, "status": "parse_error"}
-    _payload, n_pages, text = _build_pdf(i)
+    if _is_modern(i):
+        _payload, n_pages, text = _build_pdf_modern(i)
+    else:
+        _payload, n_pages, text = _build_pdf(i)
     return {"pdf_id": i, "url": url, "n_pages": n_pages, "text": text,
             "n_chars": len(text), "status": "ok"}
 

@@ -356,6 +356,70 @@ _OBJ_HEAD = re.compile(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj"
                        rb"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%])")
 
 
+def _unpredict_png(data: bytes, columns: int) -> bytes:
+    """Un-apply PNG row predictors (PDF /Predictor >= 10; one filter
+    byte per `columns`-byte row, bytes-per-pixel 1 for xref streams)."""
+    if columns <= 0:
+        raise PdfError("bad /Columns")
+    rowlen = columns + 1
+    if len(data) % rowlen:
+        raise PdfError("predictor data is not whole rows")
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data), rowlen):
+        ft = data[r]
+        row = bytearray(data[r + 1:r + rowlen])
+        if ft == 1:    # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise PdfError(f"unknown PNG filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _apply_filters(d: dict, raw: bytes) -> bytes:
+    """Decode a stream per its /Filter (+ /DecodeParms) chain.
+    FlateDecode with optional PNG predictors; anything else raises."""
+    filt = d.get("Filter")
+    if filt is None:
+        return raw
+    filters = filt if isinstance(filt, list) else [filt]
+    parms = d.get("DecodeParms") or d.get("DP")
+    parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+    for f, p in zip(filters, parms_list):
+        if str(f) != "FlateDecode":
+            raise PdfError(f"unsupported filter {f}")
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error as exc:
+            raise PdfError(f"bad flate stream: {exc}") from exc
+        if isinstance(p, dict):
+            pred = p.get("Predictor", 1)
+            if pred >= 10:
+                raw = _unpredict_png(raw, p.get("Columns", 1))
+            elif pred != 1:
+                raise PdfError(f"unsupported predictor {pred}")
+    return raw
+
+
 class PdfDocument:
     """Parsed container: object offsets, trailer, page walk."""
 
@@ -364,6 +428,7 @@ class PdfDocument:
             raise PdfError("missing %PDF- header")
         self.data = data
         self._offsets: dict[int, int] = {}
+        self._in_objstm: dict[int, tuple[int, int]] = {}
         self._cache: dict[int, object] = {}
         self._streams: dict[int, bytes] = {}
         self.trailer: dict = {}
@@ -372,8 +437,10 @@ class PdfDocument:
             self._check_offsets()
         except Exception:
             self._offsets.clear()
+            self._in_objstm.clear()
             self._cache.clear()
             self._streams.clear()
+            self.trailer.clear()
             self._sequential_scan()
         if "Root" not in self.trailer:
             self._find_root_by_scan()
@@ -395,8 +462,15 @@ class PdfDocument:
             start = self._load_one_xref(start)
 
     def _load_one_xref(self, offset: int):
+        """Classic `xref` table OR a PDF 1.5+ cross-reference STREAM
+        (`/Type /XRef`, binary W-packed entries, trailer fields in the
+        stream dict) — dispatched on what the offset points at."""
         lx = _Lexer(self.data, offset)
+        save = lx.pos
         kind, val = lx.next()
+        if kind == "num":
+            lx.pos = save
+            return self._load_xref_stream(offset)
         if kind != "kw" or val != b"xref":
             raise PdfError("offset does not point at an xref table")
         while True:
@@ -430,9 +504,54 @@ class PdfDocument:
         prev = trailer.get("Prev")
         return prev if isinstance(prev, int) else None
 
+    def _load_xref_stream(self, offset: int):
+        lx = _Lexer(self.data, offset)
+        lx._skip_ws()
+        m = _OBJ_HEAD.match(self.data, lx.pos)
+        if m is None:
+            raise PdfError("xref offset hits neither table nor object")
+        value, stream, _end = self._parse_object_body(m.end())
+        if not isinstance(value, dict) or value.get("Type") != "XRef" \
+                or stream is None:
+            raise PdfError("object at startxref is not an XRef stream")
+        data = _apply_filters(value, stream)
+        w = value.get("W")
+        if (not isinstance(w, list) or len(w) != 3
+                or not all(isinstance(x, int) and x >= 0 for x in w)):
+            raise PdfError("bad /W")
+        a, b, c = w
+        rw = a + b + c
+        size = value.get("Size")
+        index = value.get("Index", [0, size])
+        if not isinstance(index, list) or len(index) % 2:
+            raise PdfError("bad /Index")
+        pos = 0
+        for k in range(0, len(index), 2):
+            start, count = index[k], index[k + 1]
+            for j in range(count):
+                row = data[pos:pos + rw]
+                if len(row) < rw:
+                    raise PdfError("short xref stream")
+                pos += rw
+                typ = int.from_bytes(row[:a], "big") if a else 1
+                f2 = int.from_bytes(row[a:a + b], "big")
+                f3 = int.from_bytes(row[a + b:], "big")
+                num = start + j
+                if num in self._offsets or num in self._in_objstm:
+                    continue  # newer section wins
+                if typ == 1:
+                    self._offsets[num] = f2
+                elif typ == 2:
+                    self._in_objstm[num] = (f2, f3)
+                # typ 0 = free
+        for k, v in value.items():
+            self.trailer.setdefault(k, v)
+        prev = value.get("Prev")
+        return prev if isinstance(prev, int) else None
+
     def _check_offsets(self):
         """Cheap validation that xref offsets actually hit `N G obj`."""
-        if not self._offsets:
+        if not self._offsets and not self._in_objstm:
             raise PdfError("empty xref")
         for num, off in self._offsets.items():
             if not (0 <= off < len(self.data)):
@@ -466,6 +585,20 @@ class PdfDocument:
             pos = end
         if not self._cache:
             raise PdfError("no objects found")
+        # expand object streams the scan surfaced (modern layouts keep
+        # the catalog/page dicts inside /Type /ObjStm containers)
+        for num, value in list(self._cache.items()):
+            if (isinstance(value, dict) and value.get("Type") == "ObjStm"
+                    and num in self._streams):
+                try:
+                    filt = value.get("Filter")
+                    d = value
+                    if isinstance(filt, Ref):
+                        d = dict(value, Filter=self._cache.get(filt.num))
+                    self._cache_objstm_members(
+                        d, _apply_filters(d, self._streams[num]))
+                except PdfError:
+                    continue
         at = data.rfind(b"trailer")
         if at >= 0:
             try:
@@ -556,6 +689,11 @@ class PdfDocument:
     def _load_num(self, num: int):
         if num in self._cache:
             return self._cache[num]
+        if num in self._in_objstm and num not in self._offsets:
+            self._load_objstm(self._in_objstm[num][0])
+            if num not in self._cache:
+                raise PdfError(f"object {num} missing from its ObjStm")
+            return self._cache[num]
         off = self._offsets.get(num)
         if off is None:
             raise PdfError(f"object {num} not in xref")
@@ -581,22 +719,38 @@ class PdfDocument:
         d = self.resolve(ref)
         if not isinstance(d, dict) or ref.num not in self._streams:
             raise PdfError("contents ref is not a stream")
-        raw = self._streams[ref.num]
         filt = d.get("Filter")
         if isinstance(filt, Ref):
-            filt = self.resolve(filt)
-        if filt is None:
-            return raw
-        filters = filt if isinstance(filt, list) else [filt]
-        for f in filters:
-            if str(f) == "FlateDecode":
-                try:
-                    raw = zlib.decompress(raw)
-                except zlib.error as exc:
-                    raise PdfError(f"bad flate stream: {exc}") from exc
-            else:
-                raise PdfError(f"unsupported filter {f}")
-        return raw
+            d = dict(d, Filter=self.resolve(filt))
+        return _apply_filters(d, self._streams[ref.num])
+
+    # -- object streams (PDF 1.5 /Type /ObjStm) ----------------------------
+
+    def _load_objstm(self, stm_num: int):
+        """Decompress one object stream and cache every member object
+        (header = N pairs of `num offset`, bodies at /First+offset)."""
+        d = self.resolve(Ref(stm_num, 0))
+        if not isinstance(d, dict) or d.get("Type") != "ObjStm":
+            raise PdfError("xref type-2 entry does not point at ObjStm")
+        raw = self.stream_bytes(Ref(stm_num, 0))
+        self._cache_objstm_members(d, raw)
+
+    def _cache_objstm_members(self, d: dict, raw: bytes):
+        n = d.get("N")
+        first = d.get("First")
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise PdfError("bad ObjStm header")
+        lx = _Lexer(raw)
+        pairs = []
+        for _ in range(n):
+            k1, num = lx.next()
+            k2, off = lx.next()
+            if k1 != "num" or k2 != "num":
+                raise PdfError("bad ObjStm pair table")
+            pairs.append((num, off))
+        for num, off in pairs:
+            if num not in self._cache:
+                self._cache[num] = _parse_value(_Lexer(raw, first + off))
 
     # -- page tree ---------------------------------------------------------
 
@@ -809,8 +963,9 @@ class ExtractPdfText:
     the batch leaves the stage, so only text crosses the object store
     downstream."""
 
-    def __init__(self):
+    def __init__(self, max_bytes: int = 64 << 20):
         self._extract = extract_text  # warm per-actor handle
+        self._max_bytes = max_bytes   # skew guard, like the html hard_cap
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_pages: list[int] = []
@@ -818,7 +973,10 @@ class ExtractPdfText:
         n_chars: list[int] = []
         status: list[str] = []
         for payload in batch["pdf"].to_pylist():
-            np_, text, st = self._extract(payload)
+            if payload is not None and len(payload) > self._max_bytes:
+                np_, text, st = 0, "", "too_large"
+            else:
+                np_, text, st = self._extract(payload)
             n_pages.append(np_)
             texts.append(text)
             n_chars.append(len(text))
@@ -830,10 +988,13 @@ class ExtractPdfText:
         return out.append_column("status", pa.array(status, pa.string()))
 
 
-def extract_pdf_text(ds, *, batch_size: int = 32, concurrency=(1, 8)):
+def extract_pdf_text(ds, *, batch_size: int = 32, concurrency=(1, 8),
+                     max_bytes: int = 64 << 20):
     """PDF payload bytes bound memory, not row count — keep batches
-    small like the media stages."""
+    small like the media stages; ``max_bytes`` short-circuits
+    pathological giants to ``status='too_large'`` without parsing."""
     return ds.map_batches(
-        ExtractPdfText, batch_format="pyarrow", batch_size=batch_size,
+        ExtractPdfText, fn_constructor_kwargs=dict(max_bytes=max_bytes),
+        batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
     )

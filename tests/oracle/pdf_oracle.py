@@ -122,10 +122,35 @@ def _stream_of(objs: dict[int, bytes], num: int) -> bytes:
     return raw
 
 
+def _expand_object_streams(objs: dict[int, bytes]) -> None:
+    """PDF 1.5 /Type /ObjStm containers: decompress, read the
+    `num offset` pair header, splice member object bodies into the
+    map (the xref STREAM itself is never consulted — this oracle is
+    pure sequential scan, mechanism-independent of the engine)."""
+    for num in list(objs):
+        d = _dict_span(objs[num])
+        if not re.search(rb"/Type\s*/ObjStm\b", d):
+            continue
+        try:
+            raw = _stream_of(objs, num)
+        except OracleFail:
+            continue
+        n = _grab_int(d, b"N")
+        first = _grab_int(d, b"First")
+        if n is None or first is None:
+            continue
+        nums_offs = [int(x) for x in raw[:first].split()[: 2 * n]]
+        pairs = list(zip(nums_offs[0::2], nums_offs[1::2]))
+        for k, (onum, off) in enumerate(pairs):
+            end = first + pairs[k + 1][1] if k + 1 < len(pairs) else len(raw)
+            objs.setdefault(onum, raw[first + off:end])
+
+
 def _page_streams(data: bytes) -> list[bytes]:
     objs = _split_objects(data)
     if not objs:
         raise OracleFail("no objects")
+    _expand_object_streams(objs)
     catalog = None
     for body in objs.values():
         d = _dict_span(body)

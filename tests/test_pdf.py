@@ -260,3 +260,61 @@ def test_golden_matches_oracle_regeneration():
         assert (n, text, len(text), st) == (
             rec["n_pages"], rec["text"], rec["n_chars"], rec["status"]
         )
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5 modern layout: xref streams, object streams, predictors
+# ---------------------------------------------------------------------------
+
+
+def test_modern_layout_parses_via_xref_stream():
+    from fixtures.gen_pdf import _build_pdf_modern, _is_modern
+
+    mi = next(i for i in range(300) if _is_modern(i))
+    payload, n_pages, text = _build_pdf_modern(mi)
+    doc = PdfDocument(payload)
+    # the xref STREAM was consulted: type-2 entries present, catalog
+    # resolvable from inside the ObjStm
+    assert doc._in_objstm, "no type-2 entries -> xref stream not parsed"
+    assert doc.trailer.get("Root") is not None
+    assert extract_text(payload) == (n_pages, text, "ok")
+    from tests.oracle.pdf_oracle import oracle_extract as oe
+
+    assert oe(payload) == (n_pages, text, "ok")
+
+
+def test_modern_layout_survives_broken_startxref():
+    """Damage the startxref of a modern doc: the sequential scan must
+    recover via ObjStm expansion."""
+    from fixtures.gen_pdf import _build_pdf_modern, _is_modern
+
+    mi = next(i for i in range(300) if _is_modern(i))
+    payload, n_pages, text = _build_pdf_modern(mi)
+    at = payload.rfind(b"startxref")
+    broken = payload[:at] + b"startxref\n999999999\n%%EOF\n"
+    assert extract_text(broken) == (n_pages, text, "ok")
+
+
+def test_png_predictor_unapply():
+    from fixtures.gen_pdf import _apply_png_up_predictor
+    from rayxt.pdf import _unpredict_png
+
+    data = bytes(range(49))  # 7 rows x 7 columns
+    assert _unpredict_png(_apply_png_up_predictor(data, 7), 7) == data
+
+
+def test_too_large_guard(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+    import ray.data as rd
+
+    from rayxt.pdf import PDF_SCHEMA
+
+    big = b"%PDF-" + b"x" * 1000
+    t = pa.Table.from_pylist(
+        [{"pdf_id": 0, "url": "u", "pdf": big}], schema=PDF_SCHEMA)
+    p = str(tmp_path / "big.parquet")
+    pq2.write_table(t, p)
+    out = extract_pdf_text(rd.read_parquet(p), concurrency=1,
+                           max_bytes=100).to_pandas()
+    assert out.status.tolist() == ["too_large"]
