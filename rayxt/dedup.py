@@ -215,6 +215,15 @@ def _lsh_candidate_pairs(sigs, *, id_col: str, bands: int,
 
     from ray.data.aggregate import Count
 
+    def pairs_only(t: pa.Table) -> pa.Table:
+        # empty hash-aggregate partitions emit SCHEMA-LESS blocks; the
+        # downstream signature join needs every block typed (id_a, id_b)
+        # or acero raises "No match ... FieldRef.Name(id_a)"
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        return t.select(["id_a", "id_b"])
+
     # pair dedup via a pure aggregate (hash-partitioned, vectorized) —
     # NOT map_groups: candidate pairs form millions of 1-2 row groups
     # and a per-group pandas UDF would dominate wall time at scale.
@@ -223,7 +232,7 @@ def _lsh_candidate_pairs(sigs, *, id_col: str, bands: int,
         .map_groups(ids_of_bucket, batch_format="pandas")
         .groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+        .map_batches(pairs_only, batch_format="pyarrow")
     )
 
 
@@ -271,9 +280,22 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str = "text", *, k: int = 3,
         num_cpus=1,
     ).materialize()  # checkpoint: band expansion + verify both read it
 
+    # checkpoint the candidate side (tiny: 16 bytes/pair) so we can
+    # short-circuit zero candidates and scale the join partition count
+    # to the pair count — a partition that statistically receives zero
+    # shards from one side crashes Ray's hash join (the n//32 rule,
+    # see dedup_keep_first / connected_components)
     cand = _lsh_candidate_pairs(sigs, id_col=id_col, bands=bands,
                                 rows_per_band=num_perm // bands,
-                                max_bucket=max_bucket)
+                                max_bucket=max_bucket).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        import ray
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    parts = max(1, min(join_partitions, n_cand // 32))
 
     sig_a = sigs.map_batches(
         lambda t: pa.table({"id_a": t[id_col], "sig_a": t["sig"]}),
@@ -284,8 +306,8 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str = "text", *, k: int = 3,
         batch_format="pyarrow",
     )
     joined = cand.join(
-        sig_a, "inner", num_partitions=join_partitions, on=("id_a",)
-    ).join(sig_b, "inner", num_partitions=join_partitions, on=("id_b",))
+        sig_a, "inner", num_partitions=parts, on=("id_a",)
+    ).join(sig_b, "inner", num_partitions=parts, on=("id_b",))
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -356,9 +378,19 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text", *, k: int = 3,
         batch_format="pyarrow",
     ).materialize()  # checkpoint: both verify joins read it
 
+    # same checkpoint + n//32 partition rule as minhash_lsh_pairs: a
+    # join partition with zero shards from one side crashes Ray's join
     cand = _lsh_candidate_pairs(sigs, id_col=id_col, bands=bands,
                                 rows_per_band=num_perm // bands,
-                                max_bucket=max_bucket)
+                                max_bucket=max_bucket).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        import ray
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    parts = max(1, min(join_partitions, n_cand // 32))
 
     sh_a = shingles.map_batches(
         lambda t: pa.table({"id_a": t[id_col], "sh_a": t["sh"]}),
@@ -369,8 +401,8 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text", *, k: int = 3,
         batch_format="pyarrow",
     )
     joined = cand.join(
-        sh_a, "inner", num_partitions=join_partitions, on=("id_a",)
-    ).join(sh_b, "inner", num_partitions=join_partitions, on=("id_b",))
+        sh_a, "inner", num_partitions=parts, on=("id_a",)
+    ).join(sh_b, "inner", num_partitions=parts, on=("id_b",))
 
     def verify(t: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], pa.int64()),

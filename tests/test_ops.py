@@ -148,6 +148,41 @@ def test_minhash_lsh_finds_neardups(ray_session):
     assert exact == 1.0
 
 
+def test_minhash_lsh_tiny_candidate_set_many_partitions(ray_session):
+    # regression: a candidate-pair table smaller than the join partition
+    # count left some join partitions with zero shards from the cand
+    # side, crashing Ray's hash join (ArrowInvalid FieldRef id_a); the
+    # n//32 partition rule + empty short-circuit must hold under heavy
+    # input partitioning (empty map_groups partitions in the LSH bucket
+    # groupby emit schema-less blocks)
+    import ray.data as rd
+
+    from rayxt.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    rows = (
+        [{"doc_id": i, "text": "the quick brown fox jumps over the lazy dog " * 3}
+         for i in range(4)]
+        + [{"doc_id": 4 + i, "text": f"unique text number {i} with words " * 3}
+           for i in range(4)]
+    )
+    ds = rd.from_items(rows).repartition(16)
+    pairs = minhash_lsh_pairs(ds, "doc_id").to_pandas()
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+
+    # zero-candidate short-circuit: all-distinct corpus, typed empty out
+    distinct = rd.from_items(
+        [{"doc_id": i,
+          "text": f"totally distinct document {i} about topic {i * 7} " * 2}
+         for i in range(6)]
+    ).repartition(8)
+    none = ngram_jaccard_pairs(distinct, "doc_id", threshold=0.9)
+    # typed even when empty (ray's to_pandas drops columns at 0 rows, so
+    # assert on the Dataset schema)
+    assert none.schema().names == ["id_a", "id_b", "jaccard"]
+    assert none.count() == 0
+
+
 def test_simhash_pairs(ray_session):
     import ray.data as rd
 
