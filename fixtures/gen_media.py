@@ -397,9 +397,65 @@ def _audio_samples(i: int, n: int, channels: int) -> np.ndarray:
         .clip(-32768, 32767).astype(np.int16)
 
 
+def _avi_encode(jpeg_frames: list, w: int, h: int, fps: int = 10) -> bytes:
+    """Mux baseline-JPEG frames into a spec-true MJPEG AVI (RIFF 'AVI '
+    with LIST hdrl [avih, LIST strl [strh 'vids'/'MJPG', strf
+    BITMAPINFOHEADER]], LIST movi of '00dc' chunks, and an idx1 index).
+    The engine demuxer reads dims from strf and frames from movi; the
+    independent oracle ignores the headers entirely (flat scan from the
+    movi marker, dims from the first frame's own JPEG SOF)."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    n = len(jpeg_frames)
+    max_bytes = max((len(f) for f in jpeg_frames), default=0)
+    avih = chunk(b"avih", struct.pack(
+        "<14I", 1_000_000 // fps, max_bytes * fps, 0, 0x10,  # HASINDEX
+        n, 0, 1, max_bytes, w, h, 0, 0, 0, 0))
+    strh = chunk(b"strh", b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_bytes, 10000, 0)
+        + struct.pack("<4h", 0, 0, w, h))
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi_chunks, idx, off = [], [], 4  # offsets from the movi form tag
+    for f in jpeg_frames:
+        c = chunk(b"00dc", f)
+        movi_chunks.append(c)
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += len(c)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _is_jpeg_row(i: int) -> bool:
     """Every 4th image row carries a baseline JPEG instead of a PNG."""
     return i % 3 == 0 and (i // 3) % 4 == 3
+
+
+def _is_avi_row(i: int) -> bool:
+    """Every 3rd video row is a real MJPEG AVI instead of RAYX raw."""
+    return i % 3 == 2 and (i // 3) % 3 == 2
+
+
+def _avi_spec(i: int):
+    """Small dims / few frames: JPEG frames are decoded by the pure
+    numpy decoder during golden generation."""
+    w = 16 + _h(i, "aw") % 16
+    h = 16 + _h(i, "ah") % 16
+    frames = 3 + _h(i, "af") % 4
+    return w, h, frames
+
+
+def _avi_frame_src(i: int, f: int, w: int, h: int) -> np.ndarray:
+    return _body(i * 1009 + f, h * w * 3).reshape(h, w, 3)
 
 
 def _jpeg_ri(i: int) -> int:
@@ -424,6 +480,11 @@ def media_row(i: int) -> dict:
         n, channels = _audio_spec(i)
         payload = _wav_encode(_audio_samples(i, n, channels), channels)
         w, h, frames = n, channels, 1
+    elif _is_avi_row(i):
+        w, h, frames = _avi_spec(i)
+        jpegs = [_jpeg_encode(_avi_frame_src(i, f, w, h), 85)
+                 for f in range(frames)]
+        payload = _avi_encode(jpegs, w, h)
     else:
         w, h, frames = 16 + _h(i, "w") % 16, 16 + _h(i, "h") % 16, 4 + _h(i, "f") % 12
         body = _body(i, w * h * frames)
@@ -467,6 +528,21 @@ def media_ground_truth(i: int) -> dict:
         samples = _audio_samples(i, n, channels)
         return {"width": n, "height": channels, "n_frames": 1,
                 "mean_value": round(float(samples.mean()), 6),
+                "decode_status": "ok"}
+    if _is_avi_row(i):
+        # MJPEG is lossy like the JPEG image rows: the truth comes from
+        # the INDEPENDENT naive JPEG decoder over each demuxed frame
+        from tests.oracle.jpeg_oracle import oracle_decode_jpeg
+
+        w, h, frames = _avi_spec(i)
+        means = np.concatenate([
+            oracle_decode_jpeg(
+                _jpeg_encode(_avi_frame_src(i, f, w, h), 85)
+            ).ravel().astype(np.float64)
+            for f in range(frames)
+        ])
+        return {"width": w, "height": h, "n_frames": frames,
+                "mean_value": round(float(means.mean()), 6),
                 "decode_status": "ok"}
     w, h, frames = 16 + _h(i, "w") % 16, 16 + _h(i, "h") % 16, 4 + _h(i, "f") % 12
     body = _body(i, w * h * frames)

@@ -18,8 +18,12 @@ format specs, stdlib+numpy only):
   independent naive decoder in ``tests/oracle/jpeg_oracle.py``;
   progressive/arithmetic JPEG raises ``NotImplementedError``;
 * **WAV** (`_decode_wav`): RIFF PCM16, any channel count;
+* **AVI/MJPEG** (`_decode_avi`): RIFF 'AVI ' container walk (hdrl dims
+  + codec check, movi frame chunks), each frame decoded by the
+  baseline JPEG decoder above; frame-sampling demuxes and re-muxes
+  without touching the frame bytes;
 * **RAYX**: the deterministic synthetic container used for video
-  fixtures (raw frames), kept as the frame-sampling substrate.
+  fixtures (raw frames), kept as the raw frame-sampling substrate.
 
 Anything else (MP4, …) needs codec libraries absent from this image
 and raises ``NotImplementedError`` -> ``decode_status
@@ -430,6 +434,85 @@ def _decode_wav(payload: bytes):
             float(samples.mean()) if samples.size else 0.0)
 
 
+def _avi_frames(payload: bytes):
+    """RIFF-AVI MJPEG demux -> (w, h, [jpeg frame bytes]).
+
+    Hierarchical chunk walk: LIST hdrl/strl gives dims (strf
+    BITMAPINFOHEADER) and the codec check (strh 'vids' handler must be
+    MJPG — anything else needs codec libraries absent from this image);
+    LIST movi's '##dc'/'##db' chunks are the frames; idx1 is skipped
+    (frames are recovered from the chunk walk, not the index)."""
+    if payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+    w = h = None
+    frames = []
+
+    def walk(pos: int, end: int):
+        nonlocal w, h
+        while pos + 8 <= end:
+            cid = payload[pos:pos + 4]
+            (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            body_start = pos + 8
+            body_end = min(body_start + length, end)
+            if cid == b"LIST":
+                walk(body_start + 4, body_end)  # skip the form fourcc
+            elif cid == b"strh":
+                if payload[body_start:body_start + 4] == b"vids" and \
+                        payload[body_start + 4:body_start + 8] not in (
+                            b"MJPG", b"mjpg"):
+                    raise NotImplementedError("AVI subset: MJPG video only")
+            elif cid == b"strf" and w is None:
+                w, h = struct.unpack(
+                    "<ii", payload[body_start + 4:body_start + 12])
+                h = abs(h)  # negative biHeight = top-down rows
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(bytes(payload[body_start:body_end]))
+            pos = body_start + length + (length & 1)
+
+    walk(12, len(payload))
+    if w is None:
+        raise ValueError("AVI missing strf header")
+    return int(w), int(h), frames
+
+
+def _encode_avi(jpeg_frames: list, w: int, h: int, fps: int = 10) -> bytes:
+    """Minimal spec-true MJPEG AVI writer (frame-sampling re-mux): the
+    same hdrl/movi layout the demuxer reads, counts updated to the kept
+    frames; frame bytes pass through untouched (no generation loss)."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    n = len(jpeg_frames)
+    max_bytes = max((len(f) for f in jpeg_frames), default=0)
+    avih = chunk(b"avih", struct.pack(
+        "<14I", 1_000_000 // fps, max_bytes * fps, 0, 0,
+        n, 0, 1, max_bytes, w, h, 0, 0, 0, 0))
+    strh = chunk(b"strh", b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_bytes, 10000, 0)
+        + struct.pack("<4h", 0, 0, w, h))
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_avi(payload: bytes):
+    """MJPEG AVI -> (w, h, n_frames, mean over all decoded frame bytes)."""
+    w, h, frames = _avi_frames(payload)
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    parts = [_decode_jpeg_array(f).ravel().astype(np.float64)
+             for f in frames]
+    return w, h, len(frames), float(np.concatenate(parts).mean())
+
+
 def _decode_payload(payload: bytes):
     """Decode one payload -> (w, h, frames, mean_value).
 
@@ -444,11 +527,13 @@ def _decode_payload(payload: bytes):
     if payload.startswith(b"\xFF\xD8"):
         return _decode_jpeg(payload)
     if payload.startswith(b"RIFF"):
+        if payload[8:12] == b"AVI ":
+            return _decode_avi(payload)
         return _decode_wav(payload)
     if not payload.startswith(_MAGIC):
         raise NotImplementedError(
             "codec libraries for this format are unavailable in this "
-            "environment (PNG/WAV/RAYX supported)"
+            "environment (PNG/JPEG/WAV/AVI-MJPEG/RAYX supported)"
         )
     w, h, frames = struct.unpack("<iii", payload[4:16])
     body = np.frombuffer(payload, dtype=np.uint8, offset=16)
@@ -496,8 +581,10 @@ class ResizeImages:
     JPEGs are decoded and re-encoded as (lossless) PNG — resizing is a
     pipeline transform, not a format preserver, and re-encoding lossy
     JPEG would compound generation loss; RAYX raw-frame payloads are
-    resized frame by frame.  Audio (and any unsupported format) passes
-    through unchanged."""
+    resized frame by frame.  Audio, MJPEG-AVI video (re-encoding every
+    frame would compound loss and there is no lossless codec an AVI can
+    legally carry) and any unsupported format pass through unchanged —
+    use SampleFrames for the video-reduction stage."""
 
     def __init__(self, target_w: int = 32, target_h: int = 32):
         self.tw, self.th = target_w, target_h
@@ -560,6 +647,13 @@ class SampleFrames:
                 payloads.append(payload)
                 continue
             try:
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    # MJPEG: demux only — kept frames' JPEG bytes pass
+                    # through untouched (no decode, no generation loss)
+                    w, h, frames = _avi_frames(payload)
+                    payloads.append(
+                        _encode_avi(frames[::self.stride], w, h))
+                    continue
                 w, h, frames, _ = _decode_payload(payload)
                 body = np.frombuffer(payload, dtype=np.uint8, offset=16)
                 frame_px = w * h

@@ -340,9 +340,17 @@ def test_media_decode_and_stages(ray_session, tmp_path):
     resized = decode_media(
         resize_images(rd.read_parquet(path), 8, 8, concurrency=1), concurrency=1
     ).to_pandas()
-    # PNG images and RAYX video frames resize; audio passes through
-    vis = resized[resized.kind != "audio"]
+    # PNG/JPEG images and RAYX video frames resize; audio and MJPEG-AVI
+    # video (compressed — resize would force a lossy re-encode) pass
+    # through unchanged
+    from fixtures.gen_media import _is_avi_row
+
+    avi = resized["media_id"].map(_is_avi_row)
+    vis = resized[(resized.kind != "audio") & ~avi]
     assert (vis["width"] == 8).all() and (vis["height"] == 8).all()
+    kept = resized[avi].set_index("media_id")
+    orig_avi = out[out["media_id"].map(_is_avi_row)].set_index("media_id")
+    assert (kept["width"] == orig_avi["width"]).all()
     aud = resized[resized.kind == "audio"].set_index("media_id")
     orig_aud = out[out.kind == "audio"].set_index("media_id")
     assert (aud["width"] == orig_aud["width"]).all()
@@ -354,6 +362,58 @@ def test_media_decode_and_stages(ray_session, tmp_path):
     orig = out[out.kind == "video"].set_index("media_id")
     for _, r in vids.iterrows():
         assert r["n_frames"] == (orig.loc[r["media_id"], "n_frames"] + 1) // 2
+
+
+def test_media_avi_mjpeg_decode_and_sample(ray_session):
+    """MJPEG-AVI: engine demux+decode == independent oracle == generator
+    ground truth on fixture rows; frame sampling demuxes/re-muxes the
+    untouched JPEG bytes; damaged payloads degrade to statuses."""
+    import ray.data as rd
+
+    from fixtures.gen_media import _is_avi_row, media_ground_truth, media_row
+    from rayxt.multimodal import (_avi_frames, _decode_payload, decode_media,
+                                  sample_frames)
+    from tests.oracle.avi_oracle import oracle_avi_decode, oracle_avi_frames
+
+    avi_ids = [i for i in range(60) if i % 3 == 2 and _is_avi_row(i)]
+    assert len(avi_ids) >= 4
+    rows = [media_row(i) for i in avi_ids]
+
+    for i, row in zip(avi_ids, rows):
+        gt = media_ground_truth(i)
+        ew, eh, ef, em = _decode_payload(row["payload"])
+        ow, oh, of, om = oracle_avi_decode(row["payload"])
+        assert (ew, eh, ef, round(em, 6)) == (
+            gt["width"], gt["height"], gt["n_frames"], gt["mean_value"])
+        assert (ow, oh, of, round(om, 6)) == (ew, eh, ef, round(em, 6))
+
+    # frame sampling: stride-2 keeps ceil(n/2) frames, and the kept
+    # JPEG bytes are byte-identical to the source frames (no re-encode)
+    ds = rd.from_items(rows)
+    sampled = decode_media(
+        sample_frames(ds, stride=2, concurrency=1), concurrency=1
+    ).to_pandas().set_index("media_id")
+    src_frames = {i: _avi_frames(r["payload"])[2]
+                  for i, r in zip(avi_ids, rows)}
+    for i in avi_ids:
+        assert sampled.loc[i, "n_frames"] == (len(src_frames[i]) + 1) // 2
+        assert sampled.loc[i, "decode_status"] == "ok"
+    sampled_payloads = sample_frames(ds, stride=2, concurrency=1).to_pandas()
+    for _, r in sampled_payloads.iterrows():
+        kept = oracle_avi_frames(r["payload"])
+        assert kept == src_frames[r["media_id"]][::2]
+
+    # damaged container -> error; non-MJPG codec -> unsupported_codec
+    broken = rows[0]["payload"][:40]
+    alien = bytearray(rows[0]["payload"])
+    alien[alien.index(b"MJPG"):alien.index(b"MJPG") + 4] = b"H264"
+    bad = rd.from_items([
+        dict(rows[0], media_id=900, payload=bytes(broken)),
+        dict(rows[0], media_id=901, payload=bytes(alien)),
+    ])
+    out = decode_media(bad, concurrency=1).to_pandas().set_index("media_id")
+    assert out.loc[900, "decode_status"] == "error"
+    assert out.loc[901, "decode_status"] == "unsupported_codec"
 
 
 def test_media_unsupported_codec_is_graceful(ray_session):
