@@ -98,12 +98,17 @@ def cmd_pipeline(args) -> int:
     from .manifest import read_lineage
     from .pipeline import run_extraction_job
 
+    program = args.program
+    if program.endswith(".json"):  # declarative rule program (rayxt.ruledsl)
+        with open(program, "r", encoding="utf-8") as fh:
+            program = fh.read()
+
     t0 = time.time()
     summary = run_extraction_job(
         args.input,
         args.output,
         args.partitions,
-        program=args.program,
+        program=program,
         batch_size=args.batch_size,
         two_tier=args.two_tier,
         resume=not args.no_resume,
@@ -137,7 +142,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("pipeline", help="run the distributed extraction pipeline")
     p.add_argument("--input", required=True, help="pages parquet path/dir")
     p.add_argument("--output", required=True, help="output directory")
-    p.add_argument("--program", default="main_content")
+    p.add_argument("--program", default="main_content",
+                   help="registered program name, or a path to a "
+                        "declarative .json rule program (rayxt.ruledsl)")
     p.add_argument("--partitions", type=int, default=256)
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))

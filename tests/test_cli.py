@@ -47,6 +47,28 @@ def test_cli_transform_xml_roundtrip(tmp_path):
     )
 
 
+def test_cli_pipeline_with_dsl_program_file(tmp_path):
+    """`rayxt pipeline --program x.json` runs the declarative program
+    end-to-end (read -> actor extract -> partitioned sink) in its own
+    Ray session."""
+    from fixtures.gen_pages import ensure_pages_parquet
+
+    inp = str(tmp_path / "pages.parquet")
+    ensure_pages_parquet(inp, 80, giant_cap=65536)
+    out_dir = str(tmp_path / "out")
+    run = subprocess.run(
+        [sys.executable, "-m", "rayxt", "pipeline",
+         "--input", inp, "--output", out_dir,
+         "--program", "rayxt/programs/main_content.json",
+         "--partitions", "4", "--num-cpus", "2", "--batch-size", "32"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+        env={**__import__("os").environ, "RAY_ADDRESS": ""},
+    )
+    report = json.loads(run.stdout.strip().splitlines()[-1])
+    assert report["rows_total"] == 80
+    assert report["partitions_total"] == 4
+
+
 def test_cli_transform_records_json(tmp_path):
     tf = tmp_path / "t.py"
     tf.write_text(
