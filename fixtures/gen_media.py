@@ -568,3 +568,85 @@ def ensure_media_parquet(path: str, n_rows: int) -> str:
     pq.write_table(generate_media_table(n_rows), tmp)
     os.rename(tmp, path)
     return path
+
+
+# -- pHash near-dup image fixture family ------------------------------------
+# Rows come in pairs: even j = base image, odd j = either a near-dup
+# (base + 3 clipped — identical pHash up to clipping/quantization
+# noise) or, for every 5th pair, an UNRELATED image (hamming ~32, must
+# not pair).  Every 4th pair is JPEG-encoded (lossy: ground truth runs
+# the independent naive decoder), the rest PNG (lossless: ground truth
+# hashes the source array directly — no decoder runs).
+
+
+def _phash_spec(pair: int):
+    w = 24 + _h(pair, "pw") % 24
+    h = 24 + _h(pair, "ph") % 24
+    return w, h
+
+
+def _phash_src(j: int) -> np.ndarray:
+    pair = j // 2
+    w, h = _phash_spec(pair)
+    base = _body(pair * 7919 + 13, h * w * 3).reshape(h, w, 3)
+    if j % 2 == 0:
+        return base
+    if pair % 5 == 4:  # unrelated odd row
+        return _body(pair * 7919 + 14, h * w * 3).reshape(h, w, 3)
+    return np.clip(base.astype(np.int64) + 3, 0, 255).astype(np.uint8)
+
+
+def _phash_is_jpeg(pair: int) -> bool:
+    return pair % 4 == 3
+
+
+def phash_media_row(j: int) -> dict:
+    pair = j // 2
+    w, h = _phash_spec(pair)
+    src = _phash_src(j)
+    if _phash_is_jpeg(pair):
+        payload = _jpeg_encode(src, 85)
+    else:
+        payload = _png_encode(src.reshape(h, w * 3), 2)
+    return {
+        "media_id": j,
+        "kind": "image",
+        "payload": payload,
+        "declared_w": w,
+        "declared_h": h,
+        "declared_frames": 1,
+    }
+
+
+def phash_ground_truth_hash(j: int) -> int:
+    """Expected pHash via the INDEPENDENT oracle restatement
+    (tests/oracle/phash_oracle.py): source array for lossless PNG rows,
+    independent naive JPEG decode for lossy rows."""
+    from tests.oracle.phash_oracle import oracle_phash
+
+    pair = j // 2
+    src = _phash_src(j)
+    if _phash_is_jpeg(pair):
+        from tests.oracle.jpeg_oracle import oracle_decode_jpeg
+
+        src = oracle_decode_jpeg(_jpeg_encode(src, 85))
+    return oracle_phash(np.asarray(src).tolist())
+
+
+def generate_phash_media_table(n_rows: int) -> pa.Table:
+    from rayxt.multimodal import MEDIA_SCHEMA
+
+    rows = [phash_media_row(j) for j in range(n_rows)]
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def ensure_phash_media_parquet(path: str, n_rows: int) -> str:
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(generate_phash_media_table(n_rows), tmp)
+    os.rename(tmp, path)
+    return path

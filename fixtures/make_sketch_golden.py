@@ -20,7 +20,14 @@ import pyarrow.parquet as pq
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from fixtures.gen_media import generate_media_table, media_ground_truth  # noqa: E402
+from fixtures.gen_media import (  # noqa: E402
+    generate_media_table,
+    media_ground_truth,
+    media_row,
+    phash_ground_truth_hash,
+)
+from tests.oracle.audio_oracle import oracle_audio_features  # noqa: E402
+from tests.oracle.phash_oracle import oracle_hamming_pairs  # noqa: E402
 from tests.oracle import oracle_rule_hits  # noqa: E402
 from tests.oracle.sketches import (  # noqa: E402
     ddsketch_group_quantiles,
@@ -42,6 +49,8 @@ DATA_DIR = os.path.join(REPO, "fixtures", "data")
 ANN_K = 5      # keep in sync with __ray_entry__._ANN_K
 ANN_NQ = 3     # keep in sync with __ray_entry__._ANN_NQ
 N_MEDIA = 300  # keep in sync with __ray_entry__._q_media_decode
+N_PHASH = 120  # keep in sync with __ray_entry__._q_media_phash
+PHASH_MAX_HAMMING = 7  # keep in sync with __ray_entry__._q_media_image_neardup
 
 
 def main() -> None:
@@ -141,6 +150,42 @@ def main() -> None:
                             pa.array([d["decode_status"] for d in dec], pa.string()))
     pq.write_table(out, os.path.join(DATA_DIR, "golden_media_decode.parquet"))
 
+    # audio features golden = the INDEPENDENT stdlib-wave oracle over the
+    # media table's audio rows (the engine parses RIFF itself)
+    aud_ids, feats = [], []
+    for i in range(N_MEDIA):
+        row = media_row(i)
+        if row["kind"] != "audio":
+            continue
+        aud_ids.append(i)
+        feats.append(oracle_audio_features(row["payload"]))
+    pq.write_table(pa.table({
+        "media_id": pa.array(aud_ids, pa.int64()),
+        "duration_s": pa.array([f["duration_s"] for f in feats], pa.float64()),
+        "rms": pa.array([f["rms"] for f in feats], pa.float64()),
+        "zcr": pa.array([f["zcr"] for f in feats], pa.float64()),
+        "spectral_centroid": pa.array(
+            [f["spectral_centroid"] for f in feats], pa.float64()),
+        "dominant_freq": pa.array(
+            [f["dominant_freq"] for f in feats], pa.float64()),
+    }), os.path.join(DATA_DIR, "golden_audio_features.parquet"))
+
+    # pHash goldens: hashes via the naive per-coefficient oracle (source
+    # arrays for PNG rows, independent JPEG decode for lossy rows), and
+    # near-dup pairs via brute-force all-pairs hamming
+    ph_ids = list(range(N_PHASH))
+    ph_hashes = [phash_ground_truth_hash(j) for j in ph_ids]
+    pq.write_table(pa.table({
+        "media_id": pa.array(ph_ids, pa.int64()),
+        "phash": pa.array(ph_hashes, pa.int64()),
+    }), os.path.join(DATA_DIR, "golden_phash.parquet"))
+    pairs = oracle_hamming_pairs(ph_ids, ph_hashes, PHASH_MAX_HAMMING)
+    pq.write_table(pa.table({
+        "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+        "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+        "hamming": pa.array([p[2] for p in pairs], pa.int64()),
+    }), os.path.join(DATA_DIR, "golden_phash_pairs.parquet"))
+
     ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
                        columns=["event_type", "value"])
     dq = ddsketch_group_quantiles(
@@ -200,7 +245,8 @@ def main() -> None:
                  "golden_neardup_clusters", "golden_langid",
                  "golden_fingerprint", "golden_repetition",
                  "golden_ann_lsh", "golden_ann_ivf",
-                 "golden_media_decode", "golden_rule_hits",
+                 "golden_media_decode", "golden_audio_features",
+                 "golden_phash", "golden_phash_pairs", "golden_rule_hits",
                  "golden_ev_quantiles_sketch", "golden_ev_quantiles_global",
                  "golden_ev_hll", "golden_kmeans"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")

@@ -35,6 +35,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_of",
     "simhash_pairs",
+    "hamming_pairs",
+    "bucket_candidate_pairs",
     "ngram_jaccard",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
@@ -201,6 +203,17 @@ def _lsh_candidate_pairs(sigs, *, id_col: str, bands: int,
                        rows_per_band=rows_per_band),
         batch_format="pyarrow",
     ).materialize()
+    return bucket_candidate_pairs(buckets, id_col=id_col,
+                                  max_bucket=max_bucket)
+
+
+def bucket_candidate_pairs(buckets, *, id_col: str, max_bucket: int):
+    """Generic LSH candidate generation: a ``(id, band, bucket)`` dataset
+    -> unique ``(id_a, id_b)`` candidate pairs (``id_a < id_b``).
+
+    The banding scheme is the caller's (minhash band hashes, simhash
+    segments, pHash bytes, ...); this is the shared bucket groupby +
+    bucket-local pair emission + pure-aggregate pair dedup."""
 
     def ids_of_bucket(g: pd.DataFrame) -> pa.Table:
         ids = g[id_col].sort_values().head(max_bucket).tolist()
@@ -506,6 +519,72 @@ def simhash_pairs(ds, id_col: str, text_col: str = "text", *,
     # distance, so Min() is value-preserving — a pure aggregate replaces
     # the former per-pair map_groups(head(1)) (millions of tiny pandas
     # groups at corpus scale).
+    from ray.data.aggregate import Min
+
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+def hamming_pairs(ds, id_col: str, hash_col: str, *, bands: int = 8,
+                  max_hamming: int = 7, max_bucket: int = 64):
+    """Near-dup pairs over ANY precomputed 64-bit hash column (signed
+    int64 — simhash, pHash, ...): band bucketing + exact in-bucket
+    hamming verify + pure-aggregate pair dedup.
+
+    EXACT (equals brute force over all pairs) whenever ``max_hamming <
+    bands``: a pair within that distance leaves at least one of the
+    ``bands`` equal-width bit segments untouched (pigeonhole), so it
+    meets in that band's bucket.  Exchange accounting: each doc ships
+    ``bands`` rows of (id, band, bucket, hash) ≈ 32 bytes — the payload
+    the hash was computed from never crosses an exchange.  Returns
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        hs = t[hash_col].to_pylist()
+        rows_id, rows_band, rows_bucket, rows_h = [], [], [], []
+        for i, signed in zip(ids, hs):
+            h = (signed or 0) & 0xFFFFFFFFFFFFFFFF
+            for band in range(bands):
+                rows_id.append(i)
+                rows_band.append(band)
+                rows_bucket.append((h >> (band * width)) & mask)
+                rows_h.append(signed or 0)
+        return pa.table(
+            {id_col: pa.array(rows_id, pa.int64()),
+             "band": pa.array(rows_band, pa.int32()),
+             "bucket": pa.array(rows_bucket, pa.int64()),
+             "_h": pa.array(rows_h, pa.int64())}
+        )
+
+    sig = ds.select_columns([id_col, hash_col]).map_batches(
+        band_rows, batch_format="pyarrow"
+    ).materialize()  # same checkpoint rationale as simhash_pairs
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].tolist()
+        hs = [h & 0xFFFFFFFFFFFFFFFF for h in g["_h"].tolist()]
+        out_a, out_b, out_d = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                d = bin(hs[x] ^ hs[y]).count("1")
+                if d <= max_hamming:
+                    out_a.append(ids[x])
+                    out_b.append(ids[y])
+                    out_d.append(d)
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "hamming": pa.array(out_d, pa.int64())})
+
+    cand = sig.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+
     from ray.data.aggregate import Min
 
     return cand.groupby(["id_a", "id_b"]).aggregate(

@@ -29,6 +29,17 @@ Anything else (MP4, …) needs codec libraries absent from this image
 and raises ``NotImplementedError`` -> ``decode_status
 unsupported_codec``.  Heavy formats would slot into the same
 actor-pool stage (decoders are per-actor state).
+
+Feature extraction on top of the codecs (both with INDEPENDENT naive
+oracles under ``tests/oracle``):
+
+* **audio features** (`extract_audio_features`): duration, RMS,
+  zero-crossing rate, spectral centroid, dominant frequency — rfft
+  per clip, frozen arithmetic spec in `_audio_features`;
+* **perceptual image hash** (`phash_images` /
+  `image_neardup_pairs`): 64-bit pHash over an EXACT integer 32-point
+  DCT (`phash64_of_array`), banded hamming near-dup pairs via
+  :func:`rayxt.dedup.hamming_pairs`.
 """
 
 from __future__ import annotations
@@ -38,9 +49,13 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["MEDIA_SCHEMA", "DecodeMedia", "ResizeImages", "SampleFrames",
-            "decode_media", "resize_images", "sample_frames"]
+           "ExtractAudioFeatures", "PhashImages",
+           "decode_media", "resize_images", "sample_frames",
+           "extract_audio_features", "phash_images", "image_neardup_pairs",
+           "phash64_of_array"]
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -408,12 +423,14 @@ def _decode_jpeg(payload: bytes):
         float(arr.mean()) if arr.size else 0.0
 
 
-def _decode_wav(payload: bytes):
-    """RIFF/WAVE PCM16 -> (samples_per_channel, channels, 1, sample mean)."""
+def _wav_samples(payload: bytes):
+    """RIFF/WAVE PCM16 chunk walk -> (interleaved int16 samples,
+    channels, sample_rate)."""
     if payload[8:12] != b"WAVE":
         raise ValueError("not a WAVE file")
     pos = 12
     channels = None
+    sample_rate = None
     data = None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 8][:4]
@@ -422,6 +439,7 @@ def _decode_wav(payload: bytes):
         pos += 8 + length + (length & 1)
         if cid == b"fmt ":
             fmt, channels = struct.unpack("<HH", body[:4])
+            (sample_rate,) = struct.unpack("<I", body[4:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt != 1 or bits != 16:
                 raise NotImplementedError(f"WAV subset: fmt={fmt} bits={bits}")
@@ -429,8 +447,13 @@ def _decode_wav(payload: bytes):
             data = body
     if channels is None or data is None:
         raise ValueError("WAV missing fmt/data")
-    samples = np.frombuffer(data, dtype="<i2")
-    return (len(samples) // channels, int(channels), 1,
+    return np.frombuffer(data, dtype="<i2"), int(channels), int(sample_rate)
+
+
+def _decode_wav(payload: bytes):
+    """RIFF/WAVE PCM16 -> (samples_per_channel, channels, 1, sample mean)."""
+    samples, channels, _ = _wav_samples(payload)
+    return (len(samples) // channels, channels, 1,
             float(samples.mean()) if samples.size else 0.0)
 
 
@@ -694,3 +717,205 @@ def sample_frames(ds, stride=2, *, batch_size: int = 16, concurrency=(1, 4)):
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# audio feature extraction
+# ---------------------------------------------------------------------------
+
+def _audio_features(payload: bytes) -> dict:
+    """FROZEN audio feature spec (the independent oracle in
+    ``tests/oracle/audio_oracle.py`` owns its own WAV parsing — stdlib
+    ``wave`` — and must match these values bit-for-bit, so the
+    arithmetic below is the shared spec, like the JPEG decoders' IDCT):
+
+    * mixdown: per-frame float64 mean over channels, scaled by 1/32768;
+    * ``duration_s`` = frames / sample_rate (round 6);
+    * ``rms`` = sqrt(mean(mix^2)) (round 6);
+    * ``zcr`` = sign changes (x >= 0 flips) / (frames - 1) (round 6);
+    * ``spectral_centroid`` = sum(f * |rfft|) / sum(|rfft|) with
+      f_k = k * sample_rate / frames (round 6);
+    * ``dominant_freq`` = f at the largest non-DC |rfft| bin (round 6).
+    """
+    samples, channels, sr = _wav_samples(payload)
+    n = len(samples) // channels
+    if n == 0:
+        return {"duration_s": 0.0, "rms": 0.0, "zcr": 0.0,
+                "spectral_centroid": 0.0, "dominant_freq": 0.0}
+    mix = samples[:n * channels].reshape(n, channels) \
+        .astype(np.float64).mean(axis=1) / 32768.0
+    duration_s = round(n / sr, 6)
+    rms = round(float(np.sqrt(np.mean(mix * mix))), 6)
+    if n > 1:
+        sgn = mix >= 0.0
+        zcr = round(int(np.count_nonzero(sgn[1:] != sgn[:-1])) / (n - 1), 6)
+    else:
+        zcr = 0.0
+    mag = np.abs(np.fft.rfft(mix))
+    freqs = np.arange(mag.size) * (sr / n)
+    total = float(mag.sum())
+    centroid = round(float((freqs * mag).sum()) / total, 6) if total > 0 else 0.0
+    dom = round(float(freqs[1:][int(np.argmax(mag[1:]))]), 6) \
+        if mag.size > 1 else 0.0
+    return {"duration_s": duration_s, "rms": rms, "zcr": zcr,
+            "spectral_centroid": centroid, "dominant_freq": dom}
+
+
+class ExtractAudioFeatures:
+    """Actor-pool stage: WAV payload -> spectral/energy features.
+
+    The rfft dominates per-clip cost and is vectorized; per-clip Python
+    is O(1).  Non-audio / unsupported payloads get zeroed features and
+    a non-'ok' status instead of killing the block."""
+
+    def __init__(self):
+        self.features = _audio_features  # per-actor handle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("duration_s", "rms", "zcr",
+                                "spectral_centroid", "dominant_freq")}
+        status = []
+        for payload in batch["payload"].to_pylist():
+            try:
+                feats = self.features(payload)
+                status.append("ok")
+            except NotImplementedError:
+                feats = dict.fromkeys(cols, 0.0)
+                status.append("unsupported_codec")
+            except Exception:  # noqa: BLE001 — poison rows stay rows
+                feats = dict.fromkeys(cols, 0.0)
+                status.append("error")
+            for k in cols:
+                cols[k].append(feats[k])
+        out = batch.drop_columns(["payload"])
+        for k, vals in cols.items():
+            out = out.append_column(k, pa.array(vals, pa.float64()))
+        return out.append_column("audio_status", pa.array(status, pa.string()))
+
+
+def extract_audio_features(ds, *, batch_size: int = 16, concurrency=(1, 4)):
+    return ds.map_batches(
+        ExtractAudioFeatures, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hash (pHash) + image near-dup
+# ---------------------------------------------------------------------------
+
+_PHASH_C = None
+
+
+def _phash_matrix() -> np.ndarray:
+    """Integer DCT-II matrix: round(16384 * c_u * cos((2x+1)u*pi/64)),
+    c_0 = 1/sqrt(2), else 1 — 32-point, int64.  Integer coefficients
+    make the whole hash EXACT integer arithmetic, so any restatement
+    (the naive per-coefficient loops in ``tests/oracle/phash_oracle.py``)
+    agrees bit-for-bit — no float-association ambiguity near the median
+    threshold."""
+    global _PHASH_C
+    if _PHASH_C is None:
+        u, x = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+        m = np.cos((2 * x + 1) * u * np.pi / 64.0)
+        m[0, :] *= 1.0 / np.sqrt(2.0)
+        _PHASH_C = np.round(m * 16384.0).astype(np.int64)
+    return _PHASH_C
+
+
+def phash64_of_array(img: np.ndarray) -> int:
+    """FROZEN 64-bit perceptual hash of a decoded uint8 image.
+
+    1. grayscale: 1 channel as-is; else integer luma
+       ``(77R + 150G + 29B) >> 8`` (alpha ignored);
+    2. nearest-neighbor resample to 32x32 (src index = dst * size // 32);
+    3. T = C @ g @ C.T with the integer DCT matrix (exact int64;
+       |T| < 2^47, no overflow);
+    4. med = median of the 63 non-DC values of T[:8, :8]
+       (= sorted[31], exact);
+    5. bit k (MSB-first over u*8+v) set iff T[u, v] > med.
+
+    Returns the hash as a SIGNED int64 (two's complement) so it stores
+    in an Arrow int64 column.
+    """
+    if img.ndim == 3:
+        if img.shape[2] == 1:
+            g = img[:, :, 0].astype(np.int64)
+        else:
+            r = img[:, :, 0].astype(np.int64)
+            gn = img[:, :, 1].astype(np.int64)
+            b = img[:, :, 2].astype(np.int64)
+            g = (77 * r + 150 * gn + 29 * b) >> 8
+    else:
+        g = img.astype(np.int64)
+    h, w = g.shape
+    yi = np.arange(32) * h // 32
+    xi = np.arange(32) * w // 32
+    s = g[np.ix_(yi, xi)]
+    c = _phash_matrix()
+    t = c @ s @ c.T
+    block = t[:8, :8].ravel()
+    med = float(np.median(block[1:]))
+    bits = block > med
+    value = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return value - (1 << 64) if value >= (1 << 63) else value
+
+
+def _phash_payload(payload: bytes) -> int:
+    if payload is None or len(payload) < 16:
+        raise ValueError("short payload")
+    if payload.startswith(_PNG_SIG):
+        arr, w, h, ch, _colour = _decode_png_array(payload)
+        return phash64_of_array(arr.reshape(h, w, ch))
+    if payload.startswith(b"\xFF\xD8"):
+        return phash64_of_array(_decode_jpeg_array(payload))
+    raise NotImplementedError("pHash supports PNG and JPEG payloads")
+
+
+class PhashImages:
+    """Actor-pool stage: image payload -> 64-bit perceptual hash."""
+
+    def __init__(self):
+        self.hasher = _phash_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes, status = [], []
+        for payload in batch["payload"].to_pylist():
+            try:
+                hashes.append(self.hasher(payload))
+                status.append("ok")
+            except NotImplementedError:
+                hashes.append(0)
+                status.append("unsupported_codec")
+            except Exception:  # noqa: BLE001
+                hashes.append(0)
+                status.append("error")
+        out = batch.drop_columns(["payload"])  # heavy bytes end here
+        out = out.append_column("phash", pa.array(hashes, pa.int64()))
+        return out.append_column("phash_status", pa.array(status, pa.string()))
+
+
+def phash_images(ds, *, batch_size: int = 16, concurrency=(1, 4)):
+    return ds.map_batches(
+        PhashImages, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
+def image_neardup_pairs(ds, id_col: str = "media_id", *, bands: int = 8,
+                        max_hamming: int = 7, max_bucket: int = 64,
+                        batch_size: int = 16, concurrency=(1, 4)):
+    """Near-duplicate image pairs: pHash (actor pool over payloads) ->
+    banded hamming pairs (:func:`rayxt.dedup.hamming_pairs` — EXACT vs
+    brute force for ``max_hamming < bands`` by pigeonhole).  Payload
+    bytes never cross an exchange: only (id, band, bucket, hash) rows
+    (~32 bytes) ship after hashing."""
+    from .dedup import hamming_pairs
+
+    hashed = phash_images(ds, batch_size=batch_size, concurrency=concurrency)
+    ok = hashed.map_batches(  # vectorized status filter (no row lambda)
+        lambda t: t.filter(pc.equal(t["phash_status"], "ok")),
+        batch_format="pyarrow",
+    )
+    return hamming_pairs(ok, id_col, "phash", bands=bands,
+                         max_hamming=max_hamming, max_bucket=max_bucket)

@@ -36,6 +36,7 @@ __all__ = [
     "top_ngrams",
     "repetition_profile",
     "add_repetition_signals",
+    "normalize_text",
 ]
 
 # BPE-style pre-tokenizer classes (letters runs / digit runs / single
@@ -511,3 +512,40 @@ def add_url_parts(ds, col: str = "url"):
         return out.append_column("path", pc.struct_field(m, "path"))
 
     return ds.map_batches(parts, batch_format="pyarrow")
+
+
+def normalize_text(ds, col: str = "text", out: str = "text_norm"):
+    """Unicode + whitespace normalization:
+
+    1. collapse every whitespace run to one space
+       (``replace_substring_regex(r"\s+", " ")`` — RE2, same dialect
+       as DuckDB's ``regexp_replace(..., 'g')``);
+    2. trim leading/trailing SPACES (every run is now a single space,
+       so trimming ' ' matches SQL ``trim()`` exactly);
+    3. Unicode NFC, matching DuckDB ``nfc_normalize``.
+
+    Steps 1-2 are Arrow kernels.  Step 3 CANNOT use
+    ``pc.utf8_normalize(form='NFC')``: in this Arrow build it fails to
+    recompose combining sequences (``e`` + U+0301 stays decomposed —
+    diverges from DuckDB and ``unicodedata``), so NFC runs through
+    ``unicodedata.normalize`` behind a vectorized ``string_is_ascii``
+    fast path — pure-ASCII batches (the common web-text case) never
+    touch Python strings.
+
+    The standard text-cleaning first pass (dedup keys, tokenizers and
+    fingerprints all want NFC + canonical whitespace).
+    """
+    import unicodedata
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.replace_substring_regex(t[col], pattern=r"\s+",
+                                       replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        if not pc.all(pc.string_is_ascii(x)).as_py():
+            x = pa.array(
+                [v if v is None or v.isascii()
+                 else unicodedata.normalize("NFC", v)
+                 for v in x.to_pylist()], pa.string())
+        return t.append_column(out, x)
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -429,6 +429,126 @@ def test_media_unsupported_codec_is_graceful(ray_session):
     assert out["decode_status"].tolist() == ["unsupported_codec"]
 
 
+def test_audio_features_match_independent_oracle(ray_session):
+    """Engine features (own RIFF walk) == stdlib-wave oracle bit-for-bit
+    on every fixture audio row; poison payloads become statuses."""
+    import ray.data as rd
+
+    from fixtures.gen_media import media_row
+    from rayxt.multimodal import _audio_features, extract_audio_features
+    from tests.oracle.audio_oracle import oracle_audio_features
+
+    rows = [media_row(i) for i in range(90) if i % 3 == 1]
+    assert len(rows) == 30
+    for r in rows:
+        assert _audio_features(r["payload"]) == \
+            oracle_audio_features(r["payload"])
+
+    import struct
+    pcm8 = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)  # 8-bit PCM
+            + b"data" + struct.pack("<I", 0))
+    poisoned = rows + [
+        dict(rows[0], media_id=900, payload=rows[0]["payload"][:30]),
+        dict(rows[0], media_id=901, payload=pcm8),
+    ]
+    out = extract_audio_features(rd.from_items(poisoned), concurrency=1) \
+        .to_pandas().set_index("media_id")
+    for r in rows:
+        want = oracle_audio_features(r["payload"])
+        got = out.loc[r["media_id"]]
+        assert got["audio_status"] == "ok"
+        for k, v in want.items():
+            assert got[k] == v, (r["media_id"], k)
+    assert out.loc[900, "audio_status"] == "error"
+    assert out.loc[901, "audio_status"] == "unsupported_codec"
+    assert out.loc[901, "rms"] == 0.0
+
+
+def test_phash_matches_naive_oracle():
+    """Integer-DCT pHash: vectorized engine == per-coefficient Python
+    oracle on grey/RGB/RGBA images of odd sizes (exact integer spec —
+    no tolerance), and a uniform brightness shift is hash-invariant."""
+    import numpy as np
+
+    from rayxt.multimodal import phash64_of_array
+    from tests.oracle.phash_oracle import oracle_phash
+
+    rng = np.random.RandomState(7)
+    for trial in range(10):
+        h, w = rng.randint(8, 70), rng.randint(8, 70)
+        ch = [None, 1, 3, 4][trial % 4]
+        shape = (h, w) if ch is None else (h, w, ch)
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        assert phash64_of_array(img) == oracle_phash(img.tolist())
+
+    img = rng.randint(10, 240, (40, 40, 3)).astype(np.uint8)  # no clipping
+    shifted = (img.astype(np.int64) + 5).astype(np.uint8)
+    # +5 moves only the DC coefficient; all compared bits use the
+    # non-DC median, so the hash's non-DC bits are unchanged
+    d = (phash64_of_array(img) ^ phash64_of_array(shifted)) \
+        & 0x7FFFFFFFFFFFFFFF
+    assert bin(d & ((1 << 63) - 1)).count("1") <= 1
+
+
+def test_image_neardup_banded_equals_bruteforce(ray_session):
+    """End-to-end: engine pHash over encoded payloads == oracle ground
+    truth, and the banded hamming join == brute-force all-pairs (exact
+    by pigeonhole for max_hamming < bands)."""
+    import ray.data as rd
+
+    from fixtures.gen_media import (generate_phash_media_table,
+                                    phash_ground_truth_hash)
+    from rayxt.multimodal import image_neardup_pairs, phash_images
+    from tests.oracle.phash_oracle import oracle_hamming_pairs
+
+    n = 60
+    tbl = generate_phash_media_table(n)
+    truth = {j: phash_ground_truth_hash(j) for j in range(n)}
+
+    hashed = phash_images(rd.from_arrow(tbl), concurrency=1).to_pandas()
+    assert (hashed["phash_status"] == "ok").all()
+    assert {r.media_id: r.phash for r in hashed.itertuples()} == truth
+
+    got = image_neardup_pairs(rd.from_arrow(tbl), max_hamming=7,
+                              concurrency=1).to_pandas()
+    got_pairs = sorted(map(tuple, got[["id_a", "id_b", "hamming"]].values))
+    want = oracle_hamming_pairs(list(truth), list(truth.values()), 7)
+    assert got_pairs == [tuple(map(int, p)) for p in want]
+    assert len(got_pairs) > 0
+
+
+def test_hamming_pairs_banded_equals_bruteforce(ray_session):
+    """Generic hamming_pairs on a raw int64 hash column: banded == brute
+    force for max_hamming < bands, including planted near-collisions."""
+    import numpy as np
+    import ray.data as rd
+
+    from rayxt.dedup import hamming_pairs
+    from tests.oracle.phash_oracle import oracle_hamming_pairs
+
+    rng = np.random.RandomState(3)
+    hashes = rng.randint(-2**63, 2**63, 50, dtype=np.int64).tolist()
+    for i in range(0, 20, 2):  # plant near-dups at distances 0..4
+        flip = int(hashes[i])
+        for b in rng.choice(64, size=i % 5, replace=False):
+            flip ^= 1 << int(b)
+        flip &= 0xFFFFFFFFFFFFFFFF
+        hashes[i + 1] = flip - (1 << 64) if flip >= (1 << 63) else flip
+    ids = list(range(50))
+    ds = rd.from_items([{"id": i, "h": h} for i, h in zip(ids, hashes)])
+    got = hamming_pairs(ds, "id", "h", bands=8, max_hamming=7).to_pandas()
+    got_pairs = sorted(map(tuple, got[["id_a", "id_b", "hamming"]].values))
+    want = oracle_hamming_pairs(ids, hashes, 7)
+    assert got_pairs == [tuple(map(int, p)) for p in want]
+    assert len(got_pairs) >= 10
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divide"):
+        hamming_pairs(ds, "id", "h", bands=7)
+
+
 def test_connected_components(ray_session):
     import ray.data as rd
 
@@ -709,3 +829,30 @@ def test_char_entropy_and_url_parts(ray_session):
     assert out.loc[1, "path"] == "/x/y"
     assert out.loc[0, "path"] == "/"
     assert out.loc[0, "char_entropy"] == 2.0
+
+
+def test_normalize_text(ray_session):
+    """NFC + whitespace canonicalization: Arrow kernels == Python
+    restatement (unicodedata.normalize + split/join) on unicode and
+    whitespace edge cases."""
+    import unicodedata
+
+    import ray.data as rd
+
+    from rayxt.text import normalize_text
+
+    cases = [
+        "étude  du\tmatin\n",      # combining acute -> é (NFC)
+        "  plain   text  ",
+        "\t\n mixed\r\nws \f",
+        "",
+        "already clean",
+        "café déjà",       # precomposed stays
+        "Å ring",              # A + ring -> Å
+    ]
+    df = pd.DataFrame({"doc_id": range(len(cases)), "text": cases})
+    out = normalize_text(rd.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, s in enumerate(cases):
+        want = unicodedata.normalize("NFC", " ".join(s.split()))
+        assert out.loc[i, "text_norm"] == want, i
