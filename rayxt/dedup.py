@@ -40,6 +40,8 @@ __all__ = [
     "ngram_jaccard",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
+    "explode_paragraphs",
+    "paragraph_dedup",
 ]
 
 
@@ -736,3 +738,145 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
         )
 
     return ds.groupby(bucket_col).map_groups(pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet-style line dedup across the corpus)
+# ---------------------------------------------------------------------------
+
+
+def explode_paragraphs(batch: pa.Table, *, key_cols, text_col: str,
+                       sep: str = "\n") -> pa.Table:
+    """(keys, text) -> one row per paragraph: keys + ``para_idx`` (0-based
+    document order) + ``para`` + ``para_hash``.
+
+    The split and row expansion are Arrow kernels (``split_pattern`` +
+    ``list_flatten``/``list_parent_indices``); only the 8-byte hash pays
+    a per-paragraph Python call (same budget as ``content_hash_table``).
+    """
+    parts = pc.split_pattern(batch[text_col], pattern=sep)
+    la = parts.combine_chunks()
+    flat = pc.list_flatten(la)
+    parent = pc.list_parent_indices(la)
+    offsets = np.asarray(la.offsets)
+    counts = np.diff(offsets)
+    idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+        offsets[:-1].astype(np.int64), counts)
+    cols = {k: pc.take(batch[k], parent) for k in key_cols}
+    cols["para_idx"] = pa.array(idx, pa.int64())
+    cols["para"] = flat
+    cols["para_hash"] = pa.array(
+        [_sha1_int64(p or "") for p in flat.to_pylist()], pa.int64())
+    return pa.table(cols)
+
+
+def paragraph_dedup(ds, key_cols, text_col: str = "text", *,
+                    sep: str = "\n", min_count: int = 2,
+                    join_partitions: int = 8, out_col: str = "text_dedup",
+                    broadcast_threshold: int = 5_000_000):
+    """Corpus-wide paragraph (line) dedup, the CCNet-style cleaning
+    step: every paragraph whose text occurs >= ``min_count`` times
+    ACROSS THE CORPUS is removed from every document; documents are
+    reassembled in original paragraph order.  Documents with no
+    surviving paragraph drop out (SQL ``GROUP BY`` over zero rows).
+
+    Dataflow (the 100 TB shape): explode -> paragraph rows checkpointed
+    once; duplicate detection is a pure ``groupby(para_hash).Count``
+    (8-byte keys); survivors come from ONE left-anti hash join against
+    the (tiny) duplicate-hash table — paragraph text crosses an
+    exchange exactly twice (the checkpoint and the reassembly), never
+    per-candidate.  Hot-key note: reassembly groups by the document
+    key, so the one-doc-fits-one-worker assumption of
+    ``ordered_string_agg`` applies.
+
+    SQL parity::
+
+        WITH paras AS (...unnest...), dups AS (
+          SELECT para FROM paras GROUP BY para HAVING COUNT(*) >= n)
+        SELECT keys, string_agg(para, sep ORDER BY idx), COUNT(*)
+        FROM paras WHERE para NOT IN (SELECT para FROM dups)
+        GROUP BY keys
+    """
+    from ray.data.aggregate import Sum
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    paras = ds.select_columns(list(key_cols) + [text_col]).map_batches(
+        explode_paragraphs,
+        fn_kwargs=dict(key_cols=list(key_cols), text_col=text_col, sep=sep),
+        batch_format="pyarrow",
+    ).materialize()  # read twice: dup counts + survivor filter/join
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        # pre-aggregate inside the batch: duplicated paragraphs collapse
+        # BEFORE the exchange, so the groupby moves (hash, n) partials
+        h, n = np.unique(t["para_hash"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"para_hash": pa.array(h, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        # typed blocks even when the aggregate emits schema-less empties
+        if t.num_rows == 0 or "para_hash" not in t.column_names:
+            return pa.table({"para_hash": pa.array([], pa.int64())})
+        return t.filter(
+            pc.greater_equal(t["n"], min_count)).select(["para_hash"])
+
+    dups = (paras.map_batches(partial_counts, batch_format="pyarrow")
+            .groupby("para_hash").aggregate(Sum("n", alias_name="n"))
+            .map_batches(dup_only, batch_format="pyarrow")).materialize()
+    n_dups = dups.count()
+    if n_dups == 0:
+        survivors = paras
+    elif n_dups <= broadcast_threshold:
+        # 8 bytes x n_dups <= 40 MB: ship the dup-hash set ONCE via
+        # ray.put and anti-filter per batch — no join exchange at all
+        # (the broadcast_semi_filter shape).  Beyond the threshold fall
+        # back to the hash join, which scales to any dup count.
+        import ray as _ray
+
+        dup_ref = _ray.put(np.sort(
+            dups.to_pandas()["para_hash"].to_numpy(dtype=np.int64)))
+
+        def anti(t: pa.Table) -> pa.Table:
+            d = _ray.get(dup_ref)
+            h = t["para_hash"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(d, h)
+            pos[pos >= len(d)] = 0
+            keep = d[pos] != h if len(d) else np.ones(len(h), bool)
+            return t.filter(pa.array(keep))
+
+        survivors = paras.map_batches(anti, batch_format="pyarrow")
+    else:
+        parts_n = max(1, min(join_partitions, n_dups // 32))
+        survivors = paras.join(dups, "left_anti", num_partitions=parts_n,
+                               on=("para_hash",))
+
+    # Reassembly groups by a HASH BUCKET of the document key, not the
+    # key itself: one Ray group per bucket (<= reassembly_buckets)
+    # instead of one per document — Ray's per-group map_groups overhead
+    # is ~5ms, so millions of per-doc groups would dominate wall time.
+    # Inside a bucket, a single pandas sort + groupby-agg reassembles
+    # every document of that bucket at once.
+    import zlib as _zlib
+
+    first_key = key_cols[0]
+    reassembly_buckets = 64
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        b = np.fromiter(
+            (_zlib.crc32(str(k).encode("utf-8")) % reassembly_buckets
+             for k in t[first_key].to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        return t.append_column("_rb", pa.array(b, pa.int64()))
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(key_cols) + ["para_idx"], kind="mergesort")
+        gb = g.groupby(list(key_cols), sort=False)
+        out = gb["para"].agg(sep.join).reset_index()
+        out = out.rename(columns={"para": out_col})
+        out["n_paras"] = gb.size().reset_index(drop=True).astype("int64")
+        return out
+
+    return (survivors.map_batches(tag_bucket, batch_format="pyarrow")
+            .groupby("_rb").map_groups(reassemble, batch_format="pandas"))

@@ -856,3 +856,46 @@ def test_normalize_text(ray_session):
     for i, s in enumerate(cases):
         want = unicodedata.normalize("NFC", " ".join(s.split()))
         assert out.loc[i, "text_norm"] == want, i
+
+
+def test_paragraph_dedup(ray_session):
+    """Corpus-wide paragraph dedup == brute-force Python restatement,
+    on BOTH the broadcast-anti path and the hash-join fallback; dup-free
+    input passes through; a doc whose every line is duplicated drops."""
+    import ray.data as rd
+
+    from rayxt.dedup import paragraph_dedup
+
+    docs = {
+        1: "alpha\nshared one\nbeta",
+        2: "gamma\nshared one\ndelta\nshared two",
+        3: "shared two\nepsilon",
+        4: "shared one\nshared two",          # all lines duplicated -> drops
+        5: "self\nself\nzeta",                # within-doc duplicate counts
+        6: "unique only",
+    }
+
+    def brute(docs, min_count=2):
+        from collections import Counter
+        c = Counter(p for t in docs.values() for p in t.split("\n"))
+        out = {}
+        for k, t in docs.items():
+            keep = [p for p in t.split("\n") if c[p] < min_count]
+            if keep:
+                out[k] = ("\n".join(keep), len(keep))
+        return out
+
+    want = brute(docs)
+    assert 4 not in want and want[5] == ("zeta", 1)  # fixture sanity
+
+    ds = rd.from_items([{"doc_id": k, "text": t} for k, t in docs.items()])
+    for thr in (5_000_000, 0):  # broadcast path / hash-join path
+        got = paragraph_dedup(ds, "doc_id", broadcast_threshold=thr) \
+            .to_pandas().set_index("doc_id")
+        assert {k: (r["text_dedup"], r["n_paras"])
+                for k, r in got.iterrows()} == want, thr
+
+    clean = rd.from_items([{"doc_id": 1, "text": "a\nb"},
+                           {"doc_id": 2, "text": "c"}])
+    got = paragraph_dedup(clean, "doc_id").to_pandas().set_index("doc_id")
+    assert got.loc[1, "text_dedup"] == "a\nb" and got.loc[2, "n_paras"] == 1
