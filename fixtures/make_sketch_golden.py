@@ -40,6 +40,7 @@ from tests.oracle.sketches import (  # noqa: E402
     oracle_lsh_topk,
     oracle_minhash_pairs,
     oracle_ngram_jaccard_pairs,
+    oracle_pca,
     oracle_repetition,
     oracle_simhash_pairs,
 )
@@ -218,6 +219,15 @@ def main() -> None:
         "cluster": pa.array([km[i] for i in kids], pa.int64()),
     }), os.path.join(DATA_DIR, "golden_kmeans.parquet"))
 
+    pca = oracle_pca(emb.column("vec_id").to_pylist(),
+                     emb.column("embedding").to_pylist(), k=4)
+    pids = sorted(pca)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(pids, pa.int64()),
+        **{f"pc{j + 1}": pa.array([pca[i][j] for i in pids], pa.float64())
+           for j in range(4)},
+    }), os.path.join(DATA_DIR, "golden_pca.parquet"))
+
     evu = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
                         columns=["event_type", "user_id"])
     hll = oracle_hll_distinct(evu.column("event_type").to_pylist(),
@@ -248,7 +258,7 @@ def main() -> None:
                  "golden_media_decode", "golden_audio_features",
                  "golden_phash", "golden_phash_pairs", "golden_rule_hits",
                  "golden_ev_quantiles_sketch", "golden_ev_quantiles_global",
-                 "golden_ev_hll", "golden_kmeans"):
+                 "golden_ev_hll", "golden_kmeans", "golden_pca"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")
 

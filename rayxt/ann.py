@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "hyperplane_bucket", "kmeans",
-           "embedding_centroids"]
+           "embedding_centroids", "pca_project"]
 
 
 def embedding_centroids(ds, *, key: str = "label", vec_col: str = "embedding",
@@ -434,3 +434,69 @@ def kmeans(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
         })
 
     return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def pca_project(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
+                k: int = 4, ndigits: int = 6):
+    """Distributed PCA: project every embedding onto the top-``k``
+    principal components.
+
+    Dataflow (the 100 TB shape): each batch emits its moment PARTIALS
+    as ``(idx, v)`` rows — dim sums, dim x dim second moments and the
+    row count, ``dim^2 + dim + 1`` rows per batch regardless of batch
+    size — merged by one pure ``groupby(idx).Sum``.  The driver sees
+    only that tiny aggregate (the documented small-aggregate exception),
+    builds mean/covariance, rounds the covariance to ``ndigits`` and
+    eigendecomposes (dim x dim).  Projection is a stateless vectorized
+    second pass; embeddings never shuffle.
+
+    DETERMINISM: float partial sums merge in nondeterministic order,
+    but covariance entries are rounded to ``ndigits`` BEFORE ``eigh``
+    — sums agree to ~1e-12 relative, so the rounded matrix (and hence
+    the whole decomposition, run on identical float64 input) is a pure
+    function of the data, independent of batching.  Sign convention:
+    each component's largest-|weight| entry is made positive.  The
+    naive oracle restatement (``tests/oracle/sketches.oracle_pca``)
+    must match bit-for-bit after output rounding.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t[vec_col].to_pylist()).astype(np.float64)
+        dim = m.shape[1]
+        s = m.sum(axis=0)                      # dim
+        ss = (m.T @ m).ravel()                 # dim*dim
+        idx = np.arange(dim + dim * dim + 1, dtype=np.int64)
+        v = np.concatenate([s, ss, [float(len(m))]])
+        return pa.table({"idx": pa.array(idx),
+                         "v": pa.array(v, pa.float64())})
+
+    agg = (ds.select_columns([vec_col]).map_batches(
+        partials, batch_format="pyarrow")
+        .groupby("idx").aggregate(Sum("v", alias_name="v"))
+        .to_pandas().sort_values("idx"))
+    vals = agg["v"].to_numpy()
+    # infer dim from the row count: dim^2 + dim + 1
+    dim = int((np.sqrt(4 * (len(vals) - 1) + 1) - 1) // 2)
+    n = vals[-1]
+    mean = vals[:dim] / n
+    second = vals[dim:dim + dim * dim].reshape(dim, dim) / n
+    cov = np.round(second - np.outer(mean, mean), ndigits)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    comp = eigvecs[:, ::-1][:, :k]             # descending eigenvalue
+    flip = np.sign(comp[np.abs(comp).argmax(axis=0), np.arange(k)])
+    comp = comp * np.where(flip == 0, 1.0, flip)[None, :]
+
+    mean_c = mean.copy()
+    comp_c = comp.copy()
+
+    def project(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t[vec_col].to_pylist()).astype(np.float64)
+        p = np.round((m - mean_c[None, :]) @ comp_c, ndigits)
+        out = {id_col: t[id_col]}
+        for j in range(k):
+            out[f"pc{j + 1}"] = pa.array(p[:, j], pa.float64())
+        return pa.table(out)
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pyarrow")

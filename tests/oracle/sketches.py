@@ -486,3 +486,21 @@ def oracle_kmeans(ids, vecs, *, k: int = 8, iters: int = 5,
         cents = np.round(new, ndigits)
     final = assign(m, cents)
     return {int(i): int(c) for i, c in zip(ids, final)}
+
+
+def oracle_pca(ids, vecs, *, k: int = 4, ndigits: int = 6):
+    """Naive PCA restatement: ONE full-matrix pass (no partials), same
+    frozen spec as rayxt.ann.pca_project — population covariance
+    rounded to ndigits before eigh, descending components, largest-|w|
+    entry positive, projections rounded."""
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    n = len(m)
+    mean = m.sum(axis=0) / n
+    # the frozen spec's uncentered-moment form: E[xx^T] - mu mu^T
+    cov = np.round(m.T @ m / n - np.outer(mean, mean), ndigits)
+    _eigvals, eigvecs = np.linalg.eigh(cov)
+    comp = eigvecs[:, ::-1][:, :k]
+    flip = np.sign(comp[np.abs(comp).argmax(axis=0), np.arange(k)])
+    comp = comp * np.where(flip == 0, 1.0, flip)[None, :]
+    proj = np.round((m - mean[None, :]) @ comp, ndigits)
+    return {int(i): proj[r].tolist() for r, i in enumerate(ids)}

@@ -899,3 +899,68 @@ def test_paragraph_dedup(ray_session):
                            {"doc_id": 2, "text": "c"}])
     got = paragraph_dedup(clean, "doc_id").to_pandas().set_index("doc_id")
     assert got.loc[1, "text_dedup"] == "a\nb" and got.loc[2, "n_paras"] == 1
+
+
+def test_inverted_index(ray_session):
+    """term -> (df, tf, ascending postings) == brute-force restatement;
+    case folding, multi-occurrence tf, and bucket-count invariance."""
+    import ray.data as rd
+
+    from rayxt.text import inverted_index
+
+    docs = {1: "Apple banana apple", 2: "banana cherry",
+            3: "APPLE cherry cherry 42", 4: ""}
+
+    def brute(docs):
+        import re
+        from collections import Counter, defaultdict
+        tf = defaultdict(Counter)
+        for d, t in docs.items():
+            for w in re.findall(r"[A-Za-z0-9]+", t):
+                tf[w.lower()][d] += 1
+        return {
+            term: (len(c), sum(c.values()),
+                   ",".join(str(d) for d in sorted(c)))
+            for term, c in tf.items()
+        }
+
+    want = brute(docs)
+    assert want["apple"] == (2, 3, "1,3") and want["42"] == (1, 1, "3")
+
+    ds = rd.from_items([{"doc_id": k, "text": t} for k, t in docs.items()])
+    for buckets in (64, 1):
+        got = inverted_index(ds, buckets=buckets).to_pandas()
+        got_map = {r.term: (int(r.df), int(r.tf), r.postings)
+                   for r in got.itertuples()}
+        assert got_map == want, buckets
+
+
+def test_pca_project_matches_oracle_any_batching(ray_session):
+    """Distributed moment-partial PCA == naive full-matrix oracle
+    bit-for-bit (after the spec's rounding) under adversarial batch
+    sizes, and projections capture descending variance."""
+    import ray.data as rd
+
+    from rayxt.ann import pca_project
+    from tests.oracle.sketches import oracle_pca
+
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: distinct eigenvalues by construction
+    base = rng.randn(300, 8) * np.array([5, 3, 2, 1.2, .8, .5, .3, .1])
+    rows = [{"vec_id": i, "embedding": base[i].astype(np.float32).tolist()}
+            for i in range(300)]
+    want = oracle_pca([r["vec_id"] for r in rows],
+                      [r["embedding"] for r in rows], k=3)
+
+    ds = rd.from_items(rows)
+    for bs in (17, 300):
+        got = pca_project(
+            ds.map_batches(lambda t: t, batch_size=bs,
+                           batch_format="pyarrow"),
+            k=3).to_pandas().set_index("vec_id")
+        bad = [i for i, r in got.iterrows()
+               if [r.pc1, r.pc2, r.pc3] != want[i]]
+        assert not bad, (bs, bad[:3])
+
+    var = got[["pc1", "pc2", "pc3"]].var().to_numpy()
+    assert var[0] > var[1] > var[2]
