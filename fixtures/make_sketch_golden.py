@@ -38,6 +38,7 @@ from tests.oracle.sketches import (  # noqa: E402
     oracle_ivf_topk,
     oracle_langid,
     oracle_lsh_topk,
+    oracle_dup_ngram_stats,
     oracle_minhash_pairs,
     oracle_ngram_jaccard_pairs,
     oracle_pca,
@@ -238,6 +239,23 @@ def main() -> None:
         "n_users_hll": pa.array([hll[k] for k in etypes], pa.int64()),
     }), os.path.join(DATA_DIR, "golden_ev_hll.parquet"))
 
+    # duplicated n-gram spans over the committed extraction golden
+    gx = pq.read_table(os.path.join(DATA_DIR, "golden_extract.parquet"),
+                       columns=["url", "warc_ts", "text", "status"])
+    ok = gx.filter(pa.compute.equal(gx["status"], "ok"))
+    keys = list(zip(ok.column("url").to_pylist(),
+                    ok.column("warc_ts").to_pylist()))
+    stats = oracle_dup_ngram_stats(keys, ok.column("text").to_pylist(), n=20)
+    skeys = sorted(stats)
+    pq.write_table(pa.table({
+        "url": pa.array([k[0] for k in skeys], pa.string()),
+        "warc_ts": pa.array([k[1] for k in skeys],
+                            ok.schema.field("warc_ts").type),
+        "n_windows": pa.array([stats[k][0] for k in skeys], pa.int64()),
+        "n_dup_windows": pa.array([stats[k][1] for k in skeys], pa.int64()),
+        "dup_fraction": pa.array([stats[k][2] for k in skeys], pa.float64()),
+    }), os.path.join(DATA_DIR, "golden_dup_ngrams.parquet"))
+
     pages = pq.read_table(os.path.join(DATA_DIR, "pages_conf.parquet"),
                           columns=["html"])
     totals: dict[str, int] = {}
@@ -258,7 +276,8 @@ def main() -> None:
                  "golden_media_decode", "golden_audio_features",
                  "golden_phash", "golden_phash_pairs", "golden_rule_hits",
                  "golden_ev_quantiles_sketch", "golden_ev_quantiles_global",
-                 "golden_ev_hll", "golden_kmeans", "golden_pca"):
+                 "golden_ev_hll", "golden_kmeans", "golden_pca",
+                 "golden_dup_ngrams"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")
 

@@ -42,6 +42,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "explode_paragraphs",
     "paragraph_dedup",
+    "dup_ngram_stats",
 ]
 
 
@@ -880,3 +881,163 @@ def paragraph_dedup(ds, key_cols, text_col: str = "text", *,
 
     return (survivors.map_batches(tag_bucket, batch_format="pyarrow")
             .groupby("_rb").map_groups(reassemble, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# duplicated n-gram span statistics ("dedup training data" signal)
+# ---------------------------------------------------------------------------
+
+_NGRAM_B = np.uint64(1099511628211)  # FNV prime as the rolling base
+
+
+def _window_hashes(text: str, n: int) -> np.ndarray:
+    """All n-token window hashes of a doc, in document order.
+
+    FROZEN spec (the naive oracle restates it with Python ints): token
+    hash = ``_sha1_int64``; window hash = Horner-form polynomial over
+    the window's token hashes in uint64 wrap-around arithmetic with
+    base ``_NGRAM_B``, then ``>> 1`` into signed int64.  Docs shorter
+    than ``n`` tokens contribute ONE window (the whole doc); zero-token
+    docs contribute none.  The Horner loop is ``min(n, len)`` vectorized
+    passes over all windows at once — O(n) numpy ops per doc, not
+    O(windows * n) Python."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.int64)
+    th = np.fromiter((_sha1_int64(t) for t in toks), dtype=np.uint64,
+                     count=len(toks))
+    m = min(n, len(toks))
+    length = len(toks) - m + 1
+    acc = np.zeros(length, dtype=np.uint64)
+    for k in range(m):
+        acc = acc * _NGRAM_B + th[k:k + length]
+    return (acc >> np.uint64(1)).astype(np.int64)
+
+
+def dup_ngram_stats(ds, key_cols, text_col: str = "text", *, n: int = 20,
+                    join_partitions: int = 8,
+                    broadcast_threshold: int = 5_000_000):
+    """Per-document duplicated-span statistics: how much of each doc is
+    covered by n-token windows that occur >= 2 times ACROSS THE CORPUS
+    (within-doc repeats count) — the standard contamination /
+    memorization signal from the train-data-dedup literature.
+
+    Returns one row per doc with >= 1 window: keys + ``n_windows`` +
+    ``n_dup_windows`` + ``dup_fraction`` (round 6).
+
+    Dataflow: window hashes explode once (8-byte rows, checkpointed);
+    duplicate detection is per-batch partial counts -> one Sum groupby;
+    the dup-hash set broadcasts via ``ray.put`` when small (sorted
+    searchsorted membership per batch), else a hash join marks dup rows
+    and two pure Count aggregates meet in a left join.  Text crosses an
+    exchange zero times.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+
+    def explode(t: pa.Table) -> pa.Table:
+        cols = {k: [] for k in key_cols}
+        hashes = []
+        keys = [t[k].to_pylist() for k in key_cols]
+        for row, txt in enumerate(t[text_col].to_pylist()):
+            wh = _window_hashes(txt or "", n)
+            if not len(wh):
+                continue
+            for k, kv in zip(key_cols, keys):
+                cols[k].extend([kv[row]] * len(wh))
+            hashes.append(wh)
+        # key columns typed from the INPUT schema: a batch whose docs
+        # all have zero windows must still emit a typed empty block
+        out = {k: pa.array(v, type=t.schema.field(k).type)
+               for k, v in cols.items()}
+        out["whash"] = pa.array(
+            np.concatenate(hashes) if hashes else
+            np.empty(0, dtype=np.int64), pa.int64())
+        return pa.table(out)
+
+    w = ds.select_columns(list(key_cols) + [text_col]).map_batches(
+        explode, batch_format="pyarrow").materialize()
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        h, cnt = np.unique(t["whash"].to_numpy(zero_copy_only=False),
+                           return_counts=True)
+        return pa.table({"whash": pa.array(h, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "whash" not in t.column_names:
+            return pa.table({"whash": pa.array([], pa.int64())})
+        return t.filter(pc.greater_equal(t["cnt"], 2)).select(["whash"])
+
+    dups = (w.map_batches(partial_counts, batch_format="pyarrow")
+            .groupby("whash").aggregate(Sum("cnt", alias_name="cnt"))
+            .map_batches(dup_only, batch_format="pyarrow")).materialize()
+    n_dups = dups.count()
+
+    if n_dups <= broadcast_threshold:
+        import ray as _ray
+
+        dup_ref = _ray.put(np.sort(
+            dups.to_pandas()["whash"].to_numpy(dtype=np.int64))
+            if n_dups else np.empty(0, dtype=np.int64))
+
+        def flag(t: pa.Table) -> pa.Table:
+            d = _ray.get(dup_ref)
+            h = t["whash"].to_numpy(zero_copy_only=False)
+            if len(d):
+                pos = np.searchsorted(d, h)
+                pos[pos >= len(d)] = 0
+                is_dup = (d[pos] == h).astype(np.int64)
+            else:
+                is_dup = np.zeros(len(h), dtype=np.int64)
+            return t.drop_columns(["whash"]).append_column(
+                "is_dup", pa.array(is_dup, pa.int64()))
+
+        per_doc = (w.map_batches(flag, batch_format="pyarrow")
+                   .groupby(list(key_cols))
+                   .aggregate(Count(alias_name="n_windows"),
+                              Sum("is_dup", alias_name="n_dup_windows")))
+    else:
+        key_types = {f.name: f.type for f in w.schema().base_schema
+                     if f.name in key_cols}
+
+        def typed_guard(count_alias):
+            def fix(t: pa.Table) -> pa.Table:
+                # hash-aggregate empty partitions emit SCHEMA-LESS
+                # blocks that crash the downstream acero join
+                if t.num_rows == 0 and key_cols[0] not in t.column_names:
+                    cols = {k: pa.array([], key_types[k]) for k in key_cols}
+                    cols[count_alias] = pa.array([], pa.int64())
+                    return pa.table(cols)
+                return t
+            return fix
+
+        parts_n = max(1, min(join_partitions, n_dups // 32))
+        totals = w.groupby(list(key_cols)).aggregate(
+            Count(alias_name="n_windows")).map_batches(
+            typed_guard("n_windows"), batch_format="pyarrow")
+        dup_rows = w.join(dups, "inner", num_partitions=parts_n,
+                          on=("whash",))
+        dup_counts = dup_rows.groupby(list(key_cols)).aggregate(
+            Count(alias_name="n_dup_windows")).map_batches(
+            typed_guard("n_dup_windows"), batch_format="pyarrow")
+        totals = totals.materialize()
+        n_docs = totals.count()
+        per_doc = totals.join(dup_counts, "left_outer",
+                              num_partitions=max(
+                                  1, min(join_partitions, n_docs // 32)),
+                              on=tuple(key_cols))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nw = pc.cast(t["n_windows"], pa.float64())
+        nd = pc.cast(pc.coalesce(t["n_dup_windows"], 0), pa.float64())
+        frac = pc.round(pc.divide(nd, nw), ndigits=6)
+        out = t.set_column(t.column_names.index("n_dup_windows"),
+                           "n_dup_windows",
+                           pc.cast(pc.coalesce(t["n_dup_windows"], 0),
+                                   pa.int64()))
+        return out.append_column("dup_fraction", frac)
+
+    return per_doc.map_batches(finalize, batch_format="pyarrow")

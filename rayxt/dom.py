@@ -654,6 +654,8 @@ def _parse_html_fast(text: str, deadline: float | None = None) -> Node:
         return m.end()
 
     def parse_marked_section(i):
+        if i + 3 == n:
+            return -1  # '<![' at EOF: incomplete, not an error
         m = _DECLNAME.match(text, i + 3)
         if not m:
             raise AssertionError(

@@ -504,3 +504,44 @@ def oracle_pca(ids, vecs, *, k: int = 4, ndigits: int = 6):
     comp = comp * np.where(flip == 0, 1.0, flip)[None, :]
     proj = np.round((m - mean[None, :]) @ comp, ndigits)
     return {int(i): proj[r].tolist() for r, i in enumerate(ids)}
+
+
+def oracle_dup_ngram_stats(keys, texts, *, n: int = 20):
+    """Python-int restatement of the duplicated n-gram span spec
+    (rayxt.dedup.dup_ngram_stats): per-token sha1-int64, Horner window
+    hash mod 2^64 with base 1099511628211, >> 1; dup = corpus count >= 2
+    (within-doc repeats included); docs with zero windows are absent.
+    Returns {key: (n_windows, n_dup_windows, dup_fraction)}."""
+    import hashlib
+    from collections import Counter
+
+    B = 1099511628211
+    MASK = (1 << 64) - 1
+
+    def tok_hash(t):
+        return int.from_bytes(
+            hashlib.sha1(t.encode("utf-8")).digest()[:8], "big") >> 1
+
+    def window_hashes(text):
+        toks = text.split()
+        if not toks:
+            return []
+        th = [tok_hash(t) for t in toks]
+        m = min(n, len(toks))
+        out = []
+        for i in range(len(toks) - m + 1):
+            h = 0
+            for k in range(m):
+                h = (h * B + th[i + k]) & MASK
+            out.append(h >> 1)
+        return out
+
+    per_doc = [window_hashes(t or "") for t in texts]
+    counts = Counter(h for ws in per_doc for h in ws)
+    out = {}
+    for key, ws in zip(keys, per_doc):
+        if not ws:
+            continue
+        nd = sum(1 for h in ws if counts[h] >= 2)
+        out[key] = (len(ws), nd, round(nd / len(ws), 6))
+    return out

@@ -102,6 +102,9 @@ EDGE_CASES = [
     "&#;broken charref",
     "&#x;also broken",
     "text ending with &am",
+    "<![",     # marked section truncated at EOF: data, not AssertionError
+    "<![cd",   # name truncated at EOF
+    "<![[",    # non-name after '<![': AssertionError on BOTH sides
 ]
 
 

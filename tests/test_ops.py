@@ -964,3 +964,33 @@ def test_pca_project_matches_oracle_any_batching(ray_session):
 
     var = got[["pc1", "pc2", "pc3"]].var().to_numpy()
     assert var[0] > var[1] > var[2]
+
+
+def test_dup_ngram_stats(ray_session):
+    """Duplicated-span stats == Python-int oracle on both the broadcast
+    path and the join fallback; within-doc repeats count; short docs get
+    one whole-doc window; zero-token docs are absent."""
+    import ray.data as rd
+
+    from rayxt.dedup import dup_ngram_stats
+    from tests.oracle.sketches import oracle_dup_ngram_stats
+
+    docs = {
+        1: "a b c d e f",      # shares the c-d-e-f window with doc 2
+        2: "c d e f g h",
+        3: "solo words here",  # < n tokens: one whole-doc window
+        4: "",
+        5: "a b c d e f",      # exact dup of doc 1
+        6: "r r r r r r r r",  # within-doc repeated windows
+    }
+    want = oracle_dup_ngram_stats(list(docs), list(docs.values()), n=4)
+    assert 4 not in want and want[3] == (1, 0, 0.0)
+    assert want[6][1] == want[6][0]  # all windows self-duplicated
+
+    ds = rd.from_items([{"doc_id": k, "text": t} for k, t in docs.items()])
+    for thr in (5_000_000, 0):
+        got = dup_ngram_stats(ds, "doc_id", n=4, broadcast_threshold=thr) \
+            .to_pandas().set_index("doc_id")
+        got_map = {k: (int(r["n_windows"]), int(r["n_dup_windows"]),
+                       r["dup_fraction"]) for k, r in got.iterrows()}
+        assert got_map == want, thr
