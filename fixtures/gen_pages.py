@@ -303,3 +303,53 @@ def ensure_pages_parquet(
         pq.write_table(generate_table(n_rows, giant_cap), tmp)
         os.rename(tmp, path)
     return path
+
+
+# -- messy-URL fixture family (canonicalization conformance) ----------------
+
+_URL_SCHEMES = ("http", "HTTP", "https", "HTTPS", "Https")
+_URL_PORTS = ("", ":80", ":443", ":8080")
+_URL_PATHS = ("", "/", "/a/b", "/A/B/index.html", "/p%20q")
+_URL_REAL_PARAMS = ("q=x", "page=2", "id=9&sort=asc", "")
+_URL_TRACKING = ("utm_source=feed", "utm_medium=email&utm_campaign=c1",
+                 "fbclid=abc123", "gclid=Z9", "msclkid=m1", "")
+_URL_FRAGMENTS = ("", "#top", "#sec-2")
+
+
+def messy_url_of(i: int) -> str:
+    """Deterministic messy URL: mixed-case scheme/host, optional
+    default/explicit port, tracking params interleaved with real ones,
+    fragments — every combination the canonicalizer must handle."""
+    scheme = _URL_SCHEMES[_h(i, "us") % len(_URL_SCHEMES)]
+    host = ("WWW." if _h(i, "uw") % 3 == 0 else "") + \
+        f"Host-{_h(i, 'uh') % 40}.Example.COM"
+    port = _URL_PORTS[_h(i, "up") % len(_URL_PORTS)]
+    path = _URL_PATHS[_h(i, "upa") % len(_URL_PATHS)]
+    real = _URL_REAL_PARAMS[_h(i, "ur") % len(_URL_REAL_PARAMS)]
+    track = _URL_TRACKING[_h(i, "ut") % len(_URL_TRACKING)]
+    parts = [p for p in (track, real) if p] if _h(i, "uo") % 2 \
+        else [p for p in (real, track) if p]
+    query = "&".join("&".join(parts).split("&")) if parts else ""
+    frag = _URL_FRAGMENTS[_h(i, "uf") % len(_URL_FRAGMENTS)]
+    return f"{scheme}://{host}{port}{path}" + \
+        (f"?{query}" if query else "") + frag
+
+
+def generate_url_table(n_rows: int) -> pa.Table:
+    return pa.table({
+        "url_id": pa.array(range(n_rows), pa.int64()),
+        "url": pa.array([messy_url_of(i) for i in range(n_rows)],
+                        pa.string()),
+    })
+
+
+def ensure_url_parquet(path: str, n_rows: int) -> str:
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(generate_url_table(n_rows), tmp)
+    os.rename(tmp, path)
+    return path

@@ -26,7 +26,9 @@ from fixtures.gen_media import (  # noqa: E402
     media_row,
     phash_ground_truth_hash,
 )
+from fixtures.gen_pages import generate_url_table  # noqa: E402
 from tests.oracle.audio_oracle import oracle_audio_features  # noqa: E402
+from tests.oracle.url_oracle import oracle_canonicalize_url  # noqa: E402
 from tests.oracle.phash_oracle import oracle_hamming_pairs  # noqa: E402
 from tests.oracle import oracle_rule_hits  # noqa: E402
 from tests.oracle.sketches import (  # noqa: E402
@@ -53,6 +55,7 @@ ANN_NQ = 3     # keep in sync with __ray_entry__._ANN_NQ
 N_MEDIA = 300  # keep in sync with __ray_entry__._q_media_decode
 N_PHASH = 120  # keep in sync with __ray_entry__._q_media_phash
 PHASH_MAX_HAMMING = 7  # keep in sync with __ray_entry__._q_media_image_neardup
+N_URLS = 400   # keep in sync with __ray_entry__._q_pages_url_canon
 
 
 def main() -> None:
@@ -239,6 +242,14 @@ def main() -> None:
         "n_users_hll": pa.array([hll[k] for k in etypes], pa.int64()),
     }), os.path.join(DATA_DIR, "golden_ev_hll.parquet"))
 
+    # URL canonicalization golden via the urllib-based oracle
+    urls = generate_url_table(N_URLS)
+    canon = [oracle_canonicalize_url(u)
+             for u in urls.column("url").to_pylist()]
+    pq.write_table(urls.append_column(
+        "url_canon", pa.array(canon, pa.string())),
+        os.path.join(DATA_DIR, "golden_url_canon.parquet"))
+
     # duplicated n-gram spans over the committed extraction golden
     gx = pq.read_table(os.path.join(DATA_DIR, "golden_extract.parquet"),
                        columns=["url", "warc_ts", "text", "status"])
@@ -277,7 +288,7 @@ def main() -> None:
                  "golden_phash", "golden_phash_pairs", "golden_rule_hits",
                  "golden_ev_quantiles_sketch", "golden_ev_quantiles_global",
                  "golden_ev_hll", "golden_kmeans", "golden_pca",
-                 "golden_dup_ngrams"):
+                 "golden_dup_ngrams", "golden_url_canon"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")
 

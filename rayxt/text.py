@@ -38,6 +38,7 @@ __all__ = [
     "add_repetition_signals",
     "normalize_text",
     "inverted_index",
+    "canonicalize_url",
 ]
 
 # BPE-style pre-tokenizer classes (letters runs / digit runs / single
@@ -600,3 +601,76 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return (ds.select_columns([id_col, text_col])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("_tb").map_groups(assemble, batch_format="pandas"))
+
+
+_CANON_URL_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
+    r"(?P<host>[^/?#:]*)(?::(?P<port>[0-9]*))?"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+_TRACKING_KEYS = frozenset({"fbclid", "gclid", "msclkid"})
+
+
+def _is_tracking_param(p: str) -> bool:
+    key = p.split("=", 1)[0]
+    return key.startswith("utm_") or key in _TRACKING_KEYS
+
+
+def canonicalize_url(ds, col: str = "url", out: str = "url_canon"):
+    """Web-corpus URL canonicalization.  FROZEN policy (the independent
+    oracle in ``tests/oracle/url_oracle.py`` restates it with
+    ``urllib.parse.urlsplit`` — different mechanism, same policy):
+
+    1. scheme and host lowercased (path/query stay verbatim);
+    2. fragment stripped;
+    3. default port dropped (http:80 / https:443; others kept);
+    4. tracking params removed (``utm_*``, fbclid, gclid, msclkid);
+       surviving params keep their original order and encoding, the
+       ``?`` goes when none survive;
+    5. empty path becomes ``/``.
+
+    Decomposition and case folding are ONE vectorized RE2 + Arrow
+    kernels; only rows that actually carry a query string pay a
+    per-row param filter.  Non-URL rows (no match) pass through
+    unchanged.  Userinfo (``user@host``) is out of policy scope.
+    """
+
+    def canon(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t[col], pattern=_CANON_URL_RE)
+        valid = pc.is_valid(m)
+        scheme = pc.utf8_lower(pc.struct_field(m, "scheme"))
+        host = pc.utf8_lower(pc.struct_field(m, "host"))
+        port = pc.struct_field(m, "port")
+        path = pc.struct_field(m, "path")
+        query = pc.struct_field(m, "query")
+
+        default = pc.or_(
+            pc.and_(pc.equal(scheme, "http"), pc.equal(port, "80")),
+            pc.and_(pc.equal(scheme, "https"), pc.equal(port, "443")),
+        )
+        # a non-participating optional group extracts as "" — absent
+        present = pc.and_(pc.is_valid(port),
+                          pc.invert(pc.equal(pc.fill_null(port, ""), "")))
+        keep_port = pc.and_(present,
+                            pc.invert(pc.fill_null(default, False)))
+        port_part = pc.if_else(
+            keep_port, pc.binary_join_element_wise(":", port, ""), "")
+        path_part = pc.if_else(pc.equal(path, ""), "/", path)
+
+        # per-row param filter, only where a query string exists
+        qlist = query.to_pylist()
+        fq = [
+            "" if q is None else
+            "&".join(p for p in q.split("&") if p and not _is_tracking_param(p))
+            for q in qlist
+        ]
+        fq_arr = pa.array(fq, pa.string())
+        q_part = pc.if_else(pc.equal(fq_arr, ""), "",
+                            pc.binary_join_element_wise("?", fq_arr, ""))
+
+        rebuilt = pc.binary_join_element_wise(
+            scheme, "://", host, port_part, path_part, q_part, "")
+        result = pc.if_else(valid, rebuilt, t[col])
+        return t.append_column(out, result)
+
+    return ds.map_batches(canon, batch_format="pyarrow")

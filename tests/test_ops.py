@@ -994,3 +994,27 @@ def test_dup_ngram_stats(ray_session):
         got_map = {k: (int(r["n_windows"]), int(r["n_dup_windows"]),
                        r["dup_fraction"]) for k, r in got.iterrows()}
         assert got_map == want, thr
+
+
+def test_canonicalize_url(ray_session):
+    """Engine (single RE2 decomposition) == urllib-based oracle on the
+    messy fixture family plus handwritten edges; non-URLs pass through."""
+    import ray.data as rd
+
+    from fixtures.gen_pages import messy_url_of
+    from rayxt.text import canonicalize_url
+    from tests.oracle.url_oracle import oracle_canonicalize_url
+
+    urls = [messy_url_of(i) for i in range(150)] + [
+        "HTTP://A.B:80/",              # default port dropped
+        "http://a.b:443/x",            # non-default port for http kept
+        "https://a.b/?utm_source=x",   # all params tracking -> no '?'
+        "https://a.b/p?a=1&utm_x=2&b=3#f",
+        "not a url",
+        "ftp://Host/Path",             # non-http scheme: policy still applies
+    ]
+    ds = rd.from_items([{"url_id": i, "url": u} for i, u in enumerate(urls)])
+    got = canonicalize_url(ds).to_pandas().set_index("url_id")
+    for i, u in enumerate(urls):
+        assert got.loc[i, "url_canon"] == oracle_canonicalize_url(u), u
+    assert got.loc[len(urls) - 2, "url_canon"] == "not a url"
