@@ -478,6 +478,7 @@ def pca_project(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
     vals = agg["v"].to_numpy()
     # infer dim from the row count: dim^2 + dim + 1
     dim = int((np.sqrt(4 * (len(vals) - 1) + 1) - 1) // 2)
+    k = min(k, dim)  # at most dim components exist (oracle_pca clamps too)
     n = vals[-1]
     mean = vals[:dim] / n
     second = vals[dim:dim + dim * dim].reshape(dim, dim) / n

@@ -28,6 +28,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ._blockutil import crc_bucket, ensure_typed, sorted_membership
+
 __all__ = [
     "content_hash_table",
     "exact_dedup",
@@ -234,10 +236,7 @@ def bucket_candidate_pairs(buckets, *, id_col: str, max_bucket: int):
     def pairs_only(t: pa.Table) -> pa.Table:
         # empty hash-aggregate partitions emit SCHEMA-LESS blocks; the
         # downstream signature join needs every block typed (id_a, id_b)
-        # or acero raises "No match ... FieldRef.Name(id_a)"
-        if t.num_rows == 0 or "id_a" not in t.column_names:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
+        t = ensure_typed(t, {"id_a": pa.int64(), "id_b": pa.int64()})
         return t.select(["id_a", "id_b"])
 
     # pair dedup via a pure aggregate (hash-partitioned, vectorized) —
@@ -549,16 +548,20 @@ def hamming_pairs(ds, id_col: str, hash_col: str, *, bands: int = 8,
     mask = (1 << width) - 1
 
     def band_rows(t: pa.Table) -> pa.Table:
+        # null hashes are DROPPED, not coerced: a sentinel value (null,
+        # or an upstream error marker like PhashImages' phash=0) would
+        # otherwise pair every failed row with every other at hamming 0
+        t = t.filter(pc.is_valid(t[hash_col]))
         ids = t[id_col].to_pylist()
         hs = t[hash_col].to_pylist()
         rows_id, rows_band, rows_bucket, rows_h = [], [], [], []
         for i, signed in zip(ids, hs):
-            h = (signed or 0) & 0xFFFFFFFFFFFFFFFF
+            h = signed & 0xFFFFFFFFFFFFFFFF
             for band in range(bands):
                 rows_id.append(i)
                 rows_band.append(band)
                 rows_bucket.append((h >> (band * width)) & mask)
-                rows_h.append(signed or 0)
+                rows_h.append(signed)
         return pa.table(
             {id_col: pa.array(rows_id, pa.int64()),
              "band": pa.array(rows_band, pa.int32()),
@@ -818,8 +821,7 @@ def paragraph_dedup(ds, key_cols, text_col: str = "text", *,
 
     def dup_only(t: pa.Table) -> pa.Table:
         # typed blocks even when the aggregate emits schema-less empties
-        if t.num_rows == 0 or "para_hash" not in t.column_names:
-            return pa.table({"para_hash": pa.array([], pa.int64())})
+        t = ensure_typed(t, {"para_hash": pa.int64(), "n": pa.int64()})
         return t.filter(
             pc.greater_equal(t["n"], min_count)).select(["para_hash"])
 
@@ -842,10 +844,7 @@ def paragraph_dedup(ds, key_cols, text_col: str = "text", *,
         def anti(t: pa.Table) -> pa.Table:
             d = _ray.get(dup_ref)
             h = t["para_hash"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(d, h)
-            pos[pos >= len(d)] = 0
-            keep = d[pos] != h if len(d) else np.ones(len(h), bool)
-            return t.filter(pa.array(keep))
+            return t.filter(pa.array(~sorted_membership(d, h)))
 
         survivors = paras.map_batches(anti, batch_format="pyarrow")
     else:
@@ -859,16 +858,11 @@ def paragraph_dedup(ds, key_cols, text_col: str = "text", *,
     # is ~5ms, so millions of per-doc groups would dominate wall time.
     # Inside a bucket, a single pandas sort + groupby-agg reassembles
     # every document of that bucket at once.
-    import zlib as _zlib
-
     first_key = key_cols[0]
     reassembly_buckets = 64
 
     def tag_bucket(t: pa.Table) -> pa.Table:
-        b = np.fromiter(
-            (_zlib.crc32(str(k).encode("utf-8")) % reassembly_buckets
-             for k in t[first_key].to_pylist()),
-            dtype=np.int64, count=t.num_rows)
+        b = crc_bucket(t[first_key].to_pylist(), reassembly_buckets)
         return t.append_column("_rb", pa.array(b, pa.int64()))
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:
@@ -967,8 +961,7 @@ def dup_ngram_stats(ds, key_cols, text_col: str = "text", *, n: int = 20,
                          "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
 
     def dup_only(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "whash" not in t.column_names:
-            return pa.table({"whash": pa.array([], pa.int64())})
+        t = ensure_typed(t, {"whash": pa.int64(), "cnt": pa.int64()})
         return t.filter(pc.greater_equal(t["cnt"], 2)).select(["whash"])
 
     dups = (w.map_batches(partial_counts, batch_format="pyarrow")
@@ -986,12 +979,7 @@ def dup_ngram_stats(ds, key_cols, text_col: str = "text", *, n: int = 20,
         def flag(t: pa.Table) -> pa.Table:
             d = _ray.get(dup_ref)
             h = t["whash"].to_numpy(zero_copy_only=False)
-            if len(d):
-                pos = np.searchsorted(d, h)
-                pos[pos >= len(d)] = 0
-                is_dup = (d[pos] == h).astype(np.int64)
-            else:
-                is_dup = np.zeros(len(h), dtype=np.int64)
+            is_dup = sorted_membership(d, h).astype(np.int64)
             return t.drop_columns(["whash"]).append_column(
                 "is_dup", pa.array(is_dup, pa.int64()))
 
@@ -1004,14 +992,13 @@ def dup_ngram_stats(ds, key_cols, text_col: str = "text", *, n: int = 20,
                      if f.name in key_cols}
 
         def typed_guard(count_alias):
+            schema = dict(key_types)
+            schema[count_alias] = pa.int64()
+
             def fix(t: pa.Table) -> pa.Table:
                 # hash-aggregate empty partitions emit SCHEMA-LESS
                 # blocks that crash the downstream acero join
-                if t.num_rows == 0 and key_cols[0] not in t.column_names:
-                    cols = {k: pa.array([], key_types[k]) for k in key_cols}
-                    cols[count_alias] = pa.array([], pa.int64())
-                    return pa.table(cols)
-                return t
+                return ensure_typed(t, schema)
             return fix
 
         parts_n = max(1, min(join_partitions, n_dups // 32))

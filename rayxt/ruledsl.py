@@ -132,7 +132,12 @@ def _condition(c):
     if key == "has_namespace":
         return HasNamespace(val)
     if key == "if":
-        args = [_value(val["x"]), _OPS[val.get("op", "eq")]]
+        if not isinstance(val, dict) or "x" not in val:
+            raise ValueError(f"'if' condition needs an 'x' value: {val!r}")
+        op = val.get("op", "eq")
+        if op not in _OPS:
+            raise ValueError(f"unknown op {op!r}; known: {sorted(_OPS)}")
+        args = [_value(val["x"]), _OPS[op]]
         if "y" in val:
             args.append(_value(val["y"]))
         return If(*args)
@@ -157,6 +162,8 @@ def _handler(h):
             return obj(*[_value(a) for a in h.get("args", [])],
                        **{k: _value(v) for k, v in h.get("kwargs", {}).items()})
         return obj
+    if "fn" not in h:
+        raise ValueError(f"handler needs 'fn' or 'import': {h!r}")
     name = h["fn"]
     if name not in _lib.__all__:
         raise ValueError(f"unknown handler {name!r}; known: lib entries "
@@ -198,9 +205,14 @@ def load_program(spec) -> Transformation:
         raise ValueError("program spec must be a dict with a 'rules' list")
     steps = []
     for r in spec["rules"]:
+        if not isinstance(r, dict):
+            raise ValueError(f"rule must be a dict: {r!r}")
         if "step" in r:
             steps.append(_handlers(r["step"]))
             continue
+        if "conditions" not in r or "handlers" not in r:
+            raise ValueError(
+                f"rule needs 'conditions' and 'handlers' (or 'step'): {r!r}")
         conds = r["conditions"]
         conds = [_condition(c) for c in
                  (conds if isinstance(conds, list) else [conds])]

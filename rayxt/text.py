@@ -15,6 +15,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ._blockutil import crc_bucket
+
 __all__ = [
     "add_json_int_field",
     "add_char_entropy",
@@ -569,16 +571,11 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
     bucket large but never split it; cap posting length upstream (stop
     word removal) if a term's postings must fit one worker.
     """
-    import zlib as _zlib
-
     def partial(t: pa.Table) -> pa.Table:
         tf = _term_frame(t, id_col, text_col)
         cnt = (tf.groupby(["term", id_col], sort=False).size()
                .reset_index(name="tf"))
-        bucket = np.fromiter(
-            (_zlib.crc32(s.encode("utf-8")) % buckets
-             for s in cnt["term"]),
-            dtype=np.int64, count=len(cnt))
+        bucket = crc_bucket(cnt["term"], buckets)
         return pa.table({
             "term": pa.array(cnt["term"], pa.string()),
             id_col: pa.array(cnt[id_col].to_numpy(), pa.int64()),
@@ -605,8 +602,15 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
 _CANON_URL_RE = (
     r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
-    r"(?P<host>[^/?#:]*)(?::(?P<port>[0-9]*))?"
+    r"(?P<host>[^/?#:@\[\]]*)(?::(?P<port>[0-9]+))?"
     r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+# the decomposition above would silently mis-split authorities carrying
+# userinfo ('user:pass@host'), IPv6 brackets or a non-numeric port, so
+# a row must ALSO pass this whole-authority shape check or it passes
+# through verbatim (out of policy scope, like non-URLs)
+_CANON_AUTHORITY_OK_RE = (
+    r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:@\[\]]+(:[0-9]+)?([/?#]|$)"
 )
 _TRACKING_KEYS = frozenset({"fbclid", "gclid", "msclkid"})
 
@@ -631,13 +635,20 @@ def canonicalize_url(ds, col: str = "url", out: str = "url_canon"):
 
     Decomposition and case folding are ONE vectorized RE2 + Arrow
     kernels; only rows that actually carry a query string pay a
-    per-row param filter.  Non-URL rows (no match) pass through
-    unchanged.  Userinfo (``user@host``) is out of policy scope.
+    per-row param filter.  Non-URL rows pass through unchanged, and so
+    do authorities outside the policy scope — userinfo (``user@host``),
+    IPv6 bracket hosts, empty hosts and non-numeric ports (default
+    ports are dropped on their canonical TEXT spelling only: ``:080``
+    is preserved verbatim).
     """
 
     def canon(t: pa.Table) -> pa.Table:
         m = pc.extract_regex(t[col], pattern=_CANON_URL_RE)
-        valid = pc.is_valid(m)
+        valid = pc.and_(
+            pc.is_valid(m),
+            pc.fill_null(pc.match_substring_regex(
+                t[col], _CANON_AUTHORITY_OK_RE), False),
+        )
         scheme = pc.utf8_lower(pc.struct_field(m, "scheme"))
         host = pc.utf8_lower(pc.struct_field(m, "host"))
         port = pc.struct_field(m, "port")

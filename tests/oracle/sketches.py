@@ -494,6 +494,7 @@ def oracle_pca(ids, vecs, *, k: int = 4, ndigits: int = 6):
     rounded to ndigits before eigh, descending components, largest-|w|
     entry positive, projections rounded."""
     m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    k = min(k, m.shape[1])  # at most dim components exist
     n = len(m)
     mean = m.sum(axis=0) / n
     # the frozen spec's uncentered-moment form: E[xx^T] - mu mu^T

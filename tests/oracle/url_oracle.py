@@ -4,10 +4,16 @@ Restates the frozen policy of :func:`rayxt.text.canonicalize_url` with
 ``urllib.parse.urlsplit`` — the stdlib's URL machinery instead of the
 engine's single RE2 decomposition.  Same policy, different mechanism;
 the engine must match string-for-string on the fixture family.
+
+Policy scope guards mirror the engine's: userinfo, IPv6 brackets,
+empty hosts and non-numeric ports pass through verbatim, and default
+ports are dropped only on their canonical TEXT spelling (``:080`` is
+preserved).
 """
 
 from __future__ import annotations
 
+import re
 import sys
 from urllib.parse import urlsplit
 
@@ -19,24 +25,30 @@ except Exception:  # pragma: no cover
     pass
 
 _TRACKING_KEYS = frozenset({"fbclid", "gclid", "msclkid"})
+_PORT_RE = re.compile(r"[0-9]+")
 
 
 def oracle_canonicalize_url(url: str) -> str:
     try:
         sp = urlsplit(url)
-        host = sp.hostname or ""
-        port = sp.port  # None when absent or default-less
     except ValueError:
         return url
     if not sp.scheme or "://" not in url:
         return url
+    netloc = sp.netloc
+    if "@" in netloc or "[" in netloc or "]" in netloc:
+        return url  # userinfo / IPv6: out of policy scope
+    host, sep, port_text = netloc.partition(":")
+    if not host:
+        return url
+    if sep and not _PORT_RE.fullmatch(port_text):
+        return url
     scheme = sp.scheme.lower()
-    netloc = host
-    if port is not None and not (
-        (scheme == "http" and port == 80)
-        or (scheme == "https" and port == 443)
-    ):
-        netloc += f":{port}"
+    keep_port = bool(sep) and not (
+        (scheme == "http" and port_text == "80")
+        or (scheme == "https" and port_text == "443")
+    )
+    netloc_out = host.lower() + (f":{port_text}" if keep_port else "")
     path = sp.path or "/"
     params = [
         p for p in sp.query.split("&")
@@ -44,4 +56,4 @@ def oracle_canonicalize_url(url: str) -> str:
                       or p.split("=", 1)[0] in _TRACKING_KEYS)
     ]
     query = ("?" + "&".join(params)) if params else ""
-    return f"{scheme}://{netloc}{path}{query}"
+    return f"{scheme}://{netloc_out}{path}{query}"

@@ -176,6 +176,11 @@ def test_json_string_and_registry_inline_spec():
     ({"traversal_order": "sideways", "rules": []}, "unknown traversal"),
     ({"rules": [{"conditions": {"attributes": {"a": 3}},
                  "handlers": "get_text"}]}, "unsupported attribute"),
+    ({"rules": [{"conditions": {"if": {"x": 1, "op": "bogus"}},
+                 "handlers": "get_text"}]}, "unknown op"),
+    ({"rules": [{"conditions": "p"}]}, "needs 'conditions' and 'handlers'"),
+    ({"rules": [{"conditions": "p", "handlers": {"args": []}}]},
+     "needs 'fn' or 'import'"),
 ])
 def test_grammar_errors(spec, err):
     with pytest.raises(ValueError, match=err):
