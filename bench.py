@@ -164,7 +164,8 @@ def run_bench() -> dict:
     for qname in () if q_trials == 0 else ("q1_pricing", "doc_groupby_lang", "pages_dedup_url",
                   "emb_ann_topk", "doc_token_counts", "ev_sessions",
                   "emb_label_centroids", "ev_value_quantiles_sketch",
-                  "ev_hopping", "ev_distinct_users_hll", "doc_tfidf_top"):
+                  "ev_hopping", "ev_distinct_users_hll", "doc_tfidf_top",
+                  "emb_pca", "doc_inverted_index"):
         fn = entrymod.queries()[qname]
         times = []
         for _ in range(q_trials):
