@@ -33,6 +33,8 @@ from tests.oracle.phash_oracle import oracle_hamming_pairs  # noqa: E402
 from tests.oracle import oracle_rule_hits  # noqa: E402
 from tests.oracle.sketches import (  # noqa: E402
     ddsketch_group_quantiles,
+    oracle_bpe_token_counts,
+    oracle_bpe_train,
     oracle_components,
     oracle_fingerprint,
     oracle_hll_distinct,
@@ -56,6 +58,7 @@ N_MEDIA = 300  # keep in sync with __ray_entry__._q_media_decode
 N_PHASH = 120  # keep in sync with __ray_entry__._q_media_phash
 PHASH_MAX_HAMMING = 7  # keep in sync with __ray_entry__._q_media_image_neardup
 N_URLS = 400   # keep in sync with __ray_entry__._q_pages_url_canon
+N_BPE_MERGES = 25  # keep in sync with __ray_entry__._q_doc_bpe_merges
 
 
 def main() -> None:
@@ -242,6 +245,25 @@ def main() -> None:
         "n_users_hll": pa.array([hll[k] for k in etypes], pa.int64()),
     }), os.path.join(DATA_DIR, "golden_ev_hll.parquet"))
 
+    # BPE tokenizer training + application (naive full-scan restatement)
+    dtab = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    merges = oracle_bpe_train(dtab.column("text").to_pylist(),
+                              n_merges=N_BPE_MERGES)
+    pq.write_table(pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "count": pa.array([m[3] for m in merges], pa.int64()),
+    }), os.path.join(DATA_DIR, "golden_bpe_merges.parquet"))
+    bc = oracle_bpe_token_counts(dtab.column("doc_id").to_pylist(),
+                                 dtab.column("text").to_pylist(), merges)
+    bids = sorted(bc)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(bids, pa.int64()),
+        "n_bpe_learned": pa.array([bc[i] for i in bids], pa.int64()),
+    }), os.path.join(DATA_DIR, "golden_bpe_counts.parquet"))
+
     # URL canonicalization golden via the urllib-based oracle
     urls = generate_url_table(N_URLS)
     canon = [oracle_canonicalize_url(u)
@@ -288,7 +310,8 @@ def main() -> None:
                  "golden_phash", "golden_phash_pairs", "golden_rule_hits",
                  "golden_ev_quantiles_sketch", "golden_ev_quantiles_global",
                  "golden_ev_hll", "golden_kmeans", "golden_pca",
-                 "golden_dup_ngrams", "golden_url_canon"):
+                 "golden_dup_ngrams", "golden_url_canon",
+                 "golden_bpe_merges", "golden_bpe_counts"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")
 

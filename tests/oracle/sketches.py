@@ -546,3 +546,62 @@ def oracle_dup_ngram_stats(keys, texts, *, n: int = 20):
         nd = sum(1 for h in ws if counts[h] >= 2)
         out[key] = (len(ws), nd, round(nd / len(ws), 6))
     return out
+
+
+def oracle_bpe_train(texts, *, n_merges: int = 20):
+    """Naive BPE restatement: full-scan Counter over raw texts (no
+    distributed partials), same frozen merge loop as rayxt.bpe —
+    highest pair count, ties to the lexicographically smallest pair.
+    Returns [(rank, left, right, count)]."""
+    from collections import Counter
+
+    freqs = Counter(w for t in texts for w in (t or "").split())
+    words = {tuple(w): int(c) for w, c in freqs.items() if w}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for sym, c in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (left, right), count = min(pairs.items(),
+                                   key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, left, right, count))
+        joined = left + right
+        new_words = {}
+        for sym, c in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+        words = new_words
+    return merges
+
+
+def oracle_bpe_token_counts(ids, texts, merges):
+    """Greedy lowest-rank encode per word, summed per doc (no cache —
+    the naive path)."""
+    rank_of = {(left, right): rank for rank, left, right, _c in merges}
+
+    def encode(word):
+        sym = list(word)
+        while len(sym) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(sym) - 1):
+                r = rank_of.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        return len(sym)
+
+    return {int(i): sum(encode(w) for w in (t or "").split())
+            for i, t in zip(ids, texts)}

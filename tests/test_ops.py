@@ -1018,3 +1018,36 @@ def test_canonicalize_url(ray_session):
     for i, u in enumerate(urls):
         assert got.loc[i, "url_canon"] == oracle_canonicalize_url(u), u
     assert got.loc[len(urls) - 2, "url_canon"] == "not a url"
+
+
+def test_bpe_train_and_apply(ray_session):
+    """Distributed BPE training == naive full-scan restatement (exact
+    merge sequence incl. lexicographic tie-breaks) for any batching;
+    the BpeApply actor stage reproduces the naive per-word encode."""
+    import ray.data as rd
+
+    from rayxt.bpe import bpe_token_counts, bpe_train
+    from tests.oracle.sketches import (oracle_bpe_token_counts,
+                                       oracle_bpe_train)
+
+    texts = (["low low low lower lowest", "new newer newest wide wider",
+              "ab ab abc", ""] * 10)[:-1] + ["tie tei"]  # tie-break case
+    ids = list(range(len(texts)))
+    want = oracle_bpe_train(texts, n_merges=12)
+    assert len(want) == 12 and want[0][0] == 0
+
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in zip(ids, texts)])
+    for bs in (3, 200):
+        batched = ds.map_batches(lambda t: t, batch_size=bs,
+                                 batch_format="pyarrow")
+        m = bpe_train(batched, n_merges=12)
+        got = list(zip(m["rank"].to_pylist(), m["left"].to_pylist(),
+                       m["right"].to_pylist(), m["count"].to_pylist()))
+        assert got == want, bs
+
+    cnt = bpe_token_counts(ds, m, concurrency=1).to_pandas() \
+        .set_index("doc_id")["n_bpe_learned"].to_dict()
+    assert cnt == oracle_bpe_token_counts(ids, texts, want)
+    # merged symbols shrink the count below the char count
+    assert cnt[0] < sum(len(w) for w in texts[0].split())
