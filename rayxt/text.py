@@ -41,6 +41,7 @@ __all__ = [
     "normalize_text",
     "inverted_index",
     "canonicalize_url",
+    "chunk_documents",
 ]
 
 # BPE-style pre-tokenizer classes (letters runs / digit runs / single
@@ -685,3 +686,47 @@ def canonicalize_url(ds, col: str = "url", out: str = "url_canon"):
         return t.append_column(out, result)
 
     return ds.map_batches(canon, batch_format="pyarrow")
+
+
+def chunk_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    max_tokens: int = 32, overlap: int = 8):
+    """Split documents into training-ready overlapping token chunks —
+    the standard context-window packing step.
+
+    FROZEN spec (SQL parity: single-space-tokenized corpora — DuckDB's
+    ``string_split(text, ' ')`` and Python ``split()`` agree there):
+    tokens = whitespace split; chunk starts at 0, stride, 2*stride ...
+    while start < n_tokens, with stride = max_tokens - overlap;
+    ``chunk_idx`` = start // stride; chunk text rejoins the token slice
+    with single spaces; ``n_tokens`` is the slice length (the last
+    chunk is short).  Zero-token docs emit no chunks.
+
+    One row per chunk crosses downstream; the explode is per-doc slices
+    over the split token array (chunking is inherently per-doc, like
+    shingling)."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids_out, idx_out, text_out, n_out = [], [], [], []
+        ids = t[id_col].to_pylist()
+        for i, txt in zip(ids, t[text_col].to_pylist()):
+            toks = (txt or "").split()
+            for s in range(0, max(len(toks), 1), stride):
+                if s >= len(toks):
+                    break
+                piece = toks[s:s + max_tokens]
+                ids_out.append(i)
+                idx_out.append(s // stride)
+                text_out.append(" ".join(piece))
+                n_out.append(len(piece))
+        return pa.table({
+            id_col: pa.array(ids_out, t.schema.field(id_col).type),
+            "chunk_idx": pa.array(idx_out, pa.int64()),
+            "chunk_text": pa.array(text_out, pa.string()),
+            "n_tokens": pa.array(n_out, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")

@@ -1051,3 +1051,41 @@ def test_bpe_train_and_apply(ray_session):
     assert cnt == oracle_bpe_token_counts(ids, texts, want)
     # merged symbols shrink the count below the char count
     assert cnt[0] < sum(len(w) for w in texts[0].split())
+
+
+def test_chunk_documents(ray_session):
+    """Chunking == brute-force restatement (python-split spec, incl.
+    multi-space/short/empty docs); overlap window sizes verified."""
+    import ray.data as rd
+
+    from rayxt.text import chunk_documents
+
+    texts = {1: " ".join(f"w{i}" for i in range(50)),
+             2: "a  b   c", 3: "solo", 4: ""}
+
+    def brute(texts, max_tokens=8, overlap=3):
+        stride = max_tokens - overlap
+        out = []
+        for k, t in texts.items():
+            toks = t.split()
+            for s in range(0, len(toks), stride):
+                piece = toks[s:s + max_tokens]
+                out.append((k, s // stride, " ".join(piece), len(piece)))
+        return sorted(out)
+
+    want = brute(texts)
+    assert (4, 0, "", 0) not in want  # empty doc: no chunks
+    assert [w for w in want if w[0] == 3] == [(3, 0, "solo", 1)]
+
+    ds = rd.from_items([{"doc_id": k, "text": t} for k, t in texts.items()])
+    got = chunk_documents(ds, max_tokens=8, overlap=3).to_pandas()
+    got_rows = sorted((int(r.doc_id), int(r.chunk_idx), r.chunk_text,
+                       int(r.n_tokens)) for r in got.itertuples())
+    assert got_rows == want
+    # neighboring chunks share exactly `overlap` tokens
+    c0, c1 = got_rows[0][2].split(), got_rows[1][2].split()
+    assert c0[-3:] == c1[:3]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(ds, max_tokens=8, overlap=8)
