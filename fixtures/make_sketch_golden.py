@@ -39,6 +39,8 @@ from tests.oracle.sketches import (  # noqa: E402
     oracle_fingerprint,
     oracle_hll_distinct,
     oracle_kmeans,
+    oracle_logreg,
+    oracle_logreg_scores,
     oracle_ivf_topk,
     oracle_langid,
     oracle_lsh_topk,
@@ -245,6 +247,25 @@ def main() -> None:
         "n_users_hll": pa.array([hll[k] for k in etypes], pa.int64()),
     }), os.path.join(DATA_DIR, "golden_ev_hll.parquet"))
 
+    # logistic regression (feature spec: x1 = n_chars/100, y = lang=='en')
+    ltab = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "n_chars", "lang"])
+    order = pa.compute.sort_indices(ltab.column("doc_id"))
+    ltab = ltab.take(order)
+    x1 = ltab.column("n_chars").to_numpy().astype("float64") / 100.0
+    y = pa.compute.equal(ltab.column("lang"), "en") \
+        .to_numpy(zero_copy_only=False).astype("float64")
+    lw = oracle_logreg([x1], y, iters=20, lr=1.0)
+    pq.write_table(pa.table({
+        "idx": pa.array(range(len(lw)), pa.int64()),
+        "weight": pa.array([round(w, 6) for w in lw], pa.float64()),
+    }), os.path.join(DATA_DIR, "golden_logreg_weights.parquet"))
+    scores = oracle_logreg_scores([x1], lw)
+    pq.write_table(pa.table({
+        "doc_id": ltab.column("doc_id"),
+        "score": pa.array(scores, pa.float64()),
+    }), os.path.join(DATA_DIR, "golden_logreg_scores.parquet"))
+
     # BPE tokenizer training + application (naive full-scan restatement)
     dtab = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
                          columns=["doc_id", "text"])
@@ -311,7 +332,8 @@ def main() -> None:
                  "golden_ev_quantiles_sketch", "golden_ev_quantiles_global",
                  "golden_ev_hll", "golden_kmeans", "golden_pca",
                  "golden_dup_ngrams", "golden_url_canon",
-                 "golden_bpe_merges", "golden_bpe_counts"):
+                 "golden_bpe_merges", "golden_bpe_counts",
+                 "golden_logreg_weights", "golden_logreg_scores"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")
 

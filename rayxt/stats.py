@@ -16,8 +16,9 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
-__all__ = ["grouped_corr", "zscore"]
+__all__ = ["grouped_corr", "zscore", "logreg_train", "logreg_predict"]
 
 
 def _moment_partials(key: str, x_col: str, y_col: str):
@@ -123,3 +124,69 @@ def zscore(ds, *, key: str, value_col: str, ndigits: int = 6,
         return pa.table(cols)
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def logreg_train(ds, *, feature_cols, label_col, iters: int = 20,
+                 lr: float = 1.0, ndigits: int = 9):
+    """Distributed batch gradient descent for logistic regression.
+
+    FROZEN spec (the naive full-matrix oracle restates it): X' = [1 | X]
+    (bias first), w starts all-zero; per iteration the FULL-corpus
+    gradient g = X'^T (sigmoid(X' w) - y) and row count n aggregate
+    distributedly, then ``w <- round(w - lr * g / n, ndigits)`` on the
+    driver.  The per-iteration ROUNDING is the kmeans determinism
+    pattern: float partials merge in nondeterministic order, but the
+    rounded weight vector is a pure function of the data for any
+    batching, so the whole trajectory is reproducible.
+
+    Scale shape: each iteration runs one streaming pass; every BLOCK
+    contributes a single d+2-value partial row (gradient entries +
+    count), which the driver sums directly — no shuffle at all, and the
+    collected partial table is n_blocks x (d+2) values, tiny at any
+    corpus size (a 100 TB corpus in 64 MB blocks is ~10^6 rows of a few
+    floats).  Feature rows never leave their blocks.  Returns the
+    weight vector as a list ``[bias, w_1, ...]``.
+    """
+    d = len(feature_cols)
+    w = np.zeros(d + 1)
+    narrow = ds.select_columns(list(feature_cols) + [label_col]).materialize()
+
+    for _ in range(iters):
+        w_iter = w.copy()
+
+        def partial(t: pa.Table, w_=w_iter) -> pa.Table:
+            x = np.column_stack(
+                [np.ones(t.num_rows)] +
+                [t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                 for c in feature_cols])
+            y = t[label_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            p = 1.0 / (1.0 + np.exp(-(x @ w_)))
+            g = x.T @ (p - y)
+            v = np.concatenate([g, [float(t.num_rows)]])
+            return pa.table({"v": pa.array(v, pa.float64())})
+
+        parts = narrow.map_batches(
+            partial, batch_format="pyarrow").to_pandas()["v"].to_numpy()
+        vals = parts.reshape(-1, d + 2).sum(axis=0)
+        n = vals[-1]
+        if n == 0:
+            break
+        w = np.round(w - lr * vals[:-1] / n, ndigits)
+    return w.tolist()
+
+
+def logreg_predict(ds, weights, *, feature_cols, out: str = "score",
+                   ndigits: int = 6):
+    """Vectorized sigmoid scores under trained weights (stateless second
+    pass; the tiny weight vector ships with the task)."""
+    w = np.asarray(weights, dtype=np.float64)
+
+    def score(t: pa.Table) -> pa.Table:
+        x = np.column_stack(
+            [np.ones(t.num_rows)] +
+            [t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in feature_cols])
+        p = np.round(1.0 / (1.0 + np.exp(-(x @ w))), ndigits)
+        return t.append_column(out, pa.array(p, pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")

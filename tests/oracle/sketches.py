@@ -605,3 +605,26 @@ def oracle_bpe_token_counts(ids, texts, merges):
 
     return {int(i): sum(encode(w) for w in (t or "").split())
             for i, t in zip(ids, texts)}
+
+
+def oracle_logreg(features, labels, *, iters: int = 20, lr: float = 1.0,
+                  ndigits: int = 9):
+    """Naive full-matrix logistic-regression GD restatement (same frozen
+    spec as rayxt.stats.logreg_train: bias-first X', zero init,
+    per-iteration round).  features = list of columns."""
+    x = np.column_stack([np.ones(len(labels))]
+                        + [np.asarray(c, dtype=np.float64) for c in features])
+    y = np.asarray(labels, dtype=np.float64)
+    w = np.zeros(x.shape[1])
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(x @ w)))
+        g = x.T @ (p - y)
+        w = np.round(w - lr * g / len(y), ndigits)
+    return w.tolist()
+
+
+def oracle_logreg_scores(features, weights, *, ndigits: int = 6):
+    x = np.column_stack([np.ones(len(features[0]))]
+                        + [np.asarray(c, dtype=np.float64) for c in features])
+    w = np.asarray(weights, dtype=np.float64)
+    return np.round(1.0 / (1.0 + np.exp(-(x @ w))), ndigits).tolist()

@@ -1089,3 +1089,35 @@ def test_chunk_documents(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(ds, max_tokens=8, overlap=8)
+
+
+def test_logreg_train_and_predict(ray_session):
+    """Distributed GD == naive full-matrix oracle exactly (per-iteration
+    rounding), any batching; the classifier actually separates a
+    separable synthetic set; predict matches the oracle scores."""
+    import ray.data as rd
+
+    from rayxt.stats import logreg_predict, logreg_train
+    from tests.oracle.sketches import oracle_logreg, oracle_logreg_scores
+
+    rng = np.random.RandomState(5)
+    x1 = np.concatenate([rng.randn(150) - 2.0, rng.randn(150) + 2.0])
+    x2 = rng.randn(300)
+    y = np.concatenate([np.zeros(150), np.ones(150)])
+    want = oracle_logreg([x1, x2], y, iters=30, lr=1.0)
+
+    rows = [{"i": i, "x1": float(x1[i]), "x2": float(x2[i]),
+             "y": float(y[i])} for i in range(300)]
+    ds = rd.from_items(rows)
+    for bs in (32, 300):
+        b = ds.map_batches(lambda t: t, batch_size=bs, batch_format="pyarrow")
+        w = logreg_train(b, feature_cols=["x1", "x2"], label_col="y",
+                         iters=30, lr=1.0)
+        assert w == want, bs
+    assert want[1] > 1.0  # x1 separates the classes
+
+    scored = logreg_predict(ds, want, feature_cols=["x1", "x2"]) \
+        .to_pandas().sort_values("i")
+    assert scored["score"].tolist() == oracle_logreg_scores([x1, x2], want)
+    acc = ((scored["score"] > 0.5).astype(float) == y).mean()
+    assert acc > 0.9
