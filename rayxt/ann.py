@@ -474,8 +474,17 @@ def pca_project(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
     agg = (ds.select_columns([vec_col]).map_batches(
         partials, batch_format="pyarrow")
         .groupby("idx").aggregate(Sum("v", alias_name="v"))
-        .to_pandas().sort_values("idx"))
-    vals = agg["v"].to_numpy()
+        .to_pandas())
+    if "v" not in agg.columns or not len(agg):
+        # empty input: no moments to decompose — emit a typed empty
+        # projection (id column + k pc columns)
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             **{f"pc{j + 1}": pa.array([], pa.float64())
+                for j in range(k)}}))
+    vals = agg.sort_values("idx")["v"].to_numpy()
     # infer dim from the row count: dim^2 + dim + 1
     dim = int((np.sqrt(4 * (len(vals) - 1) + 1) - 1) // 2)
     k = min(k, dim)  # at most dim components exist (oracle_pca clamps too)

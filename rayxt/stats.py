@@ -165,9 +165,10 @@ def logreg_train(ds, *, feature_cols, label_col, iters: int = 20,
             v = np.concatenate([g, [float(t.num_rows)]])
             return pa.table({"v": pa.array(v, pa.float64())})
 
-        parts = narrow.map_batches(
-            partial, batch_format="pyarrow").to_pandas()["v"].to_numpy()
-        vals = parts.reshape(-1, d + 2).sum(axis=0)
+        df = narrow.map_batches(partial, batch_format="pyarrow").to_pandas()
+        if "v" not in df.columns or not len(df):
+            break  # empty input: schema-less partials, weights stay put
+        vals = df["v"].to_numpy().reshape(-1, d + 2).sum(axis=0)
         n = vals[-1]
         if n == 0:
             break

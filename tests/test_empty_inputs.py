@@ -158,3 +158,58 @@ def test_new_text_and_extract_ops_on_empty(ray_session):
     assert extract_main_content(pages, concurrency=1).count() == 0
     pdfs = _empty({f.name: f.type for f in PDF_SCHEMA})
     assert extract_pdf_text(pdfs, concurrency=1).count() == 0
+
+
+def test_session2_ops_on_empty(ray_session):
+    """This session's operators over zero-row TYPED inputs: chunking,
+    normalization, URL canonicalization, inverted index, paragraph
+    dedup (both paths), dup-ngram stats (both paths), hamming pairs,
+    pHash/audio stages, BPE train+apply, PCA, logreg."""
+    import ray.data as rd
+
+    from rayxt.bpe import bpe_token_counts, bpe_train
+    from rayxt.dedup import dup_ngram_stats, hamming_pairs, paragraph_dedup
+    from rayxt.multimodal import (MEDIA_SCHEMA, extract_audio_features,
+                                  image_neardup_pairs, phash_images)
+    from rayxt.stats import logreg_predict, logreg_train
+    from rayxt.text import (canonicalize_url, chunk_documents,
+                            inverted_index, normalize_text)
+
+    doc = _empty(DOC)
+    assert chunk_documents(doc).count() == 0
+    assert normalize_text(doc).count() == 0
+    assert inverted_index(doc).count() == 0
+    for thr in (10, 0):
+        assert paragraph_dedup(doc, "doc_id",
+                               broadcast_threshold=thr).count() == 0
+        assert dup_ngram_stats(doc, "doc_id",
+                               broadcast_threshold=thr).count() == 0
+
+    urls = _empty({"url_id": pa.int64(), "url": pa.string()})
+    assert canonicalize_url(urls).count() == 0
+
+    hashes = _empty({"id": pa.int64(), "h": pa.int64()})
+    assert hamming_pairs(hashes, "id", "h").count() == 0
+
+    media = rd.from_arrow(pa.table(
+        {f.name: pa.array([], f.type) for f in MEDIA_SCHEMA}))
+    assert extract_audio_features(media, concurrency=1).count() == 0
+    assert phash_images(media, concurrency=1).count() == 0
+    assert image_neardup_pairs(media, concurrency=1).count() == 0
+
+    merges = bpe_train(doc, n_merges=5)
+    assert merges.num_rows == 0
+    assert bpe_token_counts(doc, merges, concurrency=1).count() == 0
+
+    feat = _empty({"i": pa.int64(), "x1": pa.float64(), "y": pa.float64()})
+    w = logreg_train(feat, feature_cols=["x1"], label_col="y", iters=3)
+    assert w == [0.0, 0.0]  # n == 0: weights stay at init
+    assert logreg_predict(feat, w, feature_cols=["x1"]).count() == 0
+
+    from rayxt.ann import pca_project
+    emb = _empty({"vec_id": pa.int64(),
+                  "embedding": pa.list_(pa.float32())})
+    try:
+        assert pca_project(emb, k=2).count() == 0
+    except ZeroDivisionError:
+        pytest.fail("pca_project must survive an empty input")
