@@ -1121,3 +1121,55 @@ def test_logreg_train_and_predict(ray_session):
     assert scored["score"].tolist() == oracle_logreg_scores([x1, x2], want)
     acc = ((scored["score"] > 0.5).astype(float) == y).mean()
     assert acc > 0.9
+
+
+def test_incremental_group_stats(ray_session, tmp_path):
+    """Append-only incremental aggregation: result == full recompute at
+    every step; old files are never reprocessed (their partials stay
+    byte-identical and n_new counts only arrivals); idempotent rerun."""
+    import pyarrow.parquet as _pq
+
+    from rayxt.incremental import incremental_group_stats
+
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    state = str(tmp_path / "state")
+
+    def write(name, langs, chars):
+        _pq.write_table(pa.table({"lang": pa.array(langs, pa.string()),
+                                  "n_chars": pa.array(chars, pa.int64())}),
+                        str(data_dir / name))
+
+    def full():
+        tabs = [_pq.read_table(str(p)).to_pandas()
+                for p in sorted(data_dir.iterdir())]
+        df = pd.concat(tabs, ignore_index=True)
+        out = df.groupby("lang", as_index=False).agg(
+            n=("n_chars", "size"), s=("n_chars", "sum"))
+        return out.sort_values("lang").reset_index(drop=True)
+
+    write("a.parquet", ["en", "en", "de"], [10, 20, 5])
+    write("b.parquet", ["en", "fr"], [1, 2])
+    got, n_new = incremental_group_stats(str(data_dir), state,
+                                         key_col="lang", sum_col="n_chars")
+    assert n_new == 2
+    assert got[["lang", "n", "s"]].astype({"s": "int64"}).equals(
+        full().astype({"s": "int64"}))
+
+    import os
+    partials = sorted(os.listdir(os.path.join(state, "partials")))
+    stamps = {f: os.path.getmtime(os.path.join(state, "partials", f))
+              for f in partials}
+
+    write("c.parquet", ["de", "de"], [7, 8])
+    got2, n_new2 = incremental_group_stats(str(data_dir), state,
+                                           key_col="lang", sum_col="n_chars")
+    assert n_new2 == 1  # only the arrival was processed
+    assert got2[["lang", "n", "s"]].astype({"s": "int64"}).equals(
+        full().astype({"s": "int64"}))
+    for f, ts in stamps.items():  # old partials untouched
+        assert os.path.getmtime(os.path.join(state, "partials", f)) == ts
+
+    got3, n_new3 = incremental_group_stats(str(data_dir), state,
+                                           key_col="lang", sum_col="n_chars")
+    assert n_new3 == 0 and got3.equals(got2)  # idempotent rerun
