@@ -477,11 +477,13 @@ def pca_project(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
         .to_pandas())
     if "v" not in agg.columns or not len(agg):
         # empty input: no moments to decompose — emit a typed empty
-        # projection (id column + k pc columns)
+        # projection (actual id type + k pc columns; with no rows the
+        # dimension is unknowable, so k stays as requested)
         import ray.data as _rd
 
+        id_type = ds.schema().base_schema.field(id_col).type
         return _rd.from_arrow(pa.table(
-            {id_col: pa.array([], pa.int64()),
+            {id_col: pa.array([], id_type),
              **{f"pc{j + 1}": pa.array([], pa.float64())
                 for j in range(k)}}))
     vals = agg.sort_values("idx")["v"].to_numpy()

@@ -43,7 +43,10 @@ def word_frequencies(ds, text_col: str = "text"):
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(pc.split_pattern(t[text_col], " "))
+        # whitespace split (NOT single-space): must agree with the
+        # python str.split() the apply stage and the oracle use, or
+        # tab/newline corpora would train on phantom words
+        flat = pc.list_flatten(pc.utf8_split_whitespace(t[text_col]))
         if len(flat) == 0:
             return pa.table({"word": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})

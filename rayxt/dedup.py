@@ -548,9 +548,11 @@ def hamming_pairs(ds, id_col: str, hash_col: str, *, bands: int = 8,
     mask = (1 << width) - 1
 
     def band_rows(t: pa.Table) -> pa.Table:
-        # null hashes are DROPPED, not coerced: a sentinel value (null,
-        # or an upstream error marker like PhashImages' phash=0) would
-        # otherwise pair every failed row with every other at hamming 0
+        # NULL hashes are dropped — a null coerced to a constant would
+        # pair every such row with every other at hamming 0.  Non-null
+        # SENTINELS (e.g. PhashImages' phash=0 on failed decodes) are
+        # the caller's to filter, as image_neardup_pairs does on
+        # phash_status before calling in.
         t = t.filter(pc.is_valid(t[hash_col]))
         ids = t[id_col].to_pylist()
         hs = t[hash_col].to_pylist()

@@ -1173,3 +1173,62 @@ def test_incremental_group_stats(ray_session, tmp_path):
     got3, n_new3 = incremental_group_stats(str(data_dir), state,
                                            key_col="lang", sum_col="n_chars")
     assert n_new3 == 0 and got3.equals(got2)  # idempotent rerun
+
+
+def test_incremental_group_stats_edge_cases(ray_session, tmp_path):
+    """Review-found failure modes pinned: zero-row files get a seen
+    marker (no eternal reprocessing, no crash), in-place rewrites
+    invalidate the stale partial (no double count), same-basename
+    files in different dirs don't collide, format mismatches rebuild."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from rayxt.incremental import incremental_group_stats
+
+    d1 = tmp_path / "d1"; d1.mkdir()
+    d2 = tmp_path / "d2"; d2.mkdir()
+    state = str(tmp_path / "state")
+
+    def write(p, langs, chars):
+        _pq.write_table(pa.table({"lang": pa.array(langs, pa.string()),
+                                  "n_chars": pa.array(chars, pa.int64())}),
+                        str(p))
+
+    # zero-row file: processed once, then seen; merge never crashes
+    write(d1 / "a.parquet", [], [])
+    got, n = incremental_group_stats(str(d1), state, key_col="lang",
+                                     sum_col="n_chars")
+    assert n == 1 and len(got) == 0
+    got, n = incremental_group_stats(str(d1), state, key_col="lang",
+                                     sum_col="n_chars")
+    assert n == 0 and len(got) == 0
+
+    # in-place rewrite (size change): stale partial invalidated
+    write(d1 / "a.parquet", ["en"], [5])
+    got, n = incremental_group_stats(str(d1), state, key_col="lang",
+                                     sum_col="n_chars")
+    assert n == 1 and got.loc[0, "n"] == 1 and got.loc[0, "s"] == 5
+    write(d1 / "a.parquet", ["en", "en"], [5, 7])
+    got, n = incremental_group_stats(str(d1), state, key_col="lang",
+                                     sum_col="n_chars")
+    assert n == 1
+    assert got.loc[0, "n"] == 2 and got.loc[0, "s"] == 12  # not 3/17
+
+    # same basename + same size in two dirs: both counted
+    state2 = str(tmp_path / "state2")
+    write(d1 / "p.parquet", ["de"], [1])
+    write(d2 / "p.parquet", ["fr"], [2])
+    assert os.path.getsize(d1 / "p.parquet") == os.path.getsize(d2 / "p.parquet")
+    got, n = incremental_group_stats(
+        [str(d1 / "p.parquet"), str(d2 / "p.parquet")], state2,
+        key_col="lang", sum_col="n_chars")
+    assert n == 2 and sorted(got["lang"]) == ["de", "fr"]
+
+    # unknown state format: rebuilt, not merged
+    with open(os.path.join(state2, "FORMAT"), "w") as fh:
+        fh.write("0")
+    got2, n2 = incremental_group_stats(
+        [str(d1 / "p.parquet"), str(d2 / "p.parquet")], state2,
+        key_col="lang", sum_col="n_chars")
+    assert n2 == 2 and got2.equals(got)
