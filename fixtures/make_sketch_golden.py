@@ -44,6 +44,7 @@ from tests.oracle.sketches import (  # noqa: E402
     oracle_ivf_topk,
     oracle_langid,
     oracle_lsh_topk,
+    oracle_decontaminate,
     oracle_dup_ngram_stats,
     oracle_minhash_pairs,
     oracle_ngram_jaccard_pairs,
@@ -247,6 +248,20 @@ def main() -> None:
         "n_users_hll": pa.array([hll[k] for k in etypes], pa.int64()),
     }), os.path.join(DATA_DIR, "golden_ev_hll.parquet"))
 
+    # decontamination: eval set = docs with doc_id % 25 == 0, 13-grams
+    dd = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    d_ids = dd.column("doc_id").to_pylist()
+    d_texts = dd.column("text").to_pylist()
+    ev_texts = [t for i, t in zip(d_ids, d_texts) if i % 25 == 0]
+    dec = oracle_decontaminate(d_ids, d_texts, ev_texts, n=13)
+    dkeys = sorted(dec)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(dkeys, pa.int64()),
+        "n_overlap_windows": pa.array([dec[i][0] for i in dkeys], pa.int64()),
+        "contaminated": pa.array([dec[i][1] for i in dkeys], pa.bool_()),
+    }), os.path.join(DATA_DIR, "golden_decontaminate.parquet"))
+
     # logistic regression (feature spec: x1 = n_chars/100, y = lang=='en')
     ltab = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
                          columns=["doc_id", "n_chars", "lang"])
@@ -333,7 +348,8 @@ def main() -> None:
                  "golden_ev_hll", "golden_kmeans", "golden_pca",
                  "golden_dup_ngrams", "golden_url_canon",
                  "golden_bpe_merges", "golden_bpe_counts",
-                 "golden_logreg_weights", "golden_logreg_scores"):
+                 "golden_logreg_weights", "golden_logreg_scores",
+                 "golden_decontaminate"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")
 

@@ -45,6 +45,7 @@ __all__ = [
     "explode_paragraphs",
     "paragraph_dedup",
     "dup_ngram_stats",
+    "decontaminate",
 ]
 
 
@@ -1030,3 +1031,48 @@ def dup_ngram_stats(ds, key_cols, text_col: str = "text", *, n: int = 20,
         return out.append_column("dup_fraction", frac)
 
     return per_doc.map_batches(finalize, batch_format="pyarrow")
+
+
+def decontaminate(ds, eval_texts, key_cols, text_col: str = "text", *,
+                  n: int = 13):
+    """Benchmark decontamination: flag every corpus document sharing at
+    least one n-token window with an EVALUATION set (the GPT-3-style
+    train/test overlap check).
+
+    ``eval_texts`` is the benchmark's text list — small by definition
+    (benchmarks are thousands of items, corpora are billions), so its
+    window-hash set builds on the driver and ships ONCE via ``ray.put``;
+    each corpus batch counts membership with a vectorized searchsorted.
+    Corpus text never crosses an exchange; there is no exchange at all.
+
+    Window hashes are the same frozen Horner/uint64 spec as
+    :func:`dup_ngram_stats` (``_window_hashes``).  Returns one row per
+    INPUT row: keys + ``n_overlap_windows`` + ``contaminated``.
+    """
+    import ray as _ray
+
+    from ._blockutil import sorted_membership
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    eval_set = np.unique(np.concatenate(
+        [_window_hashes(t or "", n) for t in eval_texts]
+        or [np.empty(0, dtype=np.int64)]))
+    eval_ref = _ray.put(eval_set)
+
+    def flag(t: pa.Table) -> pa.Table:
+        ev = _ray.get(eval_ref)
+        hits = []
+        for txt in t[text_col].to_pylist():
+            wh = _window_hashes(txt or "", n)
+            hits.append(int(sorted_membership(ev, wh).sum()) if len(wh)
+                        else 0)
+        out = t.select(list(key_cols))
+        out = out.append_column("n_overlap_windows",
+                                pa.array(hits, pa.int64()))
+        return out.append_column(
+            "contaminated",
+            pa.array([h > 0 for h in hits], pa.bool_()))
+
+    return ds.select_columns(list(key_cols) + [text_col]).map_batches(
+        flag, batch_format="pyarrow")

@@ -507,37 +507,34 @@ def oracle_pca(ids, vecs, *, k: int = 4, ndigits: int = 6):
     return {int(i): proj[r].tolist() for r, i in enumerate(ids)}
 
 
-def oracle_dup_ngram_stats(keys, texts, *, n: int = 20):
-    """Python-int restatement of the duplicated n-gram span spec
-    (rayxt.dedup.dup_ngram_stats): per-token sha1-int64, Horner window
-    hash mod 2^64 with base 1099511628211, >> 1; dup = corpus count >= 2
-    (within-doc repeats included); docs with zero windows are absent.
-    Returns {key: (n_windows, n_dup_windows, dup_fraction)}."""
-    import hashlib
-    from collections import Counter
-
+def oracle_window_hashes(text: str, n: int) -> list:
+    """Python-int restatement of the frozen window-hash spec
+    (rayxt.dedup._window_hashes): per-token sha1-int64, Horner window
+    hash mod 2^64 with base 1099511628211, >> 1."""
     B = 1099511628211
     MASK = (1 << 64) - 1
+    toks = text.split()
+    if not toks:
+        return []
+    th = [sha1_int64(t) for t in toks]
+    m = min(n, len(toks))
+    out = []
+    for i in range(len(toks) - m + 1):
+        h = 0
+        for k in range(m):
+            h = (h * B + th[i + k]) & MASK
+        out.append(h >> 1)
+    return out
 
-    def tok_hash(t):
-        return int.from_bytes(
-            hashlib.sha1(t.encode("utf-8")).digest()[:8], "big") >> 1
 
-    def window_hashes(text):
-        toks = text.split()
-        if not toks:
-            return []
-        th = [tok_hash(t) for t in toks]
-        m = min(n, len(toks))
-        out = []
-        for i in range(len(toks) - m + 1):
-            h = 0
-            for k in range(m):
-                h = (h * B + th[i + k]) & MASK
-            out.append(h >> 1)
-        return out
+def oracle_dup_ngram_stats(keys, texts, *, n: int = 20):
+    """Duplicated n-gram span spec (rayxt.dedup.dup_ngram_stats): dup =
+    corpus window count >= 2 (within-doc repeats included); docs with
+    zero windows are absent.
+    Returns {key: (n_windows, n_dup_windows, dup_fraction)}."""
+    from collections import Counter
 
-    per_doc = [window_hashes(t or "") for t in texts]
+    per_doc = [oracle_window_hashes(t or "", n) for t in texts]
     counts = Counter(h for ws in per_doc for h in ws)
     out = {}
     for key, ws in zip(keys, per_doc):
@@ -628,3 +625,18 @@ def oracle_logreg_scores(features, weights, *, ndigits: int = 6):
                         + [np.asarray(c, dtype=np.float64) for c in features])
     w = np.asarray(weights, dtype=np.float64)
     return np.round(1.0 / (1.0 + np.exp(-(x @ w))), ndigits).tolist()
+
+
+def oracle_decontaminate(ids, texts, eval_texts, *, n: int = 13):
+    """Naive decontamination restatement: eval window-hash SET (python
+    ints), per-doc membership count.  Returns
+    {id: (n_overlap_windows, contaminated)}."""
+    eval_set = set()
+    for t in eval_texts:
+        eval_set.update(oracle_window_hashes(t or "", n))
+    out = {}
+    for i, t in zip(ids, texts):
+        wh = oracle_window_hashes(t or "", n)
+        hits = sum(1 for h in wh if h in eval_set)
+        out[int(i)] = (hits, hits > 0)
+    return out

@@ -1232,3 +1232,34 @@ def test_incremental_group_stats_edge_cases(ray_session, tmp_path):
         [str(d1 / "p.parquet"), str(d2 / "p.parquet")], state2,
         key_col="lang", sum_col="n_chars")
     assert n2 == 2 and got2.equals(got)
+
+
+def test_decontaminate(ray_session):
+    """Engine flags == python-int oracle on planted overlaps: eval
+    13-gram (here 4-gram) windows anywhere in a doc flag it; clean and
+    empty docs stay clean; eval members self-flag."""
+    import ray.data as rd
+
+    from rayxt.dedup import decontaminate
+    from tests.oracle.sketches import oracle_decontaminate
+
+    evals = ["the quick brown fox jumps", "pack my box with five dozen"]
+    docs = {
+        1: "prefix words the quick brown fox jumps and more",  # overlap
+        2: "totally unrelated text with no shared windows at all",
+        3: "pack my box with five dozen liquor jugs",          # overlap
+        4: "",
+        5: "the quick brown fox jumps",                        # == eval
+        6: "quick brown fox",                                  # < n: whole-doc window, no match
+    }
+    want = oracle_decontaminate(list(docs), list(docs.values()), evals, n=4)
+    assert want[1][1] and want[3][1] and want[5][1]
+    assert not want[2][1] and not want[6][1]
+    assert 4 in want and want[4] == (0, False)  # empty doc: a row, clean
+
+    ds = rd.from_items([{"doc_id": k, "text": t} for k, t in docs.items()])
+    got = decontaminate(ds, evals, "doc_id", n=4).to_pandas() \
+        .set_index("doc_id")
+    got_map = {k: (int(r["n_overlap_windows"]), bool(r["contaminated"]))
+               for k, r in got.iterrows()}
+    assert got_map == want
