@@ -219,6 +219,19 @@ def main() -> None:
         "p95": pa.array([gq[1]], pa.float64()),
     }), os.path.join(DATA_DIR, "golden_ev_quantiles_global.parquet"))
 
+    # winsorization: clip bounds from the same sketch restatement at
+    # p01/p99, then a plain clip over every event row
+    evw = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                        columns=["user_id", "ts", "value"])
+    wvals = evw.column("value").to_numpy()
+    lo, hi = ddsketch_group_quantiles(
+        (("all", v) for v in wvals), qs=(0.01, 0.99), alpha=0.01)["all"]
+    import numpy as _np
+    clipped = _np.round(_np.clip(wvals.astype("float64"), lo, hi), 6)
+    pq.write_table(evw.append_column(
+        "value_w", pa.array(clipped, pa.float64())),
+        os.path.join(DATA_DIR, "golden_winsorize.parquet"))
+
     emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
                         columns=["vec_id", "embedding"])
     km = oracle_kmeans(emb.column("vec_id").to_pylist(),
@@ -349,7 +362,7 @@ def main() -> None:
                  "golden_dup_ngrams", "golden_url_canon",
                  "golden_bpe_merges", "golden_bpe_counts",
                  "golden_logreg_weights", "golden_logreg_scores",
-                 "golden_decontaminate"):
+                 "golden_decontaminate", "golden_winsorize"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")
 

@@ -18,7 +18,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["grouped_corr", "zscore", "logreg_train", "logreg_predict"]
+__all__ = ["grouped_corr", "zscore", "logreg_train", "logreg_predict",
+           "winsorize"]
 
 
 def _moment_partials(key: str, x_col: str, y_col: str):
@@ -191,3 +192,41 @@ def logreg_predict(ds, weights, *, feature_cols, out: str = "score",
         return t.append_column(out, pa.array(p, pa.float64()))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def winsorize(ds, *, value_col: str, q_lo: float = 0.01,
+              q_hi: float = 0.99, alpha: float = 0.01,
+              out: str = None, ndigits: int = 6):
+    """Sketch-based outlier clipping (winsorization): corpus-wide
+    DDSketch quantiles at ``q_lo``/``q_hi`` (bounded bucket partials,
+    one Sum merge, driver finalize — no worker ever holds the raw
+    column; :func:`rayxt.windows.corpus_quantiles_sketch`), then a
+    stateless vectorized second pass clips every value into
+    ``[lo, hi]`` and rounds.  The two clip bounds ship with the task.
+
+    Oracle story: the bounds come from the same frozen sketch spec the
+    naive ``ddsketch_group_quantiles`` restatement computes, so a
+    golden generated from the oracle bounds + a plain clip matches the
+    engine exactly.  Empty input: values pass through unclipped.
+    """
+    from .windows import corpus_quantiles_sketch
+
+    out = out or f"{value_col}_w"
+    q = corpus_quantiles_sketch(ds, value_col=value_col, qs=(q_lo, q_hi),
+                                alpha=alpha, ndigits=ndigits)
+    if not len(q):
+        def passthrough(t: pa.Table) -> pa.Table:
+            vals = np.round(np.asarray(
+                t[value_col].to_numpy(zero_copy_only=False),
+                dtype=np.float64), ndigits)
+            return t.append_column(out, pa.array(vals, pa.float64()))
+        return ds.map_batches(passthrough, batch_format="pyarrow")
+    lo, hi = float(q.iloc[0, 0]), float(q.iloc[0, 1])
+
+    def clip(t: pa.Table) -> pa.Table:
+        vals = np.asarray(t[value_col].to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
+        w = np.round(np.clip(vals, lo, hi), ndigits)
+        return t.append_column(out, pa.array(w, pa.float64()))
+
+    return ds.map_batches(clip, batch_format="pyarrow")

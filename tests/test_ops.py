@@ -1263,3 +1263,29 @@ def test_decontaminate(ray_session):
     got_map = {k: (int(r["n_overlap_windows"]), bool(r["contaminated"]))
                for k, r in got.iterrows()}
     assert got_map == want
+
+
+def test_winsorize(ray_session):
+    """Sketch-clip == oracle bounds + plain clip for any batching;
+    tails actually clip, the middle passes through; empty input
+    passes values through."""
+    import ray.data as rd
+
+    from rayxt.stats import winsorize
+    from tests.oracle.sketches import ddsketch_group_quantiles
+
+    rng = np.random.RandomState(2)
+    vals = np.concatenate([rng.uniform(1, 100, 500),
+                           [0.001, 0.002, 5000.0, 9000.0]])  # fat tails
+    lo, hi = ddsketch_group_quantiles(
+        (("all", v) for v in vals), qs=(0.05, 0.95), alpha=0.01)["all"]
+    want = np.round(np.clip(vals, lo, hi), 6)
+
+    rows = [{"i": i, "value": float(v)} for i, v in enumerate(vals)]
+    ds = rd.from_items(rows)
+    for bs in (37, 504):
+        b = ds.map_batches(lambda t: t, batch_size=bs, batch_format="pyarrow")
+        got = winsorize(b, value_col="value", q_lo=0.05, q_hi=0.95) \
+            .to_pandas().sort_values("i")
+        assert got["value_w"].tolist() == want.tolist(), bs
+    assert got["value_w"].max() < 9000.0 and got["value_w"].min() > 0.001
