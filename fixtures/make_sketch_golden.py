@@ -196,6 +196,11 @@ def main() -> None:
         "id_b": pa.array([p[1] for p in pairs], pa.int64()),
         "hamming": pa.array([p[2] for p in pairs], pa.int64()),
     }), os.path.join(DATA_DIR, "golden_phash_pairs.parquet"))
+    icl = oracle_components([(a, b) for a, b, _d in pairs])
+    pq.write_table(pa.table({
+        "id": pa.array([r[0] for r in icl], pa.int64()),
+        "cluster_id": pa.array([r[1] for r in icl], pa.int64()),
+    }), os.path.join(DATA_DIR, "golden_image_clusters.parquet"))
 
     ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
                        columns=["event_type", "value"])
@@ -362,7 +367,8 @@ def main() -> None:
                  "golden_dup_ngrams", "golden_url_canon",
                  "golden_bpe_merges", "golden_bpe_counts",
                  "golden_logreg_weights", "golden_logreg_scores",
-                 "golden_decontaminate", "golden_winsorize"):
+                 "golden_decontaminate", "golden_winsorize",
+                 "golden_image_clusters"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")
 
