@@ -7,40 +7,100 @@ whole keyspace exchanged before any row can be emitted).
 ``@ray.remote`` actors each own one shard of the seen-set, and a
 stateless ``map_batches`` stage routes each batch's keys to their
 shards (one actor call per (batch, shard), never per row), keeps only
-first-seen rows, and streams them on.  Properties:
+first-seen rows, and streams them on.  Scale design (this is the
+"shared mutable index" operator, so its state layout IS the product):
 
+* **digest keys, never raw keys** — each key is reduced to a 16-byte
+  (two-word) digest on the *map* side via two vectorized 64-bit hash
+  channels (:func:`key_digests`); actors only ever see fixed-width
+  digests, so a shard's memory is independent of key width (the driver
+  query keys on full document ``text``: raw-key storage would be
+  gigabytes per shard, digests are 16 B/key).  Collision odds for the
+  128-bit digest at 10^12 keys are ~2^-55 (birthday bound) — a
+  collision drops one non-duplicate row, the same failure class as any
+  fingerprint dedup.
+* **bounded, spillable shard memory** — each shard keeps an insert
+  buffer (``hot_cap`` digests, a Python set of 16-byte values); when
+  full it is frozen into a *sorted run* persisted to disk with
+  ``np.save`` and re-opened memory-mapped, so the OS page cache — not
+  the actor heap — owns cold state.  Runs are merged two-smallest-first
+  (LSM tiering) so membership probes touch at most ``max_runs``
+  ``searchsorted`` passes; probe cost is vectorized
+  ``O(batch · max_runs · log(run))``.
+* **vectorized routing** — shard choice is ``digest_word % n_shards``
+  over a numpy array; batches are stably pre-deduped on digest
+  (``np.unique(..., return_index=True)`` keeps each key's FIRST row)
+  and grouped per shard with one ``argsort``, one actor call per
+  (batch, shard).
+* **shard count scales with the cluster** — ``n_shards=None`` derives
+  from ``ray.cluster_resources()`` (one shard per 2 CPUs, min 8), so a
+  256-node cluster gets a proportionally wider index instead of eight
+  hot actors.
 * **output keys are deterministic** — the distinct key set does not
   depend on execution order; WHICH duplicate row survives does (the
   first one the executor happens to process), so downstream contracts
   must key on the deduped column, not the carried row (the driver
   query projects the key set; the "pick a deterministic
   representative" job is :func:`rayxt.dedup.dedup_keep_first`);
-* **scale shape** — per-shard memory is |distinct keys|/N; shard count
-  scales with the keyspace, actor calls batch ~batch_size/N keys each;
-  the big rows never shuffle (contrast: exact dedup's one exchange);
-* **fault caveat** — actor state is lost on actor death; a production
-  ingest would checkpoint shards (the manifest pattern in
-  :mod:`rayxt.manifest`) — documented, not implemented here.
-
-The in-batch pre-dedup keeps a batch's FIRST occurrence of a key
-(stable), so a single-partition stream yields the same rows as a
-sequential scan.
+* **fault caveat** — hot-buffer state is lost on actor death (frozen
+  runs survive on the actor's node only); a production ingest would
+  checkpoint shards (the manifest pattern in :mod:`rayxt.manifest`) —
+  documented, not implemented here.  Spill files land under a
+  per-deduper temp directory on each actor's node.
 """
 
 from __future__ import annotations
 
-import zlib
+import os
+import tempfile
 
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["StreamingDeduper", "streaming_dedup"]
+__all__ = ["StreamingDeduper", "streaming_dedup", "key_digests"]
+
+#: 128-bit digest = two little-endian 64-bit words; sorts/searchsorts
+#: lexicographically by (a, b).  (numpy 'S16' is NOT usable here — its
+#: comparisons strip trailing NUL bytes.)
+DIGEST_DT = np.dtype([("a", "<u8"), ("b", "<u8")])
+
+_HASH_KEY_A = "0123456789123456"  # pandas siphash keys (16 chars each)
+_HASH_KEY_B = "rayxt.state.hk-b"
+_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _stable_shard(key, n: int) -> int:
-    """Process-independent shard routing (Python ``hash`` of strings is
-    randomized per interpreter — every map worker must agree)."""
-    return zlib.crc32(repr(key).encode()) % n
+def key_digests(values) -> np.ndarray:
+    """Vectorized 16-byte digests of a key column (pa.Array /
+    pa.ChunkedArray / numpy), dtype :data:`DIGEST_DT`.
+
+    Strings/bytes get two independent siphash64 channels
+    (``pd.util.hash_array`` with two fixed hash keys — fixed because
+    every map worker must agree across processes).  Numeric ≤64-bit
+    values get pandas' invertible bit-mix (injective on the raw 64-bit
+    pattern, so word *a* alone is already collision-free) plus a
+    remixed second word.
+    """
+    import pandas as pd
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        arr = values.to_numpy(zero_copy_only=False)
+    else:
+        arr = np.asarray(values)
+    if arr.dtype == object or arr.dtype.kind in "USm":
+        arr = np.asarray(arr, dtype=object)
+        h1 = pd.util.hash_array(arr, hash_key=_HASH_KEY_A,
+                                categorize=False)
+        h2 = pd.util.hash_array(arr, hash_key=_HASH_KEY_B,
+                                categorize=False)
+    else:
+        h1 = pd.util.hash_array(arr)
+        h2 = pd.util.hash_array(h1 ^ _MIX)
+    out = np.empty(len(h1), DIGEST_DT)
+    out["a"] = h1
+    out["b"] = h2
+    return out
 
 
 def _shard_actor():
@@ -50,78 +110,164 @@ def _shard_actor():
 
     @ray.remote(num_cpus=0)
     class _SeenShard:
-        """One shard of the distributed seen-set."""
+        """One shard of the distributed seen-set: a bounded hot set of
+        16-byte digests + sorted frozen runs spilled to mmap'd files."""
 
-        def __init__(self):
-            self._seen: set = set()
+        def __init__(self, shard_id: int, hot_cap: int, spill_dir: str,
+                     max_runs: int = 8):
+            self._id = shard_id
+            self._hot_cap = max(int(hot_cap), 1024)
+            self._max_runs = max_runs
+            self._hot: set = set()          # of 16-byte bytes
+            self._runs: list = []           # sorted DIGEST_DT arrays (mmap)
+            self._run_paths: list = []
+            self._n_frozen = 0              # distinct digests in runs
+            self._n_spills = 0
+            # actor-local spill dir (each node has its own /tmp)
+            self._dir = os.path.join(spill_dir, f"shard-{shard_id}")
+            os.makedirs(self._dir, exist_ok=True)
 
-        def filter_new(self, keys: list) -> list:
-            """-> bool per key: True the FIRST time a key is offered
-            to this shard (and it is recorded), False afterwards."""
-            seen = self._seen
-            out = []
-            for k in keys:
-                if k in seen:
-                    out.append(False)
+        def filter_new(self, dig_bytes: bytes) -> np.ndarray:
+            """-> bool per digest: True the FIRST time it is offered to
+            this shard (and it is recorded), False afterwards.  Input
+            digests are unique within a call (map side pre-dedups)."""
+            d = np.frombuffer(dig_bytes, DIGEST_DT)
+            new = np.ones(len(d), dtype=bool)
+            for run in self._runs:              # vectorized cold probes
+                idx = np.searchsorted(run, d)
+                inb = idx < len(run)
+                hit = np.zeros(len(d), dtype=bool)
+                hit[inb] = run[idx[inb]] == d[inb]
+                new &= ~hit
+            hot = self._hot
+            raw = d.tobytes()
+            for i in np.nonzero(new)[0]:        # insert path only
+                b = raw[i * 16:(i + 1) * 16]
+                if b in hot:
+                    new[i] = False
                 else:
-                    seen.add(k)
-                    out.append(True)
-            return out
+                    hot.add(b)
+            if len(hot) >= self._hot_cap:
+                self._freeze()
+            return new
+
+        def _freeze(self):
+            """Sort the hot buffer into a run, spill it to disk, re-open
+            memory-mapped, and LSM-merge smallest runs to bound probe
+            count.  Peak transient RAM = the two merged runs."""
+            arr = np.frombuffer(b"".join(self._hot), DIGEST_DT).copy()
+            arr.sort()
+            self._n_frozen += len(arr)
+            self._hot.clear()
+            self._append_run(arr)
+            while len(self._runs) > self._max_runs:
+                order = sorted(range(len(self._runs)),
+                               key=lambda i: len(self._runs[i]))
+                i, j = sorted(order[:2], reverse=True)
+                merged = np.concatenate(
+                    [np.asarray(self._runs[i]), np.asarray(self._runs[j])])
+                merged.sort()
+                for k in (i, j):
+                    del self._runs[k]
+                    os.unlink(self._run_paths[k])
+                    del self._run_paths[k]
+                self._append_run(merged)
+
+        def _append_run(self, arr: np.ndarray):
+            self._n_spills += 1
+            path = os.path.join(self._dir, f"run-{self._n_spills}.npy")
+            np.save(path, arr)
+            self._runs.append(np.load(path, mmap_mode="r"))
+            self._run_paths.append(path)
 
         def size(self) -> int:
-            return len(self._seen)
+            return self._n_frozen + len(self._hot)
+
+        def memory_bytes(self) -> int:
+            """Approximate actor-heap bytes held by the index (frozen
+            runs are memory-mapped and excluded: the page cache owns
+            them)."""
+            import sys
+
+            set_slots = sys.getsizeof(self._hot)
+            return set_slots + len(self._hot) * 49  # 16-byte bytes objs
+
+        def stats(self) -> dict:
+            return {"hot": len(self._hot), "frozen": self._n_frozen,
+                    "runs": len(self._runs), "spills": self._n_spills,
+                    "heap_bytes": self.memory_bytes()}
 
     return _SeenShard
+
+
+def _default_shards() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 16) or 16)
+    return max(8, cpus // 2)
 
 
 class StreamingDeduper:
     """Sharded first-seen index + the batch filter that consults it."""
 
-    def __init__(self, key_col: str, n_shards: int = 8):
+    def __init__(self, key_col: str, n_shards: int | None = None, *,
+                 hot_cap: int = 1 << 20, spill_dir: str | None = None):
         import ray
 
         shard_cls = _shard_actor()
         self.key_col = key_col
-        self.n_shards = n_shards
-        self.shards = [shard_cls.remote() for _ in range(n_shards)]
+        self.n_shards = int(n_shards) if n_shards else _default_shards()
+        if spill_dir is None:
+            spill_dir = tempfile.mkdtemp(prefix="rayxt-sdedup-")
+        self.spill_dir = spill_dir
+        self.shards = [shard_cls.remote(i, hot_cap, spill_dir)
+                       for i in range(self.n_shards)]
         self._ray = ray
 
     def filter_batch(self, t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        key_col = self.key_col
-        # stable in-batch pre-dedup: keep each key's first row
-        keep_first = ~pd.Index(t[key_col].to_pandas()).duplicated(
-            keep="first")
-        t = t.filter(pa.array(keep_first))
         if t.num_rows == 0:
             return t
-        uniq = t[key_col].to_pylist()
-        shard_of = [_stable_shard(k, self.n_shards) for k in uniq]
-        per_shard: dict[int, list[int]] = {}
-        for pos, s in enumerate(shard_of):
-            per_shard.setdefault(s, []).append(pos)
-        mask = np.zeros(len(uniq), dtype=bool)
-        futures = {
-            s: self.shards[s].filter_new.remote([uniq[p] for p in poss])
-            for s, poss in per_shard.items()
-        }
-        for s, fut in futures.items():
-            for p, is_new in zip(per_shard[s], self._ray.get(fut)):
-                mask[p] = is_new
+        dig = key_digests(t[self.key_col])
+        # stable in-batch pre-dedup: keep each digest's first row
+        _, first = np.unique(dig, return_index=True)
+        if len(first) < len(dig):
+            first.sort()
+            t = t.take(pa.array(first))
+            dig = dig[first]
+        shard_of = (dig["a"] % np.uint64(self.n_shards)).astype(np.int64)
+        order = np.argsort(shard_of, kind="stable")
+        bounds = np.searchsorted(shard_of[order],
+                                 np.arange(self.n_shards + 1))
+        pos_groups, futures = [], []
+        for s in range(self.n_shards):
+            lo, hi = bounds[s], bounds[s + 1]
+            if lo == hi:
+                continue
+            pos = order[lo:hi]
+            pos_groups.append(pos)
+            futures.append(
+                self.shards[s].filter_new.remote(dig[pos].tobytes()))
+        mask = np.zeros(len(dig), dtype=bool)
+        for pos, is_new in zip(pos_groups, self._ray.get(futures)):
+            mask[pos] = is_new
         return t.filter(pa.array(mask))
 
     def total_seen(self) -> int:
         return sum(self._ray.get([s.size.remote() for s in self.shards]))
 
+    def shard_stats(self) -> list:
+        return self._ray.get([s.stats.remote() for s in self.shards])
 
-def streaming_dedup(ds, *, key_col: str, n_shards: int = 8,
-                    batch_size: int = 4096):
+
+def streaming_dedup(ds, *, key_col: str, n_shards: int | None = None,
+                    batch_size: int = 4096, hot_cap: int = 1 << 20,
+                    spill_dir: str | None = None):
     """First-seen streaming dedup of ``ds`` on ``key_col`` via a
     sharded actor index (module docstring for semantics/caveats).
     Returns ``(deduped_dataset, deduper)`` — the deduper exposes
-    ``total_seen()`` after consumption."""
-    dd = StreamingDeduper(key_col, n_shards)
+    ``total_seen()`` / ``shard_stats()`` after consumption."""
+    dd = StreamingDeduper(key_col, n_shards, hot_cap=hot_cap,
+                          spill_dir=spill_dir)
 
     def keep_new(t: pa.Table) -> pa.Table:
         return dd.filter_batch(t)
