@@ -45,7 +45,7 @@ def embedding_centroids(ds, *, key: str = "label", vec_col: str = "embedding",
 
     def partial(t: pa.Table) -> pa.Table:
         keys = np.asarray(t[key].to_pylist())
-        m = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        m = _as_matrix(t[vec_col])
         dim = m.shape[1]
         out_k, out_d, out_s, out_n = [], [], [], []
         for kv in np.unique(keys):
@@ -80,6 +80,31 @@ def embedding_centroids(ds, *, key: str = "label", vec_col: str = "embedding",
 
 
 def _as_matrix(col) -> np.ndarray:
+    """Embedding column → ``(n, dim)`` float64 matrix.
+
+    Arrow fixed-size-list / uniform-width list columns decode WITHOUT
+    per-row Python objects: combine chunks, ``flatten()`` to the value
+    buffer (slice/offset-aware) and reshape — one vectorized cast at
+    most (float32 → float64).  Ragged or null-bearing lists and plain
+    Python sequences fall back to the row loop.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        typ = col.type
+        if col.null_count == 0 and pa.types.is_fixed_size_list(typ):
+            vals = col.flatten().to_numpy(zero_copy_only=False)
+            return vals.astype(np.float64, copy=False).reshape(
+                len(col), typ.list_size)
+        if col.null_count == 0 and (pa.types.is_list(typ)
+                                    or pa.types.is_large_list(typ)):
+            off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            widths = np.diff(off)
+            if len(widths) and (widths == widths[0]).all():
+                vals = col.flatten().to_numpy(zero_copy_only=False)
+                return vals.astype(np.float64, copy=False).reshape(
+                    len(col), int(widths[0]))
+        col = col.to_pylist()
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
@@ -103,7 +128,7 @@ class _PartialTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].to_pylist())
-        m = _normalize(_as_matrix(batch[self.vec_col].to_pylist()))
+        m = _normalize(_as_matrix(batch[self.vec_col]))
         sims = self.qmat @ m.T  # (n_queries, batch)
         k = min(self.k, sims.shape[1])
         out_q, out_i, out_c = [], [], []
@@ -207,7 +232,7 @@ class _LshPartialTopK(_PartialTopK):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].to_pylist())
-        m = _normalize(_as_matrix(batch[self.vec_col].to_pylist()))
+        m = _normalize(_as_matrix(batch[self.vec_col]))
         mask = np.zeros(len(ids), dtype=bool)
         for table, probes in zip(self.planes, self.qprobes):
             mask |= np.isin(hyperplane_bucket(m, table), probes)
@@ -396,7 +421,7 @@ def kmeans(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
 
         def partial(t: pa.Table) -> pa.Table:
             cents = ray.get(cref)
-            m = _as_matrix(t[vec_col].to_pylist())
+            m = _as_matrix(t[vec_col])
             lab = assign(m, cents)
             dim = m.shape[1]
             kk = cents.shape[0]
@@ -427,7 +452,7 @@ def kmeans(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
 
     def final_assign(t: pa.Table) -> pa.Table:
         cents = ray.get(cref)
-        m = _as_matrix(t[vec_col].to_pylist())
+        m = _as_matrix(t[vec_col])
         return pa.table({
             id_col: t[id_col],
             "cluster": pa.array(assign(m, cents), pa.int64()),
@@ -462,7 +487,7 @@ def pca_project(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
     from ray.data.aggregate import Sum
 
     def partials(t: pa.Table) -> pa.Table:
-        m = _as_matrix(t[vec_col].to_pylist()).astype(np.float64)
+        m = _as_matrix(t[vec_col]).astype(np.float64)
         dim = m.shape[1]
         s = m.sum(axis=0)                      # dim
         ss = (m.T @ m).ravel()                 # dim*dim
@@ -503,7 +528,7 @@ def pca_project(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
     comp_c = comp.copy()
 
     def project(t: pa.Table) -> pa.Table:
-        m = _as_matrix(t[vec_col].to_pylist()).astype(np.float64)
+        m = _as_matrix(t[vec_col]).astype(np.float64)
         p = np.round((m - mean_c[None, :]) @ comp_c, ndigits)
         out = {id_col: t[id_col]}
         for j in range(k):

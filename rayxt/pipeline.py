@@ -573,14 +573,16 @@ def _shard_name(sub: pa.Table, pid: int) -> str:
     sequences are byte-identical would collide and keep one file — that
     requires an exactly repeated 10^4-row run of the corpus.
     """
+    from rayxt.state import key_digests
+
     h = hashlib.sha1()
     h.update(b"%d:%d" % (pid, sub.num_rows))
     names = sub.column_names
     keys = [c for c in ("url", "warc_ts", "n_chars") if c in names] or [names[0]]
     for key in keys:
-        for v in sub.column(key).to_pylist():
-            h.update(repr(v).encode("utf-8", "surrogatepass"))
-            h.update(b"\x00")
+        # vectorized: one 128-bit digest array per key column (fixed,
+        # process-stable hash keys) instead of a per-value repr loop
+        h.update(key_digests(sub.column(key)).tobytes())
     return f"shard-{h.hexdigest()[:20]}.parquet"
 
 

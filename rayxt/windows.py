@@ -546,7 +546,7 @@ def pivot_count(ds, *, key: str, cat_col: str, categories: tuple,
 
 
 def global_rank(ds, *, order_col: str, tie_col: str, ntile: int | None = None,
-                keep_cols: tuple = ()):
+                keep_cols: tuple = (), max_histogram: int = 4_000_000):
     """Global dense row numbering by ``(order_col, tie_col)`` — and
     optional SQL-``NTILE`` bucketing — WITHOUT a global sort.
 
@@ -562,11 +562,28 @@ def global_rank(ds, *, order_col: str, tie_col: str, ntile: int | None = None,
     driver, and no single value dominates (a one-value column
     degenerates to one worker).  ``ntile`` reproduces SQL NTILE
     exactly: the first ``N % ntile`` buckets get one extra row.
+
+    The bounded-cardinality envelope is ENFORCED: the histogram stays
+    in the object store while its row count is checked, and a distinct
+    count above ``max_histogram`` raises instead of silently pulling
+    one row per distinct value onto the driver.  High-cardinality
+    columns should be bucketed first (round/width-bucket the floats)
+    or ranked with ``Dataset.sort`` (range partitioning).
     """
     import ray
     from ray.data.aggregate import Count
 
-    hist = ds.groupby(order_col).aggregate(Count(alias_name="__n")).to_pandas()
+    hist_ds = (ds.groupby(order_col)
+               .aggregate(Count(alias_name="__n")).materialize())
+    n_distinct = hist_ds.count()
+    if n_distinct > max_histogram:
+        raise ValueError(
+            f"global_rank: order_col {order_col!r} has {n_distinct} "
+            f"distinct values (> max_histogram={max_histogram}); the "
+            "driver-side histogram would not be bounded. Bucket the "
+            "column first or use Dataset.sort for a range-partitioned "
+            "rank.")
+    hist = hist_ds.to_pandas()
     if hist.empty:
         # empty-input aggregates come back schema-less (no columns)
         hist = pd.DataFrame({order_col: [], "__n": []})
