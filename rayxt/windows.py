@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 __all__ = ["sessionize", "group_quantiles", "group_quantiles_sketch",
            "corpus_quantiles_sketch", "grouped_topk",
@@ -393,9 +394,21 @@ def corpus_quantiles_sketch(ds, *, value_col: str, qs: tuple = (0.5, 0.95),
 
 
 def group_quantiles(ds, *, key: str, value_col: str,
-                    qs: tuple = (0.5, 0.95), ndigits: int = 6):
+                    qs: tuple = (0.5, 0.95), ndigits: int = 6,
+                    by_value: bool = False):
     """Exact linear-interpolation quantiles per key (numpy 'linear' ==
-    SQL ``quantile_cont``), rounded for cross-engine float parity."""
+    SQL ``quantile_cont``), rounded for cross-engine float parity.
+
+    ``by_value=True`` (opt-in hot-key mode): aggregate a
+    ``(key, value) → count`` histogram first (pure distributed
+    ``Count`` — a hot key's rows pre-combine inside every block), then
+    compute the same interpolated order statistics from cumulative
+    counts.  The per-key group shrinks from row count to DISTINCT
+    value count — exact, and safe for hot keys whose values repeat
+    (grades, prices, bucketed scores).  A key with all-distinct float
+    values gains nothing (histogram == rows); for those use
+    :func:`group_quantiles_sketch`.
+    """
     names = [f"p{int(q * 100)}" for q in qs]
 
     def gq(g: pd.DataFrame) -> pd.DataFrame:
@@ -406,7 +419,33 @@ def group_quantiles(ds, *, key: str, value_col: str,
             out[n] = pd.Series([round(float(v), ndigits)], dtype="float64")
         return pd.DataFrame(out)
 
-    return ds.groupby(key).map_groups(gq, batch_format="pandas")
+    if not by_value:
+        return ds.groupby(key).map_groups(gq, batch_format="pandas")
+
+    from ray.data.aggregate import Count
+
+    hist = (ds.groupby([key, value_col])
+            .aggregate(Count(alias_name="__n")))
+
+    def gq_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, kind="mergesort")
+        vals = g[value_col].to_numpy(dtype=np.float64)
+        cum = np.cumsum(g["__n"].to_numpy(np.int64))
+        n = int(cum[-1])
+        out = {key: pd.Series([g[key].iloc[0]], dtype=g[key].dtype)}
+        for name, q in zip(names, qs):
+            rank = q * (n - 1)                  # numpy 'linear' virtual idx
+            lo = int(np.floor(rank))
+            hi = int(np.ceil(rank))
+            # 0-based order stat i lives at the first cumulative > i
+            vlo = vals[np.searchsorted(cum, lo + 1)]
+            vhi = vals[np.searchsorted(cum, hi + 1)]
+            v = vlo + (rank - lo) * (vhi - vlo)
+            out[name] = pd.Series([round(float(v), ndigits)],
+                                  dtype="float64")
+        return pd.DataFrame(out)
+
+    return hist.groupby(key).map_groups(gq_hist, batch_format="pandas")
 
 
 def grouped_mode(ds, *, key: str, value_col: str, out_col: str = "mode",
@@ -462,8 +501,27 @@ def grouped_mode(ds, *, key: str, value_col: str, out_col: str = "mode",
     return best.map_batches(unpack, batch_format="pyarrow")
 
 
+def _tag_time_bucket(ds, ts_col: str, width_us: int, with_us: bool = False):
+    """Append ``__b = ts // width`` (int64 bucket id, microseconds) —
+    the shared first step of every hot-key bucketed mode.  Normalizes
+    the storage unit to us first (may be ns from pandas, us from
+    parquet)."""
+    def tag(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        if with_us:
+            t = t.append_column("__us", us)
+        return t.append_column("__b", pc.divide(us, width_us))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def sequence_stats(ds, *, key: str, ts_col: str, tie_col: str,
-                   keep_cols: tuple = (), first_gap: int | None = None):
+                   keep_cols: tuple = (), first_gap: int | None = None,
+                   bucket_s: float | None = None,
+                   join_partitions: int | None = None):
     """Ordered window functions per key: 1-based position
     (``ROW_NUMBER``) and microseconds since the previous event
     (``LAG`` diff).  Order is ``(ts, tie_col)`` — a unique total
@@ -479,6 +537,18 @@ def sequence_stats(ds, *, key: str, ts_col: str, tie_col: str,
     one-key-fits-one-worker assumption as :func:`sessionize`; the
     outputs are integers, so there is no float-accumulation parity
     concern with SQL window engines).
+
+    ``bucket_s`` (opt-in hot-key mode, the :func:`sessionize` pattern)
+    lifts that assumption: rows group by ``(key, time-bucket)`` so a
+    pathological key's events spread across workers.  Cross-bucket
+    state is a per-bucket fixup row — cumulative row offset and the
+    previous bucket's last timestamp — computed from a tiny aggregate
+    (``Count/Min/Max`` per bucket; the per-key fixup group holds one
+    row per BUCKET, not per event) and hash-joined back on
+    ``(key, bucket)``.  ``pos = offset + local position``; the first
+    local gap spans the bucket edge.  Exact: bucket id is monotone in
+    ``ts`` and ties share a bucket, so bucket-major order IS the
+    ``(ts, tie)`` order.
     """
 
     def stats(g: pd.DataFrame) -> pd.DataFrame:
@@ -499,7 +569,61 @@ def sequence_stats(ds, *, key: str, ts_col: str, tie_col: str,
             out["gap_us"] = pd.Series(gap)
         return pd.DataFrame(out)
 
-    return ds.groupby(key).map_groups(stats, batch_format="pandas")
+    if bucket_s is None:
+        return ds.groupby(key).map_groups(stats, batch_format="pandas")
+
+    from ray.data.aggregate import Count, Max, Min
+
+    tagged = _tag_time_bucket(ds, ts_col, int(bucket_s * 1_000_000),
+                              with_us=True)
+    summ = (tagged.groupby([key, "__b"])
+            .aggregate(Count(alias_name="__n"),
+                       Min("__us", alias_name="__first"),
+                       Max("__us", alias_name="__last")))
+
+    def fixup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__b", kind="mergesort").reset_index(drop=True)
+        n = g["__n"].to_numpy(np.int64)
+        off = np.concatenate([[0], np.cumsum(n)[:-1]])
+        prev = np.empty(len(g), dtype=np.float64)
+        prev[0] = np.nan
+        prev[1:] = g["__last"].to_numpy(np.int64)[:-1]
+        return pd.DataFrame({key: g[key], "__b": g["__b"],
+                             "__off": pd.Series(off, dtype="int64"),
+                             "__prev": pd.Series(prev, dtype="float64")})
+
+    fix = summ.groupby(key).map_groups(fixup, batch_format="pandas")
+    if join_partitions is None:
+        import ray
+
+        # the join's shuffle aggregators hold CPU slots; size the
+        # partition count to the cluster so small sessions don't starve
+        join_partitions = max(
+            2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = tagged.join(fix, "inner", num_partitions=join_partitions,
+                         on=(key, "__b"))
+
+    def stats_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tie_col], kind="mergesort")
+        us = g["__us"].to_numpy(np.int64)
+        off = int(g["__off"].iloc[0])
+        prev = g["__prev"].iloc[0]
+        out = {c: g[c].reset_index(drop=True)
+               for c in (tie_col, key, ts_col, *keep_cols)}
+        out["pos"] = pd.Series(
+            off + np.arange(1, len(g) + 1, dtype=np.int64))
+        gap = np.empty(len(g), dtype=np.float64)
+        gap[0] = np.nan if pd.isna(prev) else float(us[0] - int(prev))
+        gap[1:] = (us[1:] - us[:-1]).astype(np.float64)
+        if first_gap is None:
+            out["gap_us"] = pd.Series(gap).astype("Int64")
+        else:
+            gap = np.where(np.isnan(gap), float(first_gap), gap)
+            out["gap_us"] = pd.Series(gap.astype(np.int64))
+        return pd.DataFrame(out)
+
+    return joined.groupby([key, "__b"]).map_groups(stats_bucket,
+                                                   batch_format="pandas")
 
 
 def pivot_count(ds, *, key: str, cat_col: str, categories: tuple,
@@ -623,7 +747,7 @@ def global_rank(ds, *, order_col: str, tie_col: str, ntile: int | None = None,
 
 def rolling_stats(ds, *, key: str, ts_col: str, tie_col: str,
                   value_col: str, window: int, ndigits: int = 6,
-                  keep_cols: tuple = ()):
+                  keep_cols: tuple = (), bucket_s: float | None = None):
     """Per-key rolling window aggregates over the last ``window`` rows
     (current + ``window-1`` preceding) in the unique ``(ts, tie)``
     order — SQL ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``.
@@ -635,32 +759,110 @@ def rolling_stats(ds, *, key: str, ts_col: str, tie_col: str,
     Same shape and one-key-fits-one-worker assumption as
     :func:`sequence_stats`: one hash exchange on ``key``, vectorized
     numpy per group.
-    """
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, tie_col], kind="mergesort")
+    ``bucket_s`` (opt-in hot-key mode) groups by ``(key, time-bucket)``
+    instead; the cross-bucket state is a CARRY — each bucket's last
+    ``window-1`` rows, re-tagged to every later bucket that needs them
+    and unioned back in before the per-bucket rolling pass (carry rows
+    seed the window, only real rows are emitted).  Exact: the last
+    ``window-1`` rows of any prefix are always a subset of the union
+    of per-bucket tails (at most ``window-1`` rows can follow a row
+    overall, hence within its own bucket).  Carry volume is bounded by
+    ``(window-1) x buckets-per-key``, independent of key hotness.
+    """
+    roll_cols = (tie_col, key, ts_col, *keep_cols)
+
+    def emit(g: pd.DataFrame, keep: np.ndarray) -> pd.DataFrame:
         v = g[value_col].to_numpy(dtype=np.float64)
         r = pd.Series(v).rolling(window, min_periods=1)
-        out = {c: g[c].reset_index(drop=True)
-               for c in (tie_col, key, ts_col, *keep_cols)}
+        out = {c: g[c].reset_index(drop=True)[keep].reset_index(drop=True)
+               for c in roll_cols}
         out["roll_sum"] = pd.Series(
-            np.round(r.sum().to_numpy(), ndigits))
+            np.round(r.sum().to_numpy()[keep], ndigits))
         out["roll_avg"] = pd.Series(
-            np.round(r.mean().to_numpy(), ndigits))
-        out["roll_max"] = pd.Series(r.max().to_numpy())
+            np.round(r.mean().to_numpy()[keep], ndigits))
+        out["roll_max"] = pd.Series(r.max().to_numpy()[keep])
         return pd.DataFrame(out)
 
-    return ds.groupby(key).map_groups(roll, batch_format="pandas")
+    if bucket_s is None:
+        def roll(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values([ts_col, tie_col], kind="mergesort")
+            return emit(g, np.ones(len(g), dtype=bool))
+
+        return ds.groupby(key).map_groups(roll, batch_format="pandas")
+
+    cols = [key, "__b", ts_col, tie_col, value_col,
+            *(c for c in keep_cols if c not in (key, ts_col, tie_col))]
+    tagged = _tag_time_bucket(ds, ts_col, int(bucket_s * 1_000_000))
+
+    def mark(t: pa.Table, carry: bool) -> pa.Table:
+        sel = t.select(cols)
+        return sel.append_column(
+            "__carry", pa.array(np.full(sel.num_rows, carry)))
+
+    def tails(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tie_col], kind="mergesort")
+        return g.tail(window - 1) if window > 1 else g.head(0)
+
+    def spread(g: pd.DataFrame) -> pd.DataFrame:
+        # carry for bucket b = last window-1 rows from buckets < b
+        g = g.sort_values([ts_col, tie_col],
+                          kind="mergesort").reset_index(drop=True)
+        bs = np.sort(g["__b"].unique())
+        outs = []
+        for b in bs[1:]:
+            prior = g[g["__b"].to_numpy() < b].tail(window - 1)
+            if len(prior):
+                o = prior.copy()
+                o["__b"] = b
+                outs.append(o)
+        return pd.concat(outs, ignore_index=True) if outs else g.head(0)
+
+    carry = (tagged.map_batches(lambda t: mark(t, False),
+                                batch_format="pyarrow")
+             .groupby([key, "__b"]).map_groups(tails,
+                                               batch_format="pandas")
+             .groupby(key).map_groups(spread, batch_format="pandas"))
+    # NOTE: carry rows re-tag __b but keep __carry=False until here;
+    # flip it so the roll pass can drop them from the output
+    carry = carry.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("__carry"),
+                               "__carry",
+                               pa.array(np.full(t.num_rows, True))),
+        batch_format="pyarrow")
+    detail = tagged.map_batches(lambda t: mark(t, False),
+                                batch_format="pyarrow")
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # carry ts < every detail ts in the bucket (earlier buckets),
+        # so (ts, tie) ordering alone seats carries first
+        g = g.sort_values([ts_col, tie_col], kind="mergesort")
+        return emit(g, ~g["__carry"].to_numpy(dtype=bool))
+
+    return (detail.union(carry)
+            .groupby([key, "__b"]).map_groups(roll_bucket,
+                                              batch_format="pandas"))
 
 
 def ordered_string_agg(ds, *, key: str, ts_col: str, tie_col: str,
                        cat_col: str, sep: str = ",",
-                       out_col: str = "path"):
+                       out_col: str = "path",
+                       bucket_s: float | None = None):
     """Per-key ordered concatenation of a category column (SQL
     ``STRING_AGG(cat, sep ORDER BY ts, tie)``) — the event-path /
     session-sequence shape.  One hash exchange on ``key``; the
     documented one-key-fits-one-worker assumption bounds the output
     string by the key's event count.
+
+    ``bucket_s`` (opt-in hot-key mode): concatenate per
+    ``(key, time-bucket)`` first, then merge the per-bucket PARTIAL
+    strings per key in bucket order — the merge group holds one string
+    per bucket instead of one row per event, so the sort/concat work
+    distributes.  (The OUTPUT string is still O(key events) by
+    definition — this mode distributes the work, it cannot shrink the
+    result; at true scale prefer a capped path, e.g. sessionized
+    prefixes.)  Exact: bucket id is monotone in ``ts`` and ties share
+    a bucket.
     """
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
@@ -671,7 +873,32 @@ def ordered_string_agg(ds, *, key: str, ts_col: str, tie_col: str,
             "n_events": pd.Series([len(g)], dtype="int64"),
         })
 
-    return ds.groupby(key).map_groups(agg, batch_format="pandas")
+    if bucket_s is None:
+        return ds.groupby(key).map_groups(agg, batch_format="pandas")
+
+    tagged = _tag_time_bucket(ds, ts_col, int(bucket_s * 1_000_000))
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tie_col], kind="mergesort")
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "__b": pd.Series([g["__b"].iloc[0]], dtype="int64"),
+            "__part": [sep.join(g[cat_col].astype(str))],
+            "__n": pd.Series([len(g)], dtype="int64"),
+        })
+
+    partials = tagged.groupby([key, "__b"]).map_groups(
+        part, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__b", kind="mergesort")
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            out_col: [sep.join(g["__part"])],
+            "n_events": pd.Series([int(g["__n"].sum())], dtype="int64"),
+        })
+
+    return partials.groupby(key).map_groups(merge, batch_format="pandas")
 
 
 def dense_grid(ds, *, dim_a: str, dim_b: str, count_col: str = "n"):

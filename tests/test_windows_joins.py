@@ -449,3 +449,95 @@ def test_global_rank_cardinality_guard(ray_session):
                        tie_col="event_id", max_histogram=1000)
            .to_pandas().sort_values("rank"))
     assert out["event_id"].tolist() == list(range(500))
+
+
+def _hot_events(n: int, n_keys: int, seed: int = 3) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + np.sort(
+        rng.integers(0, 30 * 86_400_000_000, size=n)).astype(
+        "timedelta64[us]")
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, n_keys, size=n).astype(np.int64),
+        "ts": pd.Series(ts),
+        "value": np.round(rng.integers(0, 50, size=n) / 2.0, 6),
+    })
+
+
+def test_sequence_stats_bucketed_parity_hot_key(ray_session):
+    """bucket_s mode == single-pass mode on a corpus dominated by one
+    hot key (VERDICT r3 item 3): pos and gap_us identical."""
+    import ray.data as rd
+
+    from rayxt.windows import sequence_stats
+
+    df = _hot_events(30_000, 3)  # 3 keys => ~10k rows per key
+    ds = rd.from_pandas(df).repartition(8)
+    base = (sequence_stats(ds, key="user_id", ts_col="ts",
+                           tie_col="event_id", first_gap=-1)
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+    buck = (sequence_stats(ds, key="user_id", ts_col="ts",
+                           tie_col="event_id", first_gap=-1,
+                           bucket_s=86_400.0)
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, buck[base.columns])
+    # nullable-gap flavor too
+    b2 = (sequence_stats(ds, key="user_id", ts_col="ts",
+                         tie_col="event_id", bucket_s=86_400.0)
+          .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert b2["gap_us"].isna().sum() == 3  # one first event per key
+
+
+def test_rolling_stats_bucketed_parity_hot_key(ray_session):
+    import ray.data as rd
+
+    from rayxt.windows import rolling_stats
+
+    df = _hot_events(1_000_000, 1, seed=5)  # single 10^6-row hot key
+    ds = rd.from_pandas(df).repartition(16)
+    kw = dict(key="user_id", ts_col="ts", tie_col="event_id",
+              value_col="value", window=7)
+    base = (rolling_stats(ds, **kw).to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+    buck = (rolling_stats(ds, bucket_s=86_400.0, **kw).to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+    assert len(base) == len(buck) == len(df)
+    assert buck["event_id"].tolist() == base["event_id"].tolist()
+    assert np.allclose(buck["roll_sum"], base["roll_sum"], atol=1e-6)
+    assert np.allclose(buck["roll_avg"], base["roll_avg"], atol=1e-6)
+    assert np.array_equal(buck["roll_max"], base["roll_max"])
+
+
+def test_ordered_string_agg_bucketed_parity(ray_session):
+    import ray.data as rd
+
+    from rayxt.windows import ordered_string_agg
+
+    df = _hot_events(20_000, 4)
+    df["kind"] = np.where(df["value"] > 12, "a", "b")
+    ds = rd.from_pandas(df).repartition(8)
+    kw = dict(key="user_id", ts_col="ts", tie_col="event_id",
+              cat_col="kind")
+    base = (ordered_string_agg(ds, **kw).to_pandas()
+            .sort_values("user_id").reset_index(drop=True))
+    buck = (ordered_string_agg(ds, bucket_s=86_400.0, **kw).to_pandas()
+            .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, buck[base.columns])
+
+
+def test_group_quantiles_by_value_parity(ray_session):
+    import ray.data as rd
+
+    from rayxt.windows import group_quantiles
+
+    df = _hot_events(50_000, 3)
+    ds = rd.from_pandas(df).repartition(8)
+    kw = dict(key="user_id", value_col="value", qs=(0.25, 0.5, 0.95))
+    base = (group_quantiles(ds, **kw).to_pandas()
+            .sort_values("user_id").reset_index(drop=True))
+    hist = (group_quantiles(ds, by_value=True, **kw).to_pandas()
+            .sort_values("user_id").reset_index(drop=True))
+    assert base["user_id"].tolist() == hist["user_id"].tolist()
+    for c in ("p25", "p50", "p95"):
+        assert np.allclose(base[c], hist[c], atol=1e-6)
