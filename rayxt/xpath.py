@@ -8,6 +8,11 @@ silently mis-evaluating.
 XPath subset::
 
     /a/b   //a   a/b   .//a   *   .   ..
+    explicit axes: child:: descendant:: descendant-or-self:: self::
+                   parent:: ancestor:: ancestor-or-self::
+                   following-sibling:: preceding-sibling::
+                   (reverse axes count position nearest-first per spec;
+                   following:: / preceding:: / attribute:: raise)
     predicates: [n] [last()] [@attr] [@attr='v'] [tag] [text()='v']
                 plus 'and' / 'or' of those
     unions: p1 | p2
@@ -17,6 +22,8 @@ CSS subset (compiled onto the same AST)::
 
     tag  .class  #id  [attr]  [attr=v]  *
     descendant (space), child (>), comma (union), compounds (div.a#b)
+    pseudo-classes: :first-child :last-child :not(<simple compound>)
+                    (others raise)
 
 Evaluation returns elements in document order without duplicates.
 Namespace resolution of ``prefix:local`` happens at evaluation time via
@@ -40,6 +47,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<dslash>//)
   | (?P<slash>/)
+  | (?P<axisop>::)
   | (?P<lbrack>\[)
   | (?P<rbrack>\])
   | (?P<union>\|)
@@ -125,6 +133,41 @@ class _ChildTagPred(_Pred):
         )
 
 
+class _FirstChildPred(_Pred):
+    """CSS ``:first-child`` — first ELEMENT child of its parent."""
+
+    def matches(self, node, position, size, nsmap):
+        p = node.parent
+        if p is None:
+            return True
+        return next((c for c in p.children if c.is_element()),
+                    None) is node
+
+
+class _LastChildPred(_Pred):
+    """CSS ``:last-child`` — last ELEMENT child of its parent."""
+
+    def matches(self, node, position, size, nsmap):
+        p = node.parent
+        if p is None:
+            return True
+        return next((c for c in reversed(p.children) if c.is_element()),
+                    None) is node
+
+
+class _NotCompoundPred(_Pred):
+    """CSS ``:not(<simple compound>)`` — negate a tag + preds compound."""
+
+    def __init__(self, name, preds):
+        self.name = name
+        self.preds = preds
+
+    def matches(self, node, position, size, nsmap):
+        inner = _tag_matches(node, self.name, nsmap) and all(
+            p.matches(node, position, size, nsmap) for p in self.preds)
+        return not inner
+
+
 class _TextEqPred(_Pred):
     def __init__(self, value):
         self.value = value
@@ -147,9 +190,20 @@ class _Step:
     __slots__ = ("axis", "name", "preds")
 
     def __init__(self, axis, name, preds):
-        self.axis = axis  # 'child' | 'descendant' | 'self' | 'parent'
+        # 'child' | 'descendant' ('//' per-parent semantics) | 'self' |
+        # 'parent' | explicit axes: 'descendant-explicit' |
+        # 'descendant-or-self' | 'ancestor' | 'ancestor-or-self' |
+        # 'following-sibling' | 'preceding-sibling'
+        self.axis = axis
         self.name = name  # '*' | 'text()' | tag name (plain/prefix/clark)
         self.preds = preds
+
+
+#: axes whose results are collected in non-document order (reverse axes
+#: count position nearest-first per the XPath spec) — evaluate() re-sorts
+#: the final node-set into document order when any step uses one.
+_UNORDERED_AXES = frozenset(
+    {"ancestor", "ancestor-or-self", "preceding-sibling"})
 
 
 def _resolve_name(name: str, nsmap) -> str:
@@ -177,6 +231,9 @@ class XPath:
     def __init__(self, paths, source: str):
         self._paths = paths  # list of (absolute: bool, [steps])
         self.source = source
+        self._needs_order = any(
+            step.axis in _UNORDERED_AXES
+            for _, steps in paths for step in steps)
 
     def __repr__(self):
         return f"XPath({self.source!r})"
@@ -191,7 +248,7 @@ class XPath:
                 if id(n) not in seen:
                     seen.add(id(n))
                     result.append(n)
-        if len(self._paths) > 1:
+        if len(self._paths) > 1 or self._needs_order:
             order = {id(n): i for i, n in enumerate(_document_order(start))}
             result.sort(key=lambda n: order.get(id(n), 1 << 30))
         return result
@@ -219,9 +276,44 @@ class XPath:
                 cands = [ctx]
                 self._filter_into(cands, step, nsmap, out, seen)
             elif step.axis == "parent":
-                if ctx.parent is not None and id(ctx.parent) not in seen:
-                    seen.add(id(ctx.parent))
-                    out.append(ctx.parent)
+                if step.name == "*" and not step.preds:
+                    # bare '..' — may surface a non-element document node
+                    if ctx.parent is not None and id(ctx.parent) not in seen:
+                        seen.add(id(ctx.parent))
+                        out.append(ctx.parent)
+                elif ctx.parent is not None and ctx.parent.is_element():
+                    self._filter_into([ctx.parent], step, nsmap, out, seen)
+            elif step.axis in ("ancestor", "ancestor-or-self"):
+                # reverse axis: candidates nearest-first for positions
+                cands = []
+                n = ctx if step.axis == "ancestor-or-self" else ctx.parent
+                while n is not None:
+                    if n.is_element():
+                        cands.append(n)
+                    n = n.parent
+                self._filter_into(cands, step, nsmap, out, seen)
+            elif step.axis in ("following-sibling", "preceding-sibling"):
+                parent = ctx.parent
+                if parent is None:
+                    continue
+                sibs = [c for c in parent.children if c.is_element()]
+                try:
+                    i = next(j for j, c in enumerate(sibs) if c is ctx)
+                except StopIteration:
+                    continue
+                if step.axis == "following-sibling":
+                    cands = sibs[i + 1:]
+                else:  # reverse axis: nearest sibling is position 1
+                    cands = sibs[:i][::-1]
+                self._filter_into(cands, step, nsmap, out, seen)
+            elif step.axis in ("descendant-explicit", "descendant-or-self"):
+                # positions span the WHOLE axis result per context node
+                # (unlike '//name', whose positions are per parent)
+                cands = [d for d in ctx.iter()
+                         if d.is_element()
+                         and (d is not ctx
+                              or step.axis == "descendant-or-self")]
+                self._filter_into(cands, step, nsmap, out, seen)
             elif step.axis == "child":
                 cands = [c for c in ctx.children if c.is_element()]
                 self._filter_into(cands, step, nsmap, out, seen)
@@ -316,8 +408,35 @@ class _Parser:
                 break
         return absolute, steps
 
+    #: explicit-axis spellings -> internal axis names; everything else
+    #: (following::, preceding::, attribute::, namespace::) raises.
+    AXES = {
+        "child": "child",
+        "self": "self",
+        "parent": "parent",
+        "descendant": "descendant-explicit",
+        "descendant-or-self": "descendant-or-self",
+        "ancestor": "ancestor",
+        "ancestor-or-self": "ancestor-or-self",
+        "following-sibling": "following-sibling",
+        "preceding-sibling": "preceding-sibling",
+    }
+
     def parse_step(self, axis):
         kind, val = self.next()
+        if kind == "name" and self.peek()[0] == "axisop":
+            self.next()
+            if val not in self.AXES:
+                raise SelectorError(
+                    f"unsupported axis {val!r} in {self.source!r}")
+            if axis == "descendant":
+                # '//axis::x' == /descendant-or-self::node()/axis::x —
+                # outside the subset; spell the expansion explicitly
+                raise SelectorError(
+                    f"explicit axis after '//' unsupported in "
+                    f"{self.source!r}")
+            axis = self.AXES[val]
+            kind, val = self.next()
         if kind == "dot":
             return _Step("self", "*", [])
         if kind == "dotdot":
@@ -394,6 +513,7 @@ _CSS_TOKEN_RE = re.compile(
   | (?P<hash>\#[\w\-]+)
   | (?P<class>\.[\w\-]+)
   | (?P<attr>\[\s*[\w\-]+\s*(?:=\s*(?:'[^']*'|"[^"]*"|[\w\-]+)\s*)?\])
+  | (?P<pseudo>:[\w\-]+(?:\([^()]*\))?)
   | (?P<star>\*)
   | (?P<tag>[\w\-]+(?:\|[\w\-]+)?)
 """,
@@ -403,6 +523,56 @@ _CSS_TOKEN_RE = re.compile(
 _CSS_ATTR_RE = re.compile(
     r"""\[\s*(?P<name>[\w\-]+)\s*(?:=\s*(?P<val>'[^']*'|"[^"]*"|[\w\-]+)\s*)?\]"""
 )
+
+
+def _css_attr_pred(text: str) -> _AttrPred:
+    am = _CSS_ATTR_RE.match(text)
+    if not am:
+        raise SelectorError(f"bad attr selector {text!r}")
+    val = am.group("val")
+    if val and val[0] in "'\"":
+        val = val[1:-1]
+    return _AttrPred(am.group("name"), val)
+
+
+def _css_pseudo_pred(text: str, source: str) -> _Pred:
+    if text == ":first-child":
+        return _FirstChildPred()
+    if text == ":last-child":
+        return _LastChildPred()
+    if text.startswith(":not(") and text.endswith(")"):
+        name, preds = _css_compound(text[5:-1].strip(), source)
+        return _NotCompoundPred(name, preds)
+    raise SelectorError(f"unsupported pseudo-class {text!r} in {source!r}")
+
+
+def _css_compound(sel: str, source: str):
+    """Parse a combinator-free compound selector -> (name, preds)."""
+    name, preds = "*", []
+    pos = 0
+    if not sel:
+        raise SelectorError(f"empty compound selector in {source!r}")
+    while pos < len(sel):
+        m = _CSS_TOKEN_RE.match(sel, pos)
+        if not m:
+            raise SelectorError(f"cannot parse css {source!r} at {pos}")
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group()
+        if kind in ("ws", "gt", "comma"):
+            raise SelectorError(
+                f":not() argument must be a simple compound in {source!r}")
+        if kind in ("tag", "star"):
+            name = "*" if kind == "star" else text
+        elif kind == "hash":
+            preds.append(_AttrPred("id", text[1:]))
+        elif kind == "class":
+            preds.append(_ClassWordPred(text[1:]))
+        elif kind == "attr":
+            preds.append(_css_attr_pred(text))
+        elif kind == "pseudo":
+            preds.append(_css_pseudo_pred(text, source))
+    return name, preds
 
 
 def parse_css(source: str) -> XPath:
@@ -447,13 +617,9 @@ def parse_css(source: str) -> XPath:
                 elif kind == "class":
                     cur[1].append(_ClassWordPred(text[1:]))
                 elif kind == "attr":
-                    am = _CSS_ATTR_RE.match(text)
-                    if not am:
-                        raise SelectorError(f"bad attr selector {text!r}")
-                    val = am.group("val")
-                    if val and val[0] in "'\"":
-                        val = val[1:-1]
-                    cur[1].append(_AttrPred(am.group("name"), val))
+                    cur[1].append(_css_attr_pred(text))
+                elif kind == "pseudo":
+                    cur[1].append(_css_pseudo_pred(text, source))
         flush()
         if not steps:
             raise SelectorError(f"empty selector in {source!r}")

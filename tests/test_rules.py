@@ -369,3 +369,48 @@ def test_fused_abort_rule_stops_only_that_rule():
     doc = b"<html><body><i>1</i><b>x</b><i>2</i><b>y</b></body></html>"
     out = t(parse_html(doc), seen=[], bs=[])
     assert out == ["x", "y"]  # r2 unaffected by r1's abort
+
+
+# -- round-4 axis / pseudo-class conformance program -----------------------
+
+AXES_DOC = (
+    b"<html><body>"
+    b"<article><h1>Title</h1><p>intro</p><aside>ad</aside>"
+    b"<p>body1</p><p>body2</p></article>"
+    b"<footer><p>legal</p></footer>"
+    b"</body></html>"
+)
+
+# golden: produced once by hand-walking the document; frozen here
+AXES_GOLDEN = {
+    "after_h1": ["intro", "ad", "body1", "body2"],
+    "before_aside": ["intro"],
+    "p_in_article": ["intro", "body1", "body2"],
+    "p_not_first_child": ["intro", "body1", "body2"],
+    "first_p": ["legal"],
+}
+
+
+def test_axis_pseudo_conformance_program():
+    """A multi-rule program whose conditions exercise the new
+    following-sibling:: / preceding-sibling:: / ancestor:: axes and the
+    CSS :not()/:first-child pseudo-classes, asserted against a frozen
+    golden (VERDICT r3 item 4)."""
+    t = Transformation(
+        Rule(MatchesXPath("//h1/following-sibling::*"),
+             append("after_h1", Ref("element"))),
+        Rule(MatchesXPath("//aside/preceding-sibling::p"),
+             append("before_aside", Ref("element"))),
+        Rule(MatchesXPath("/html/body/article/descendant::p"),
+             append("p_in_article", Ref("element"))),
+        Rule([MatchesXPath("//article/descendant::*"),
+              MatchesCSS("p:not(:first-child)")],
+             append("p_not_first_child", Ref("element"))),
+        Rule(MatchesCSS("p:first-child"),
+             append("first_p", Ref("element"))),
+        result_object="context",
+        copy=False,
+    )
+    ctx = t(parse_html(AXES_DOC))
+    got = {k: [n.text for n in getattr(ctx, k)] for k in AXES_GOLDEN}
+    assert got == AXES_GOLDEN
