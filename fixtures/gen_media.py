@@ -379,6 +379,281 @@ def _jpeg_encode(rgb: np.ndarray, quality: int = 85,
             + dri + sos + bytes(bw.out) + b"\xFF\xD9")
 
 
+# -- progressive JPEG (SOF2) encoder ---------------------------------------
+#
+# Emits a libjpeg-style scan script: DC-first (Al=1, interleaved or
+# per-component), spectral-selection AC-first scans with EOB-run
+# coding, then DC and AC successive-approximation refinement scans
+# (the jcphuff correction-bit buffering algorithm).  The AC scans use
+# a custom uniform 8-bit Huffman table because the Annex K tables lack
+# the EOBn (n>0) symbols progressive streams need.
+
+#: all AC-scan symbols at code length 8 (176 codes < 255: valid Kraft,
+#: all-ones code unused)
+_PROG_AC_VALS = tuple(
+    [n << 4 for n in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_PROG_AC_BITS = (0,) + (0,) * 7 + (len(_PROG_AC_VALS),) + (0,) * 8
+
+
+def _jpeg_quant_grids(rgb: np.ndarray, quality: int):
+    """-> (qt_l, qt_c, grids): per-component zigzag int64 coefficient
+    block grids at MCU-padded size (same color/pad/subsample/quantize
+    math as the baseline encoder, so a progressive stream carries the
+    IDENTICAL coefficients as the baseline stream of the same image)."""
+    h, w, _ = rgb.shape
+    qt_l, qt_c = _jpeg_quality_tables(quality)
+    m = _dct_matrix()
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    ph = (h + 15) // 16 * 16
+    pw = (w + 15) // 16 * 16
+
+    def pad(p):
+        return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    y, cb, cr = pad(y), pad(cb), pad(cr)
+    cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    def grid(plane, qt):
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        out = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coefs = m @ blk @ m.T
+                out[by, bx] = np.round(coefs / qt).astype(
+                    np.int64).flatten()[_ZIGZAG]
+        return out
+
+    return qt_l, qt_c, {1: grid(y, qt_l), 2: grid(cb, qt_c),
+                        3: grid(cr, qt_c)}
+
+
+class _ProgAcState:
+    """Cross-block AC-scan state: pending EOB run + the correction
+    bits buffered for the blocks inside it (refinement scans)."""
+
+    __slots__ = ("eobrun", "be")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.be = []
+
+    def flush(self, bw, ac_codes):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, length = ac_codes[nbits << 4]
+            bw.write(code, length)
+            if nbits:
+                bw.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+            for bit in self.be:
+                bw.write(bit, 1)
+            self.be = []
+
+
+def _enc_ac_first(bw, blk, ac_codes, ss, se, al, st: _ProgAcState):
+    r = 0
+    for k in range(ss, se + 1):
+        c = int(blk[k])
+        t = abs(c) >> al
+        if t == 0:
+            r += 1
+            continue
+        st.flush(bw, ac_codes)
+        while r > 15:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            r -= 16
+        size, bits = _magnitude(t if c > 0 else -t)
+        code, length = ac_codes[(r << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush(bw, ac_codes)
+
+
+def _enc_ac_refine(bw, blk, ac_codes, ss, se, al, st: _ProgAcState):
+    absvals = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # index of the last newly-nonzero coefficient
+    for k in range(ss, se + 1):
+        if absvals[k - ss] == 1:
+            eob = k
+    r = 0
+    br: list = []  # this block's buffered correction bits
+    for k in range(ss, se + 1):
+        t = absvals[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            st.flush(bw, ac_codes)
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for bit in br:
+                bw.write(bit, 1)
+            br = []
+        if t > 1:  # nonzero history: buffer the correction bit
+            br.append(t & 1)
+            continue
+        st.flush(bw, ac_codes)
+        code, length = ac_codes[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(blk[k]) > 0 else 0, 1)
+        for bit in br:
+            bw.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.be.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush(bw, ac_codes)
+
+
+def _jpeg_encode_progressive(rgb: np.ndarray, quality: int = 85,
+                             dc_split: bool = False) -> bytes:
+    """Progressive JFIF (SOF2): YCbCr 4:2:0, same coefficients as
+    `_jpeg_encode` of the same image, 10-scan libjpeg-style script.
+    ``dc_split=True`` emits three single-component DC scans instead of
+    one interleaved scan (exercises non-interleaved DC decoding)."""
+    h, w, _ = rgb.shape
+    qt_l, qt_c, grids = _jpeg_quant_grids(rgb, quality)
+    comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]  # (cid, hs, vs)
+    # non-interleaved block counts (ceil of the component's true dims;
+    # hmax = vmax = 2 in this fixed 4:2:0 layout)
+    ni = {}
+    for cid, hs, vs in comps:
+        cw = -(-(w * hs) // 2)
+        ch = -(-(h * vs) // 2)
+        ni[cid] = (-(-cw // 8), -(-ch // 8))
+    mcus_x, mcus_y = -(-w // 16), -(-h // 16)
+
+    dc_codes = {1: _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS),
+                2: _huff_codes(_DC_CHR_BITS, _DC_CHR_VALS),
+                3: _huff_codes(_DC_CHR_BITS, _DC_CHR_VALS)}
+    ac_codes = _huff_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    def sos(scan_comps, ss, se, ah, al) -> bytes:
+        body = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            td = 0 if cid == 1 else 1
+            body += bytes([cid, (td << 4) | 0])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_first_bits(scan_cids, al) -> bytes:
+        bw = _BitWriter()
+        pred = {cid: 0 for cid in scan_cids}
+        if len(scan_cids) > 1:  # interleaved MCU order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for cid, hs, vs in comps:
+                        for by in range(vs):
+                            for bx in range(hs):
+                                v = int(grids[cid][my * vs + by,
+                                                   mx * hs + bx, 0]) >> al
+                                size, bits = _magnitude(v - pred[cid])
+                                code, length = dc_codes[cid][size]
+                                bw.write(code, length)
+                                if size:
+                                    bw.write(bits, size)
+                                pred[cid] = v
+        else:
+            cid = scan_cids[0]
+            bw_n, bh_n = ni[cid]
+            for iy in range(bh_n):
+                for ix in range(bw_n):
+                    v = int(grids[cid][iy, ix, 0]) >> al
+                    size, bits = _magnitude(v - pred[cid])
+                    code, length = dc_codes[cid][size]
+                    bw.write(code, length)
+                    if size:
+                        bw.write(bits, size)
+                    pred[cid] = v
+        bw.flush()
+        return bytes(bw.out)
+
+    def dc_refine_bits(scan_cids, al) -> bytes:
+        bw = _BitWriter()
+        if len(scan_cids) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for cid, hs, vs in comps:
+                        for by in range(vs):
+                            for bx in range(hs):
+                                bw.write((int(grids[cid][my * vs + by,
+                                                         mx * hs + bx, 0])
+                                          >> al) & 1, 1)
+        else:
+            cid = scan_cids[0]
+            bw_n, bh_n = ni[cid]
+            for iy in range(bh_n):
+                for ix in range(bw_n):
+                    bw.write((int(grids[cid][iy, ix, 0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_bits(cid, ss, se, ah, al) -> bytes:
+        bw = _BitWriter()
+        st = _ProgAcState()
+        bw_n, bh_n = ni[cid]
+        enc = _enc_ac_refine if ah else _enc_ac_first
+        for iy in range(bh_n):
+            for ix in range(bw_n):
+                enc(bw, grids[cid][iy, ix], ac_codes, ss, se, al, st)
+        st.flush(bw, ac_codes)
+        bw.flush()
+        return bytes(bw.out)
+
+    def dqt(tid: int, qt) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(
+            int(qt.flatten()[_ZIGZAG][k]) for k in range(64)))
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits[1:17])
+                   + bytes(vals))
+
+    app0 = seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0])
+               + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    sof2 = seg(0xC2, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1])
+               + bytes([3, 0x11, 1]))
+    head = (b"\xFF\xD8" + app0 + dqt(0, qt_l) + dqt(1, qt_c) + sof2
+            + dht(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
+            + dht(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
+            + dht(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
+            + dht(1, 1, _PROG_AC_BITS, _PROG_AC_VALS))
+    body = b""
+    if dc_split:
+        for cid, _, _ in comps:
+            body += sos([cid], 0, 0, 0, 1) + dc_first_bits([cid], 1)
+    else:
+        body += sos([1, 2, 3], 0, 0, 0, 1) + dc_first_bits([1, 2, 3], 1)
+    body += sos([1], 1, 5, 0, 2) + ac_bits(1, 1, 5, 0, 2)
+    body += sos([2], 1, 63, 0, 1) + ac_bits(2, 1, 63, 0, 1)
+    body += sos([3], 1, 63, 0, 1) + ac_bits(3, 1, 63, 0, 1)
+    body += sos([1], 6, 63, 0, 2) + ac_bits(1, 6, 63, 0, 2)
+    body += sos([1], 1, 63, 2, 1) + ac_bits(1, 1, 63, 2, 1)
+    body += sos([1, 2, 3], 0, 0, 1, 0) + dc_refine_bits([1, 2, 3], 0)
+    body += sos([2], 1, 63, 1, 0) + ac_bits(2, 1, 63, 1, 0)
+    body += sos([3], 1, 63, 1, 0) + ac_bits(3, 1, 63, 1, 0)
+    body += sos([1], 1, 63, 1, 0) + ac_bits(1, 1, 63, 1, 0)
+    return head + body + b"\xFF\xD9"
+
+
 def _image_spec(i: int):
     w = 8 + _h(i, "w") % 40
     h = 8 + _h(i, "h") % 40
@@ -464,13 +739,28 @@ def _jpeg_ri(i: int) -> int:
     return (i // 12) % 3
 
 
+def _jpeg_mode(i: int) -> int:
+    """JPEG flavor for row i: 0 = baseline, 1 = progressive,
+    2 = progressive with split (non-interleaved) DC scans.  Cycles so
+    every third JPEG row is baseline and the rest exercise the SOF2
+    decoder's two DC scan shapes."""
+    return (i // 24) % 3
+
+
+def _jpeg_payload(i: int, src: np.ndarray) -> bytes:
+    mode = _jpeg_mode(i)
+    if mode == 0:
+        return _jpeg_encode(src, 85, restart_interval=_jpeg_ri(i))
+    return _jpeg_encode_progressive(src, 85, dc_split=mode == 2)
+
+
 def media_row(i: int) -> dict:
     kind = ("image", "audio", "video")[i % 3]
     if kind == "image":
         w, h, colour = _image_spec(i)
         if _is_jpeg_row(i):
             src = _body(i, h * w * 3).reshape(h, w, 3)
-            payload = _jpeg_encode(src, 85, restart_interval=_jpeg_ri(i))
+            payload = _jpeg_payload(i, src)
         else:
             arr = _body(i, h * w * _PNG_CH[colour]).reshape(
                 h, w * _PNG_CH[colour])
@@ -514,8 +804,7 @@ def media_ground_truth(i: int) -> dict:
             from tests.oracle.jpeg_oracle import oracle_decode_jpeg
 
             src = _body(i, h * w * 3).reshape(h, w, 3)
-            dec = oracle_decode_jpeg(
-                _jpeg_encode(src, 85, restart_interval=_jpeg_ri(i)))
+            dec = oracle_decode_jpeg(_jpeg_payload(i, src))
             return {"width": w, "height": h, "n_frames": 1,
                     "mean_value": round(float(dec.mean()), 6),
                     "decode_status": "ok"}

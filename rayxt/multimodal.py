@@ -12,11 +12,15 @@ format specs, stdlib+numpy only):
   non-interlaced — signature, chunk walk, concatenated-IDAT zlib
   inflate, scanline unfiltering (None/Sub/Up/Average/Paeth);
 * **JPEG** (`_decode_jpeg`): baseline sequential DCT (SOF0, 8-bit,
-  any sampling factors, optional restart intervals) — marker walk,
+  any sampling factors, optional restart intervals) AND progressive
+  DCT (SOF2: spectral selection, successive approximation, EOB-run
+  AC scans, DC/AC refinement per T.81 Annex G) — marker walk,
   canonical huffman from DHT, dequantize, float64 IDCT, nearest
   upsample, JFIF YCbCr->RGB.  Verified bit-identical against the
-  independent naive decoder in ``tests/oracle/jpeg_oracle.py``;
-  progressive/arithmetic JPEG raises ``NotImplementedError``;
+  independent naive decoder in ``tests/oracle/jpeg_oracle.py``, and
+  progressive streams decode bit-identically to the baseline stream
+  of the same image (same coefficients);
+  arithmetic/hierarchical/lossless JPEG raises ``NotImplementedError``;
 * **WAV** (`_decode_wav`): RIFF PCM16, any channel count;
 * **AVI/MJPEG** (`_decode_avi`): RIFF 'AVI ' container walk (hdrl dims
   + codec check, movi frame chunks), each frame decoded by the
@@ -275,12 +279,31 @@ def _jpeg_extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _decode_jpeg_array(payload: bytes) -> np.ndarray:
-    """Baseline JFIF -> (h, w, ncomp) uint8.
+def _jpeg_skip_entropy(data: bytes, pos: int) -> int:
+    """Advance past an entropy-coded segment: first offset at or after
+    ``pos`` holding a real marker (not FF00 byte stuffing, not RSTn)."""
+    p = pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF:
+            nxt = data[p + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return p
+            p += 2
+        else:
+            p += 1
+    return n
 
-    Supports: baseline sequential DCT (SOF0), 8-bit, 1-4 components,
-    any sampling factors dividing the max, optional restart intervals.
-    Progressive (SOF2) and arithmetic coding raise NotImplementedError.
+
+def _decode_jpeg_array(payload: bytes) -> np.ndarray:
+    """JFIF -> (h, w, ncomp) uint8.
+
+    Supports: baseline sequential DCT (SOF0/SOF1) and progressive DCT
+    (SOF2, spectral selection + successive approximation, interleaved
+    DC scans, EOBRUN AC scans, DC/AC refinement per T.81 Annex G),
+    8-bit, 1-4 components, any sampling factors dividing the max,
+    optional restart intervals.  Arithmetic coding and hierarchical /
+    lossless modes raise NotImplementedError.
     """
     if not payload.startswith(b"\xFF\xD8"):
         raise ValueError("not a JPEG")
@@ -292,8 +315,8 @@ def _decode_jpeg_array(payload: bytes) -> np.ndarray:
     restart_interval = 0
     pos = 2
     data = payload
-    scan_comps = None
-    scan_pos = None
+    progressive = False
+    scans = []  # per SOS: dict with comps/band/approx/pos/table snapshots
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker stream")
@@ -323,16 +346,18 @@ def _decode_jpeg_array(payload: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = \
                     _jpeg_build_huff(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("non-8-bit JPEG")
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (progressive etc.)")
+            raise NotImplementedError(
+                "unsupported JPEG mode (arithmetic/hierarchical/lossless)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
@@ -341,11 +366,23 @@ def _decode_jpeg_array(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tables = body[1 + 2 * c], body[2 + 2 * c]
                 scan_comps.append((cid, tables >> 4, tables & 0xF))
-            scan_pos = pos + 2 + seglen
-            break
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            entropy = pos + 2 + seglen
+            scans.append({"comps": scan_comps, "Ss": ss, "Se": se,
+                          "Ah": ahal >> 4, "Al": ahal & 0xF,
+                          "pos": entropy, "dc": dict(huff_dc),
+                          "ac": dict(huff_ac), "ri": restart_interval})
+            if not progressive:
+                break  # baseline: single scan
+            pos = _jpeg_skip_entropy(data, entropy)
+            continue
         pos += 2 + seglen
-    if w is None or scan_comps is None:
+    if w is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
+    if progressive:
+        return _decode_jpeg_progressive(data, scans, comps, qt, w, h)
+    scan_comps = scans[0]["comps"]
+    scan_pos = scans[0]["pos"]
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -401,6 +438,12 @@ def _decode_jpeg_array(payload: bytes) -> np.ndarray:
                         x0 = (mx * hs + bx) * 8
                         planes[cid][y0:y0 + 8, x0:x0 + 8] = pix
 
+    return _jpeg_finish(planes, comps, w, h, hmax, vmax)
+
+
+def _jpeg_finish(planes, comps, w, h, hmax, vmax) -> np.ndarray:
+    """Shared tail: nearest upsample + JFIF inverse color transform.
+    SHARED SPEC with the oracle (identical float64 expressions)."""
     out = np.zeros((h, w, len(comps)), dtype=np.float64)
     for k, (cid, hs, vs, _tq) in enumerate(comps):
         up = planes[cid].repeat(vmax // vs, axis=0).repeat(hmax // hs, axis=1)
@@ -414,6 +457,176 @@ def _decode_jpeg_array(payload: bytes) -> np.ndarray:
         rgb[:, :, 2] = y_ + 1.772 * (cb - 128.0)
         out = rgb
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg_progressive(data, scans, comps, qt, w, h) -> np.ndarray:
+    """Progressive (SOF2) decode: accumulate DCT coefficients (zigzag
+    order, int64) over every scan, then dequantize + IDCT once.
+
+    Implements T.81 Annex G Huffman progressive decoding: interleaved
+    or single-component DC scans with successive approximation,
+    single-component AC scans with EOB-run coding, and the DC/AC
+    refinement passes (the AC refinement control flow follows the
+    spec's decision diagrams, the same logic libjpeg's jdphuff
+    implements).  Restart intervals reset the predictor/EOB-run and
+    realign the bit reader, counted in scan MCUs (one block per MCU in
+    non-interleaved scans).
+    """
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    # full (MCU-padded) block grid per component, coefficients in
+    # ZIGZAG index space — every scan op addresses zigzag indices
+    coef = {}
+    nblocks = {}  # non-interleaved block counts (bw, bh)
+    for cid, hs, vs, _tq in comps:
+        coef[cid] = np.zeros((mcus_y * vs, mcus_x * hs, 64),
+                             dtype=np.int64)
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        nblocks[cid] = (-(-cw // 8), -(-ch // 8))
+
+    for s in scans:
+        br = _JpegBitReader(data, s["pos"])
+        ri = s["ri"]
+        if s["Ss"] == 0:
+            _jpeg_prog_dc_scan(br, s, by_id, coef, nblocks,
+                               mcus_x, mcus_y, ri)
+        else:
+            _jpeg_prog_ac_scan(br, s, coef, nblocks, ri)
+
+    m = _jpeg_idct_matrix()
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        grid = coef[cid]
+        bh, bw = grid.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        q = qt[tq]
+        for iy in range(bh):
+            for ix in range(bw):
+                block = np.zeros(64, dtype=np.int64)
+                block[_JPEG_ZIGZAG] = grid[iy, ix]
+                deq = (block.reshape(8, 8) * q).astype(np.float64)
+                plane[iy * 8:iy * 8 + 8, ix * 8:ix * 8 + 8] = \
+                    m.T @ deq @ m + 128.0
+        planes[cid] = plane
+    return _jpeg_finish(planes, comps, w, h, hmax, vmax)
+
+
+def _jpeg_prog_dc_scan(br, s, by_id, coef, nblocks, mcus_x, mcus_y, ri):
+    ah, al = s["Ah"], s["Al"]
+    scan_comps = s["comps"]
+    pred = {cid: 0 for cid, _, _ in scan_comps}
+
+    def one_block(blk, dc_tab, cid):
+        if ah == 0:
+            size = _jpeg_decode_huff(br, dc_tab)
+            diff = _jpeg_extend(br.read_bits(size), size) if size else 0
+            pred[cid] += diff
+            blk[0] = pred[cid] << al
+        elif br.read_bit():
+            blk[0] |= 1 << al
+
+    if len(scan_comps) > 1:  # interleaved: MCU order
+        count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if ri and count and count % ri == 0:
+                    br.align_restart()
+                    for cid in pred:
+                        pred[cid] = 0
+                count += 1
+                for cid, dc_id, _ac_id in scan_comps:
+                    _, hs, vs, _tq = by_id[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            one_block(coef[cid][my * vs + by, mx * hs + bx],
+                                      s["dc"].get(dc_id), cid)
+    else:  # non-interleaved: the component's own block raster
+        cid, dc_id, _ac_id = scan_comps[0]
+        bw, bh = nblocks[cid]
+        count = 0
+        for iy in range(bh):
+            for ix in range(bw):
+                if ri and count and count % ri == 0:
+                    br.align_restart()
+                    pred[cid] = 0
+                count += 1
+                one_block(coef[cid][iy, ix], s["dc"].get(dc_id), cid)
+
+
+def _jpeg_prog_ac_scan(br, s, coef, nblocks, ri):
+    (cid, _dc_id, ac_id), = s["comps"]  # AC scans are single-component
+    ac = s["ac"][ac_id]
+    ss, se, ah, al = s["Ss"], s["Se"], s["Ah"], s["Al"]
+    bw, bh = nblocks[cid]
+    eobrun = 0
+    count = 0
+    p1 = 1 << al
+    m1 = -(1 << al)
+    for iy in range(bh):
+        for ix in range(bw):
+            if ri and count and count % ri == 0:
+                br.align_restart()
+                eobrun = 0
+            count += 1
+            blk = coef[cid][iy, ix]
+            if ah == 0:  # first pass: EOB-run coding
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _jpeg_decode_huff(br, ac)
+                    r, sz = rs >> 4, rs & 0xF
+                    if sz == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += 16
+                    else:
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run overflow")
+                        blk[k] = _jpeg_extend(br.read_bits(sz), sz) << al
+                        k += 1
+            else:  # refinement pass
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _jpeg_decode_huff(br, ac)
+                        r, sz = rs >> 4, rs & 0xF
+                        val = 0
+                        if sz:
+                            val = p1 if br.read_bit() else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        while k <= se:
+                            if blk[k] != 0:
+                                if br.read_bit() and (blk[k] & p1) == 0:
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            if br.read_bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
 
 
 def _decode_jpeg(payload: bytes):

@@ -1,17 +1,19 @@
-"""Independent baseline-JPEG decoder (conformance oracle).
+"""Independent JPEG decoder (conformance oracle).
 
-A from-scratch restatement of ITU-T T.81 baseline sequential decoding
-with its OWN parsing (pre-destuffed bit list, string-free canonical
-huffman walk) — independent of ``rayxt.multimodal``'s decoder.  The
-IDCT basis matrix, nearest upsampling and the JFIF inverse color
-constants are SHARED SPEC (same float64 expressions in the same order)
-so a correct engine decoder matches bit-for-bit; everything else is
-re-derived here.
+A from-scratch restatement of ITU-T T.81 decoding with its OWN parsing
+(pre-destuffed bit list, string-free canonical huffman walk, plain
+Python list coefficient storage) — independent of
+``rayxt.multimodal``'s decoder.  The IDCT basis matrix, nearest
+upsampling and the JFIF inverse color constants are SHARED SPEC (same
+float64 expressions in the same order) so a correct engine decoder
+matches bit-for-bit; everything else is re-derived here.
 
-Supports exactly what ``fixtures/gen_media._jpeg_encode`` emits:
-baseline SOF0, 8-bit, up to 4 components, optional DRI/RSTn restart
-intervals (the scan splits into independent restart segments, each with
-fresh byte alignment and DC predictors).
+Supports what ``fixtures/gen_media`` emits: baseline SOF0 (8-bit, up
+to 4 components, optional DRI/RSTn restart intervals — the scan splits
+into independent restart segments, each with fresh byte alignment and
+DC predictors) and progressive SOF2 (Annex G: interleaved or
+single-component DC scans with successive approximation, EOB-run AC
+scans, DC/AC refinement passes).
 """
 
 from __future__ import annotations
@@ -100,6 +102,8 @@ def oracle_decode_jpeg(payload: bytes) -> np.ndarray:
     scan = None
     scan_comps = None
     restart_interval = 0
+    progressive = False
+    prog_scans = []
     while i + 4 <= len(payload):
         assert payload[i] == 0xFF
         marker = payload[i + 1]
@@ -128,7 +132,8 @@ def oracle_decode_jpeg(payload: bytes) -> np.ndarray:
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = \
                     _build_huff(bits16, vals)
                 p += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
             assert prec == 8
             for c in range(nc):
@@ -140,6 +145,8 @@ def oracle_decode_jpeg(payload: bytes) -> np.ndarray:
             ns = seg[0]
             scan_comps = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4,
                            seg[2 + 2 * c] & 0xF) for c in range(ns)]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             # entropy data: from after the SOS header to the next real
             # marker, split into restart segments at RSTn (each segment
             # restarts byte-aligned with fresh DC predictors)
@@ -161,9 +168,17 @@ def oracle_decode_jpeg(payload: bytes) -> np.ndarray:
                 segments[-1].append(b)
                 j += 1
             scan = [bytes(s) for s in segments]
+            if progressive:
+                prog_scans.append((scan_comps, ss, se, ahal >> 4,
+                                   ahal & 0xF, scan, dict(dc_tabs),
+                                   dict(ac_tabs), restart_interval))
+                i = j
+                continue
             break
         i += 2 + ln
-    assert width is not None and scan is not None
+    assert width is not None and (scan is not None or prog_scans)
+    if progressive:
+        return _oracle_progressive(prog_scans, comps, qts, width, height)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -228,3 +243,179 @@ def oracle_decode_jpeg(payload: bytes) -> np.ndarray:
         rgb[:, :, 2] = y_ + 1.772 * (cb - 128.0)
         out = rgb
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _oracle_progressive(prog_scans, comps, qts, width, height):
+    """Progressive (SOF2) decode, oracle-style: plain Python list
+    coefficient storage in zigzag order, pre-destuffed segment lists,
+    nested-dict huffman walk.  Algorithms restate T.81 Annex G
+    directly; only IDCT/upsample/color are shared spec."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcx = (width + 8 * hmax - 1) // (8 * hmax)
+    mcy = (height + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c[0]: c for c in comps}
+    coefs = {}
+    nblk = {}
+    for cid, hs, vs, _tq in comps:
+        rows, cols = mcy * vs, mcx * hs
+        coefs[cid] = [[[0] * 64 for _ in range(cols)] for _ in range(rows)]
+        cw = (width * hs + hmax - 1) // hmax
+        ch = (height * vs + vmax - 1) // vmax
+        nblk[cid] = ((cw + 7) // 8, (ch + 7) // 8)
+
+    for (scomps, ss, se, ah, al, segments, dc_tabs, ac_tabs,
+         ri) in prog_scans:
+        seg_idx = 0
+        bits = _Bits(segments[seg_idx])
+        if ss == 0 and len(scomps) > 1:  # interleaved DC scan
+            pred = {cid: 0 for cid, _, _ in scomps}
+            count = 0
+            for my in range(mcy):
+                for mx in range(mcx):
+                    if ri and count and count % ri == 0:
+                        seg_idx += 1
+                        bits = _Bits(segments[seg_idx])
+                        pred = {cid: 0 for cid in pred}
+                    count += 1
+                    for cid, dct, _act in scomps:
+                        _, hs, vs, _tq = by_id[cid]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blk = coefs[cid][my * vs + by][mx * hs + bx]
+                                _o_dc_unit(bits, blk, dc_tabs.get(dct),
+                                           pred, cid, ah, al)
+        elif ss == 0:  # single-component DC scan
+            cid, dct, _act = scomps[0]
+            pred = {cid: 0}
+            bw, bh = nblk[cid]
+            count = 0
+            for iy in range(bh):
+                for ix in range(bw):
+                    if ri and count and count % ri == 0:
+                        seg_idx += 1
+                        bits = _Bits(segments[seg_idx])
+                        pred = {cid: 0}
+                    count += 1
+                    _o_dc_unit(bits, coefs[cid][iy][ix],
+                               dc_tabs.get(dct), pred, cid, ah, al)
+        else:  # AC scan (single component per T.81)
+            cid, _dct, act = scomps[0]
+            tab = ac_tabs[act]
+            bw, bh = nblk[cid]
+            state = {"eob": 0}
+            count = 0
+            for iy in range(bh):
+                for ix in range(bw):
+                    if ri and count and count % ri == 0:
+                        seg_idx += 1
+                        bits = _Bits(segments[seg_idx])
+                        state["eob"] = 0
+                    count += 1
+                    blk = coefs[cid][iy][ix]
+                    if ah == 0:
+                        _o_ac_first(bits, blk, tab, ss, se, al, state)
+                    else:
+                        _o_ac_refine(bits, blk, tab, ss, se, al, state)
+
+    m = _idct_matrix()
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        rows = len(coefs[cid])
+        cols = len(coefs[cid][0])
+        plane = np.zeros((rows * 8, cols * 8), dtype=np.float64)
+        for iy in range(rows):
+            for ix in range(cols):
+                zz = coefs[cid][iy][ix]
+                deq = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    deq[_ZZ[k]] = zz[k] * qts[tq][_ZZ[k]]
+                block = deq.reshape(8, 8).astype(np.float64)
+                plane[iy * 8:iy * 8 + 8, ix * 8:ix * 8 + 8] = \
+                    m.T @ block @ m + 128.0
+        planes[cid] = plane
+
+    out = np.zeros((height, width, len(comps)), dtype=np.float64)
+    for idx, (cid, hs, vs, _tq) in enumerate(comps):
+        up = planes[cid].repeat(vmax // vs, axis=0).repeat(hmax // hs, axis=1)
+        out[:, :, idx] = up[:height, :width]
+    if len(comps) == 3:
+        y_, cb, cr = out[:, :, 0], out[:, :, 1], out[:, :, 2]
+        rgb = np.empty_like(out)
+        rgb[:, :, 0] = y_ + 1.402 * (cr - 128.0)
+        rgb[:, :, 1] = (y_ - 0.344136286 * (cb - 128.0)
+                        - 0.714136286 * (cr - 128.0))
+        rgb[:, :, 2] = y_ + 1.772 * (cb - 128.0)
+        out = rgb
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _o_dc_unit(bits, blk, dc_tab, pred, cid, ah, al):
+    if ah == 0:
+        s = _read_huff(bits, dc_tab)
+        pred[cid] += _extend(bits.take_n(s), s)
+        blk[0] = pred[cid] * (1 << al) if pred[cid] >= 0 else \
+            -((-pred[cid]) * (1 << al))
+    else:
+        if bits.take():
+            blk[0] |= 1 << al
+
+
+def _o_ac_first(bits, blk, tab, ss, se, al, state):
+    if state["eob"] > 0:
+        state["eob"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _read_huff(bits, tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                state["eob"] = (1 << r) - 1
+                if r:
+                    state["eob"] += bits.take_n(r)
+                return
+            k += 16
+        else:
+            k += r
+            assert k <= se, "oracle: AC run overflow"
+            blk[k] = _extend(bits.take_n(s), s) * (1 << al)
+            k += 1
+
+
+def _o_ac_refine(bits, blk, tab, ss, se, al, state):
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if state["eob"] == 0:
+        while k <= se:
+            rs = _read_huff(bits, tab)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s:
+                assert s == 1, "oracle: bad refinement size"
+                val = p1 if bits.take() else m1
+            elif r != 15:
+                state["eob"] = 1 << r
+                if r:
+                    state["eob"] += bits.take_n(r)
+                break
+            while k <= se:
+                if blk[k] != 0:
+                    if bits.take() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state["eob"] > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if bits.take() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eob"] -= 1

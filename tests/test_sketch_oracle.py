@@ -476,3 +476,27 @@ def test_as_matrix_zero_copy_paths():
     assert np.array_equal(_as_matrix(lst.slice(1, 1)), want[1:])
     # python list fallback
     assert np.array_equal(_as_matrix(rows), want)
+
+
+def test_progressive_jpeg_exactness_and_oracle():
+    """Progressive (SOF2) streams carry the SAME quantized coefficients
+    as the baseline stream of the same image, so a correct decoder
+    yields bit-identical pixels for both — asserted for both DC scan
+    shapes, plus engine==oracle on the progressive streams themselves
+    (independent implementations), plus fixture-mode coverage."""
+    from fixtures.gen_media import (_body, _is_jpeg_row, _jpeg_encode,
+                                    _jpeg_encode_progressive, _jpeg_mode)
+    from rayxt.multimodal import _decode_jpeg_array
+    from tests.oracle.jpeg_oracle import oracle_decode_jpeg
+
+    for i, (w, h) in enumerate([(8, 8), (20, 12), (33, 17), (47, 31)]):
+        src = _body(i + 501, h * w * 3).reshape(h, w, 3)
+        base = _decode_jpeg_array(_jpeg_encode(src, 85))
+        for split in (False, True):
+            payload = _jpeg_encode_progressive(src, 85, dc_split=split)
+            got = _decode_jpeg_array(payload)
+            assert (got == base).all(), (w, h, split)
+            assert (oracle_decode_jpeg(payload) == got).all(), (w, h, split)
+    # the media corpus exercises baseline AND both progressive shapes
+    modes = {_jpeg_mode(i) for i in range(300) if _is_jpeg_row(i)}
+    assert modes == {0, 1, 2}
