@@ -281,3 +281,61 @@ def test_fresh_run_resets_markers_and_lineage(ray_session, pages_path, tmp_path)
     assert set(s2["part_id"]) == {keep}
     assert scan_done(out) == {keep}
     assert {r["part_id"] for r in read_lineage(out)} == {keep}
+
+
+def test_runtime_env_py_modules_ships_engine(tmp_path):
+    """Multi-node realism (VERDICT r3 item 8): a worker whose sys.path
+    cannot see this repo must still run the extraction kernel when the
+    package ships via the job-level runtime_env={"py_modules": [...]}
+    — the real cluster deployment story.  Runs in a SUBPROCESS with its
+    own ray.init because py_modules upload is job-level only; the
+    worker scrubs every repo path and drops preloaded rayxt modules
+    BEFORE importing, then proves the import resolved to the shipped
+    copy and produces byte-identical text."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "ship_check.py"
+    script.write_text("""
+import os, sys
+repo = sys.argv[1]
+sys.path.insert(0, repo)
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR",
+         runtime_env={"py_modules": [os.path.join(repo, "rayxt")]})
+html = (b"<html><body><article><h1>T</h1><p>hello</p>"
+        b"<script>x()</script><p>world</p></article></body></html>")
+from rayxt.kernel import extract_one
+from rayxt.programs import get_program_factory
+local = extract_one(html, get_program_factory("main_content")())
+
+@ray.remote(num_cpus=1)
+def extract_remote(payload, repo_root):
+    import sys
+    sys.path = [p for p in sys.path if not (p or "").startswith(repo_root)]
+    for name in [m for m in sys.modules if m.split(".")[0] == "rayxt"]:
+        del sys.modules[name]
+    import rayxt  # must resolve via the shipped py_modules copy
+    from rayxt.kernel import extract_one as ex
+    from rayxt.programs import get_program_factory as gpf
+    out = ex(payload, gpf("main_content")())
+    return rayxt.__file__, out["status"], out["text"]
+
+mod_file, status, text = ray.get(extract_remote.remote(html, repo))
+assert not mod_file.startswith(repo), mod_file
+assert "_ray_pkg" in mod_file or "runtime_resources" in mod_file, mod_file
+assert status == local["status"] == "ok"
+assert text.encode() == local["text"].encode()
+ray.shutdown()
+print("SHIP_OK")
+""")
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # force a brand-new local instance
+    proc = subprocess.run(
+        [sys.executable, str(script), repo], capture_output=True,
+        text=True, timeout=240, env=env, cwd=str(tmp_path))
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "SHIP_OK" in proc.stdout
