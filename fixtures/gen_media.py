@@ -710,6 +710,67 @@ def _avi_encode(jpeg_frames: list, w: int, h: int, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _mp4_encode(jpeg_frames: list, w: int, h: int, fps: int = 10) -> bytes:
+    """Minimal spec-true MJPEG-in-MP4 writer (ISO-BMFF) for fixtures.
+
+    Deliberately a DIFFERENT layout from the engine's re-mux writer
+    (`rayxt.multimodal._encode_mp4`): brand mp42, one chunk PER SAMPLE
+    (stsc run (1,1,1)) and 64-bit co64 chunk offsets — so the demuxer's
+    multi-chunk and co64 paths are exercised by the corpus."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    def full(typ: bytes, ver: int, flags: int, body: bytes) -> bytes:
+        return box(typ, struct.pack(">I", (ver << 24) | flags) + body)
+
+    n = len(jpeg_frames)
+    timescale = 600
+    dur = n * (timescale // fps)
+    matrix = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                         0, 0, 0x40000000)
+    ftyp = box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42isom")
+    mdat = box(b"mdat", b"".join(jpeg_frames))
+    offs = []
+    off = len(ftyp) + 8
+    for f in jpeg_frames:
+        offs.append(off)
+        off += len(f)
+    mvhd = full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, dur) + struct.pack(
+        ">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8 + matrix
+        + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = full(b"tkhd", 0, 3, struct.pack(">IIIII", 0, 0, 1, 0, dur)
+                + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+                + struct.pack(">II", w << 16, h << 16))
+    mdhd = full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, timescale, dur)
+                + struct.pack(">HH", 0x55C4, 0))
+    hdlr = full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                + b"\x00" * 12 + b"fixture\x00")
+    vmhd = full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = box(b"dinf", full(b"dref", 0, 0, struct.pack(">I", 1)
+                             + full(b"url ", 0, 1, b"")))
+    entry = (struct.pack(">I4s", 86, b"jpeg") + b"\x00" * 6
+             + struct.pack(">H", 1) + struct.pack(">HH", 0, 0)
+             + b"\x00" * 12 + struct.pack(">HH", w, h)
+             + struct.pack(">II", 0x00480000, 0x00480000)
+             + struct.pack(">I", 0) + struct.pack(">H", 1)
+             + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = full(b"stts", 0, 0, struct.pack(">III", 1, n, timescale // fps))
+    stsc = full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                + b"".join(struct.pack(">I", len(f)) for f in jpeg_frames))
+    co64 = full(b"co64", 0, 0, struct.pack(">I", n)
+                + b"".join(struct.pack(">Q", o) for o in offs))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + co64)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 def _is_jpeg_row(i: int) -> bool:
     """Every 4th image row carries a baseline JPEG instead of a PNG."""
     return i % 3 == 0 and (i // 3) % 4 == 3
@@ -718,6 +779,11 @@ def _is_jpeg_row(i: int) -> bool:
 def _is_avi_row(i: int) -> bool:
     """Every 3rd video row is a real MJPEG AVI instead of RAYX raw."""
     return i % 3 == 2 and (i // 3) % 3 == 2
+
+
+def _is_mp4_row(i: int) -> bool:
+    """Another third of the video rows is MJPEG-in-MP4 (ISO-BMFF)."""
+    return i % 3 == 2 and (i // 3) % 3 == 1
 
 
 def _avi_spec(i: int):
@@ -775,6 +841,11 @@ def media_row(i: int) -> dict:
         jpegs = [_jpeg_encode(_avi_frame_src(i, f, w, h), 85)
                  for f in range(frames)]
         payload = _avi_encode(jpegs, w, h)
+    elif _is_mp4_row(i):
+        w, h, frames = _avi_spec(i)
+        jpegs = [_jpeg_encode(_avi_frame_src(i, f, w, h), 85)
+                 for f in range(frames)]
+        payload = _mp4_encode(jpegs, w, h)
     else:
         w, h, frames = 16 + _h(i, "w") % 16, 16 + _h(i, "h") % 16, 4 + _h(i, "f") % 12
         body = _body(i, w * h * frames)
@@ -818,9 +889,10 @@ def media_ground_truth(i: int) -> dict:
         return {"width": n, "height": channels, "n_frames": 1,
                 "mean_value": round(float(samples.mean()), 6),
                 "decode_status": "ok"}
-    if _is_avi_row(i):
-        # MJPEG is lossy like the JPEG image rows: the truth comes from
-        # the INDEPENDENT naive JPEG decoder over each demuxed frame
+    if _is_avi_row(i) or _is_mp4_row(i):
+        # MJPEG (in AVI or MP4) is lossy like the JPEG image rows: the
+        # truth comes from the INDEPENDENT naive JPEG decoder over each
+        # frame, encoded here from source — no container demux runs
         from tests.oracle.jpeg_oracle import oracle_decode_jpeg
 
         w, h, frames = _avi_spec(i)

@@ -26,13 +26,19 @@ format specs, stdlib+numpy only):
   + codec check, movi frame chunks), each frame decoded by the
   baseline JPEG decoder above; frame-sampling demuxes and re-muxes
   without touching the frame bytes;
+* **MP4 / ISO-BMFF** (`_decode_mp4`): full box walk (moov > trak >
+  mdia > minf > stbl), dims/codec from the stsd VisualSampleEntry,
+  sample ranges from stsz + stsc + stco/co64; MJPEG ('jpeg') tracks
+  decode per frame, frame-sampling re-muxes untouched bytes
+  (`_encode_mp4`); patent codecs (avc1/hev1/...) demux but map to
+  ``decode_status unsupported_codec``;
 * **RAYX**: the deterministic synthetic container used for video
   fixtures (raw frames), kept as the raw frame-sampling substrate.
 
-Anything else (MP4, …) needs codec libraries absent from this image
-and raises ``NotImplementedError`` -> ``decode_status
-unsupported_codec``.  Heavy formats would slot into the same
-actor-pool stage (decoders are per-actor state).
+Anything else needs codec libraries absent from this image and raises
+``NotImplementedError`` -> ``decode_status unsupported_codec``.
+Heavy formats would slot into the same actor-pool stage (decoders are
+per-actor state).
 
 Feature extraction on top of the codecs (both with INDEPENDENT naive
 oracles under ``tests/oracle``):
@@ -749,6 +755,185 @@ def _decode_avi(payload: bytes):
     return w, h, len(frames), float(np.concatenate(parts).mean())
 
 
+# -- MP4 / ISO-BMFF ---------------------------------------------------------
+
+
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """Iterate (fourcc, body_start, box_end) over a box sequence."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+            body = pos + 16
+        elif size == 0:  # box extends to the end of the enclosing space
+            size = end - pos
+        if size < 8:
+            raise ValueError("bad MP4 box size")
+        yield typ, body, min(pos + size, end)
+        pos += size
+
+
+def _mp4_frames(payload: bytes):
+    """ISO-BMFF (MP4) video-track demux -> (w, h, codec fourcc, frames).
+
+    Box walk: moov > trak (the one whose mdia/hdlr is 'vide') > mdia >
+    minf > stbl; dims + codec from the stsd VisualSampleEntry, sample
+    byte ranges from stsz + stsc + stco/co64 (absolute file offsets
+    into mdat).  Pure container work — whether the frames can be
+    DECODED depends on the codec fourcc the caller inspects.
+    """
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    w = h = None
+    codec = None
+    sizes = None
+    chunk_offsets = None
+    stsc_entries = None
+
+    def parse_stbl(pos, end):
+        nonlocal w, h, codec, sizes, chunk_offsets, stsc_entries
+        for typ, body, bend in _mp4_boxes(payload, pos, end):
+            b = payload[body:bend]
+            if typ == b"stsd" and struct.unpack(">I", b[4:8])[0] >= 1:
+                codec = b[12:16]
+                w = struct.unpack(">H", b[40:42])[0]
+                h = struct.unpack(">H", b[42:44])[0]
+            elif typ == b"stsz":
+                ssize, cnt = struct.unpack(">II", b[4:12])
+                sizes = [ssize] * cnt if ssize else list(
+                    struct.unpack(">%dI" % cnt, b[12:12 + 4 * cnt]))
+            elif typ == b"stco":
+                cnt = struct.unpack(">I", b[4:8])[0]
+                chunk_offsets = list(
+                    struct.unpack(">%dI" % cnt, b[8:8 + 4 * cnt]))
+            elif typ == b"co64":
+                cnt = struct.unpack(">I", b[4:8])[0]
+                chunk_offsets = list(
+                    struct.unpack(">%dQ" % cnt, b[8:8 + 8 * cnt]))
+            elif typ == b"stsc":
+                cnt = struct.unpack(">I", b[4:8])[0]
+                stsc_entries = [
+                    struct.unpack(">III", b[8 + 12 * i:20 + 12 * i])
+                    for i in range(cnt)]
+
+    for typ, body, bend in _mp4_boxes(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t1, b1, e1 in _mp4_boxes(payload, body, bend):
+            if t1 != b"trak":
+                continue
+            hdlr = None
+            stbl_range = None
+            for t2, b2, e2 in _mp4_boxes(payload, b1, e1):
+                if t2 != b"mdia":
+                    continue
+                for t3, b3, e3 in _mp4_boxes(payload, b2, e2):
+                    if t3 == b"hdlr":
+                        hdlr = payload[b3 + 8:b3 + 12]
+                    elif t3 == b"minf":
+                        for t4, b4, e4 in _mp4_boxes(payload, b3, e3):
+                            if t4 == b"stbl":
+                                stbl_range = (b4, e4)
+            if hdlr == b"vide" and stbl_range:
+                parse_stbl(*stbl_range)
+    if w is None or sizes is None or chunk_offsets is None \
+            or stsc_entries is None:
+        raise ValueError("MP4 missing video sample tables")
+
+    # expand stsc runs into per-chunk sample counts
+    n_chunks = len(chunk_offsets)
+    spc = []
+    for idx, (first, count, _sdi) in enumerate(stsc_entries):
+        last = (stsc_entries[idx + 1][0] - 1
+                if idx + 1 < len(stsc_entries) else n_chunks)
+        spc.extend([count] * (last - first + 1))
+    frames = []
+    si = 0
+    for ci, off in enumerate(chunk_offsets):
+        p = off
+        for _ in range(spc[ci] if ci < len(spc) else 0):
+            if si >= len(sizes):
+                break
+            frames.append(bytes(payload[p:p + sizes[si]]))
+            p += sizes[si]
+            si += 1
+    return int(w), int(h), codec, frames
+
+
+def _encode_mp4(jpeg_frames: list, w: int, h: int, fps: int = 10) -> bytes:
+    """Minimal spec-true MJPEG-in-MP4 writer (frame-sampling re-mux):
+    ftyp + mdat (frames concatenated) + moov with one 'vide' track
+    whose stsd carries a 'jpeg' VisualSampleEntry; one chunk holds all
+    samples.  Frame bytes pass through untouched."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    def full(typ: bytes, ver: int, flags: int, body: bytes) -> bytes:
+        return box(typ, struct.pack(">I", (ver << 24) | flags) + body)
+
+    n = len(jpeg_frames)
+    fps = max(int(fps), 1)
+    timescale = 1000
+    dur = n * (timescale // fps)
+    matrix = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                         0, 0, 0x40000000)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = box(b"mdat", b"".join(jpeg_frames))
+    first_off = len(ftyp) + 8  # mdat payload starts after its header
+    mvhd = full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, dur) + struct.pack(">IHH", 0x00010000,
+        0x0100, 0) + b"\x00" * 8 + matrix + b"\x00" * 24
+        + struct.pack(">I", 2))
+    tkhd = full(b"tkhd", 0, 7, struct.pack(">IIIII", 0, 0, 1, 0, dur)
+                + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+                + struct.pack(">II", w << 16, h << 16))
+    mdhd = full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, timescale, dur)
+                + struct.pack(">HH", 0x55C4, 0))
+    hdlr = full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                + b"\x00" * 12 + b"VideoHandler\x00")
+    vmhd = full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = full(b"dref", 0, 0, struct.pack(">I", 1)
+                + full(b"url ", 0, 1, b""))
+    dinf = box(b"dinf", dref)
+    entry = (struct.pack(">I4s", 86, b"jpeg") + b"\x00" * 6
+             + struct.pack(">H", 1) + struct.pack(">HH", 0, 0)
+             + b"\x00" * 12 + struct.pack(">HH", w, h)
+             + struct.pack(">II", 0x00480000, 0x00480000)
+             + struct.pack(">I", 0) + struct.pack(">H", 1)
+             + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = full(b"stts", 0, 0, struct.pack(">III", 1, n,
+                                           timescale // fps))
+    stsc = full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                + b"".join(struct.pack(">I", len(f)) for f in jpeg_frames))
+    stco = full(b"stco", 0, 0, struct.pack(">II", 1, first_off))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _decode_mp4(payload: bytes):
+    """MP4 -> (w, h, n_frames, mean) for MJPEG ('jpeg') tracks; patent
+    codecs (avc1/hev1/...) demux fine but cannot be decoded here."""
+    w, h, codec, frames = _mp4_frames(payload)
+    if codec != b"jpeg":
+        raise NotImplementedError(
+            f"MP4 codec {codec!r} needs codec libraries unavailable in "
+            "this environment (MJPEG 'jpeg' tracks supported)")
+    if not frames:
+        raise ValueError("MP4 has no video samples")
+    parts = [_decode_jpeg_array(f).ravel().astype(np.float64)
+             for f in frames]
+    return w, h, len(frames), float(np.concatenate(parts).mean())
+
+
 def _decode_payload(payload: bytes):
     """Decode one payload -> (w, h, frames, mean_value).
 
@@ -766,10 +951,13 @@ def _decode_payload(payload: bytes):
         if payload[8:12] == b"AVI ":
             return _decode_avi(payload)
         return _decode_wav(payload)
+    if payload[4:8] == b"ftyp":
+        return _decode_mp4(payload)
     if not payload.startswith(_MAGIC):
         raise NotImplementedError(
             "codec libraries for this format are unavailable in this "
-            "environment (PNG/JPEG/WAV/AVI-MJPEG/RAYX supported)"
+            "environment (PNG/JPEG/WAV/AVI-MJPEG/MP4-MJPEG/RAYX "
+            "supported)"
         )
     w, h, frames = struct.unpack("<iii", payload[4:16])
     body = np.frombuffer(payload, dtype=np.uint8, offset=16)
@@ -889,6 +1077,13 @@ class SampleFrames:
                     w, h, frames = _avi_frames(payload)
                     payloads.append(
                         _encode_avi(frames[::self.stride], w, h))
+                    continue
+                if payload[4:8] == b"ftyp":
+                    w, h, codec, frames = _mp4_frames(payload)
+                    if codec != b"jpeg":
+                        raise NotImplementedError("non-MJPEG MP4")
+                    payloads.append(
+                        _encode_mp4(frames[::self.stride], w, h))
                     continue
                 w, h, frames, _ = _decode_payload(payload)
                 body = np.frombuffer(payload, dtype=np.uint8, offset=16)

@@ -343,13 +343,16 @@ def test_media_decode_and_stages(ray_session, tmp_path):
     # PNG/JPEG images and RAYX video frames resize; audio and MJPEG-AVI
     # video (compressed — resize would force a lossy re-encode) pass
     # through unchanged
-    from fixtures.gen_media import _is_avi_row
+    from fixtures.gen_media import _is_avi_row, _is_mp4_row
 
-    avi = resized["media_id"].map(_is_avi_row)
+    def _compressed_video(i):
+        return _is_avi_row(i) or _is_mp4_row(i)
+
+    avi = resized["media_id"].map(_compressed_video)
     vis = resized[(resized.kind != "audio") & ~avi]
     assert (vis["width"] == 8).all() and (vis["height"] == 8).all()
     kept = resized[avi].set_index("media_id")
-    orig_avi = out[out["media_id"].map(_is_avi_row)].set_index("media_id")
+    orig_avi = out[out["media_id"].map(_compressed_video)].set_index("media_id")
     assert (kept["width"] == orig_avi["width"]).all()
     aud = resized[resized.kind == "audio"].set_index("media_id")
     orig_aud = out[out.kind == "audio"].set_index("media_id")
@@ -1289,3 +1292,55 @@ def test_winsorize(ray_session):
             .to_pandas().sort_values("i")
         assert got["value_w"].tolist() == want.tolist(), bs
     assert got["value_w"].max() < 9000.0 and got["value_w"].min() > 0.001
+
+
+def test_media_mp4_mjpeg_decode_and_sample(ray_session):
+    """MJPEG-in-MP4 (ISO-BMFF): engine box-walk demux+decode ==
+    independent flat-scan oracle == generator ground truth; frame
+    sampling re-muxes the untouched JPEG bytes; non-MJPEG codecs map
+    to unsupported_codec."""
+    import ray.data as rd
+
+    from fixtures.gen_media import _is_mp4_row, media_ground_truth, media_row
+    from rayxt.multimodal import (_decode_payload, _mp4_frames, decode_media,
+                                  sample_frames)
+    from tests.oracle.mp4_oracle import oracle_mp4_decode, oracle_mp4_frames
+
+    mp4_ids = [i for i in range(60) if _is_mp4_row(i)]
+    assert len(mp4_ids) >= 4
+    rows = [media_row(i) for i in mp4_ids]
+
+    for i, row in zip(mp4_ids, rows):
+        gt = media_ground_truth(i)
+        ew, eh, ef, em = _decode_payload(row["payload"])
+        ow, oh, of, om = oracle_mp4_decode(row["payload"])
+        assert (ew, eh, ef, round(em, 6)) == (
+            gt["width"], gt["height"], gt["n_frames"], gt["mean_value"])
+        assert (ow, oh, of, round(om, 6)) == (ew, eh, ef, round(em, 6))
+
+    # frame sampling keeps ceil(n/2) frames, bytes untouched
+    ds = rd.from_items(rows)
+    sampled = decode_media(
+        sample_frames(ds, stride=2, concurrency=1), concurrency=1
+    ).to_pandas().set_index("media_id")
+    src_frames = {i: _mp4_frames(r["payload"])[3]
+                  for i, r in zip(mp4_ids, rows)}
+    for i in mp4_ids:
+        assert sampled.loc[i, "n_frames"] == (len(src_frames[i]) + 1) // 2
+        assert sampled.loc[i, "decode_status"] == "ok"
+    sampled_payloads = sample_frames(ds, stride=2, concurrency=1).to_pandas()
+    for _, r in sampled_payloads.iterrows():
+        kept = oracle_mp4_frames(r["payload"])
+        assert kept == src_frames[r["media_id"]][::2]
+
+    # patent codec -> unsupported_codec, truncated container -> error
+    alien = rows[0]["payload"].replace(b"jpeg", b"avc1", 1)
+    bad = rd.from_items([
+        {"media_id": 0, "kind": "video", "payload": alien,
+         "declared_w": 1, "declared_h": 1, "declared_frames": 1},
+        {"media_id": 1, "kind": "video", "payload": rows[0]["payload"][:60],
+         "declared_w": 1, "declared_h": 1, "declared_frames": 1},
+    ])
+    st = decode_media(bad, concurrency=1).to_pandas().set_index("media_id")
+    assert st.loc[0, "decode_status"] == "unsupported_codec"
+    assert st.loc[1, "decode_status"] == "error"
