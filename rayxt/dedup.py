@@ -46,6 +46,7 @@ __all__ = [
     "paragraph_dedup",
     "dup_ngram_stats",
     "decontaminate",
+    "decontaminate_from_file",
 ]
 
 
@@ -1031,6 +1032,23 @@ def dup_ngram_stats(ds, key_cols, text_col: str = "text", *, n: int = 20,
         return out.append_column("dup_fraction", frac)
 
     return per_doc.map_batches(finalize, batch_format="pyarrow")
+
+
+def decontaminate_from_file(ds, eval_path: str, key_cols,
+                            text_col: str = "text", *, n: int = 13,
+                            eval_text_col: str = "text"):
+    """Production shape of :func:`decontaminate`: the evaluation set
+    lives in its OWN small file (an artifact of the benchmark, never
+    derived from the corpus mid-job).  The driver reads that file
+    directly — a bounded read of a by-definition-small table — and
+    broadcasts its window-hash set once.  Deriving the eval split from
+    the streaming corpus with a driver materialization is the
+    anti-pattern this entry point exists to avoid (ADVICE r3)."""
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(
+        eval_path, columns=[eval_text_col])[eval_text_col].to_pylist()
+    return decontaminate(ds, texts, key_cols, text_col, n=n)
 
 
 def decontaminate(ds, eval_texts, key_cols, text_col: str = "text", *,
