@@ -56,3 +56,25 @@ def test_kernel_deterministic(data):
     a = extract_one(data, _PROGRAM)
     b = extract_one(data, _PROGRAM)
     assert a == b
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(8, 28), st.integers(8, 28), st.integers(0, 2 ** 31),
+       st.booleans())
+def test_progressive_jpeg_matches_baseline_property(w, h, seed, split):
+    """For ANY image, the progressive stream must decode bit-identically
+    to the baseline stream (identical quantized coefficients), and the
+    independent oracle must agree on the progressive bytes."""
+    import numpy as np
+
+    from fixtures.gen_media import _jpeg_encode, _jpeg_encode_progressive
+    from rayxt.multimodal import _decode_jpeg_array
+    from tests.oracle.jpeg_oracle import oracle_decode_jpeg
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    base = _decode_jpeg_array(_jpeg_encode(src, 85))
+    prog_bytes = _jpeg_encode_progressive(src, 85, dc_split=split)
+    prog = _decode_jpeg_array(prog_bytes)
+    assert prog.shape == base.shape and (prog == base).all()
+    assert (oracle_decode_jpeg(prog_bytes) == prog).all()
