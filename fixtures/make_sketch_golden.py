@@ -31,7 +31,8 @@ from tests.oracle.audio_oracle import oracle_audio_features  # noqa: E402
 from tests.oracle.url_oracle import oracle_canonicalize_url  # noqa: E402
 from tests.oracle.phash_oracle import oracle_hamming_pairs  # noqa: E402
 from tests.oracle import oracle_rule_hits  # noqa: E402
-from tests.oracle.sketches import (  # noqa: E402
+from tests.oracle.sketches import (
+    oracle_bloom_hits,  # noqa: E402
     ddsketch_group_quantiles,
     oracle_bpe_token_counts,
     oracle_bpe_train,
@@ -62,6 +63,8 @@ N_PHASH = 120  # keep in sync with __ray_entry__._q_media_phash
 PHASH_MAX_HAMMING = 7  # keep in sync with __ray_entry__._q_media_image_neardup
 N_URLS = 400   # keep in sync with __ray_entry__._q_pages_url_canon
 N_BPE_MERGES = 25  # keep in sync with __ray_entry__._q_doc_bpe_merges
+BLOOM_BITS = 1 << 12  # keep in sync with __ray_entry__._q_customers_bloom_hits
+BLOOM_K = 5
 
 
 def main() -> None:
@@ -237,6 +240,25 @@ def main() -> None:
         "value_w", pa.array(clipped, pa.float64())),
         os.path.join(DATA_DIR, "golden_winsorize.parquet"))
 
+    # Bloom membership: build over the custkeys of URGENT orders,
+    # probe every customer — hits INCLUDE the frozen spec's false
+    # positives (the filtered build guarantees true non-members exist)
+    ords_t = pq.read_table(os.path.join(SF_DIR, "orders.parquet"),
+                           columns=["o_custkey", "o_orderpriority"])
+    import pyarrow.compute as _pc
+    ords = ords_t.filter(
+        _pc.equal(ords_t["o_orderpriority"], "1-URGENT"))
+    cust = pq.read_table(os.path.join(SF_DIR, "customer.parquet"),
+                         columns=["c_custkey"])
+    bh = oracle_bloom_hits(
+        [int(v) for v in ords.column("o_custkey").to_pylist()],
+        [int(v) for v in cust.column("c_custkey").to_pylist()],
+        n_bits=BLOOM_BITS, n_hashes=BLOOM_K)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([k for k, _ in bh], pa.int64()),
+        "bloom_hit": pa.array([h for _, h in bh], pa.bool_()),
+    }), os.path.join(DATA_DIR, "golden_bloom.parquet"))
+
     emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
                         columns=["vec_id", "embedding"])
     km = oracle_kmeans(emb.column("vec_id").to_pylist(),
@@ -367,7 +389,7 @@ def main() -> None:
                  "golden_dup_ngrams", "golden_url_canon",
                  "golden_bpe_merges", "golden_bpe_counts",
                  "golden_logreg_weights", "golden_logreg_scores",
-                 "golden_decontaminate", "golden_winsorize",
+                 "golden_decontaminate", "golden_winsorize", "golden_bloom",
                  "golden_image_clusters"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")

@@ -27,8 +27,11 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rayxt.state import key_digests
+
 __all__ = ["splitmix64_u64", "hll_partial_table", "hll_estimate",
-           "group_distinct_hll", "heavy_hitters"]
+           "group_distinct_hll", "heavy_hitters", "bloom_build",
+           "bloom_contains", "bloom_filter_ds", "bloom_positions"]
 
 _U64 = np.uint64
 
@@ -185,3 +188,105 @@ def heavy_hitters(ds, *, value_col: str, k: int = 10, m: int = 256,
                                                 alias_name=out_count)))
     return counts.sort([out_count, value_col],
                        descending=[True, False]).limit(k)
+
+
+# -- Bloom filter (approximate membership) ----------------------------------
+#
+# The classic 100 TB pre-filter: build a fixed-size bit array over one
+# table's key column (per-batch partial bitmaps OR-merged by a custom
+# AggregateFn — the same mergeable-partial discipline as HLL), ship it
+# once via ray.put, and probe any stream against it with vectorized
+# double hashing.  No false negatives; false-positive rate ~
+# (1 - e^(-k*n/m))^k.  FROZEN spec: positions are h1 + i*h2 mod n_bits
+# (double hashing, i in [0, k)) over the two 64-bit channels of
+# :func:`rayxt.state.key_digests` (process-stable), bit j of word
+# j // 64 at bit j % 64, little-endian uint64 words.  The naive oracle
+# restatement (tests/oracle/sketches.oracle_bloom_*) must agree
+# bit-for-bit — INCLUDING which non-members false-positive.
+
+
+def bloom_positions(values, n_bits: int, n_hashes: int) -> np.ndarray:
+    """(n, k) int64 bit positions for a key column (frozen spec)."""
+    d = key_digests(values)
+    h1 = d["a"]
+    h2 = d["b"] | _U64(1)  # odd step so all k positions are distinct-ish
+    i = np.arange(n_hashes, dtype=np.uint64)[None, :]
+    pos = (h1[:, None] + i * h2[:, None]) % _U64(n_bits)
+    return pos.astype(np.int64)
+
+
+def _bloom_set_bits(bits: np.ndarray, pos: np.ndarray) -> None:
+    flat = pos.ravel()
+    np.bitwise_or.at(bits, flat >> 6,
+                     np.uint64(1) << (flat.astype(np.uint64) & _U64(63)))
+
+
+def bloom_build(ds, *, key_col: str, n_bits: int = 1 << 20,
+                n_hashes: int = 5) -> np.ndarray:
+    """Distributed Bloom build -> uint64 word array of n_bits/64 words.
+
+    Each batch emits ONE row holding its partial bitmap (bytes); a
+    custom AggregateFn ORs them — a pure tree-reducible merge, no
+    driver loop over batches, no key shuffle.  ``n_bits`` must be a
+    multiple of 64.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    assert n_bits % 64 == 0
+    n_words = n_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(n_words, dtype=np.uint64)
+        _bloom_set_bits(bits, bloom_positions(t[key_col], n_bits, n_hashes))
+        return pa.table({"bitmap": pa.array([bits.tobytes()], pa.binary())})
+
+    def or_merge(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return (np.frombuffer(a, dtype=np.uint64)
+                | np.frombuffer(b, dtype=np.uint64)).tobytes()
+
+    agg = (ds.select_columns([key_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .aggregate(AggregateFn(
+               init=lambda k: None,
+               accumulate_row=lambda acc, row: or_merge(acc, row["bitmap"]),
+               merge=or_merge,
+               name="bloom")))
+    packed = agg["bloom"]
+    if packed is None:  # empty input: nothing is a member
+        return np.zeros(n_words, dtype=np.uint64)
+    return np.frombuffer(packed, dtype=np.uint64).copy()
+
+
+def bloom_contains(bits: np.ndarray, values, n_hashes: int) -> np.ndarray:
+    """Vectorized membership probe -> bool per value."""
+    n_bits = len(bits) * 64
+    pos = bloom_positions(values, n_bits, n_hashes)
+    word = bits[pos >> 6]
+    hit = (word >> (pos.astype(np.uint64) & _U64(63))) & _U64(1)
+    return hit.all(axis=1).astype(bool)
+
+
+def bloom_filter_ds(ds, bits: np.ndarray, *, key_col: str,
+                    n_hashes: int = 5, negate: bool = False):
+    """Keep rows whose ``key_col`` the Bloom filter (maybe) contains —
+    the shuffle-free approximate semi-join: the bitmap ships ONCE via
+    ``ray.put``, each batch probes locally.  ``negate=True`` keeps
+    definite non-members (an approximate ANTI join with NO false
+    drops: Bloom has no false negatives, so every kept row is truly
+    absent from the build side)."""
+    import ray
+
+    bits_ref = ray.put(bits)
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        mask = bloom_contains(b, t[key_col], n_hashes)
+        if negate:
+            mask = ~mask
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -640,3 +640,54 @@ def oracle_decontaminate(ids, texts, eval_texts, *, n: int = 13):
         hits = sum(1 for h in wh if h in eval_set)
         out[int(i)] = (hits, hits > 0)
     return out
+
+
+# -- Bloom filter restatement ------------------------------------------------
+# The two 64-bit hash channels are a SHARED library primitive
+# (pandas siphash64 with the frozen keys from rayxt.state — same
+# discipline as the shared IDCT basis in the JPEG oracle); everything
+# downstream (odd-step double hashing, bit set, membership AND) is
+# restated here with plain Python ints and a set of positions.
+
+_BLOOM_MIX = 0x9E3779B97F4A7C15
+
+
+def _bloom_channels(value):
+    import pandas as pd
+
+    if isinstance(value, (int, np.integer)):
+        a = np.asarray([value], dtype=np.int64)
+        h1 = int(pd.util.hash_array(a)[0])
+        h2 = int(pd.util.hash_array(
+            np.asarray([h1], dtype=np.uint64) ^ np.uint64(_BLOOM_MIX))[0])
+    else:
+        a = np.asarray([value], dtype=object)
+        h1 = int(pd.util.hash_array(a, hash_key="0123456789123456",
+                                    categorize=False)[0])
+        h2 = int(pd.util.hash_array(a, hash_key="rayxt.state.hk-b",
+                                    categorize=False)[0])
+    return h1, h2 | 1
+
+
+def _bloom_value_positions(value, n_bits: int, n_hashes: int) -> list:
+    h1, h2 = _bloom_channels(value)
+    return [((h1 + i * h2) % (1 << 64)) % n_bits for i in range(n_hashes)]
+
+
+def oracle_bloom_bits(keys, n_bits: int, n_hashes: int) -> set:
+    bits: set[int] = set()
+    for k in keys:
+        bits.update(_bloom_value_positions(k, n_bits, n_hashes))
+    return bits
+
+
+def oracle_bloom_hits(build_keys, probe_keys, *, n_bits: int,
+                      n_hashes: int) -> list:
+    """-> [(probe_key, hit)] in probe order — INCLUDING which
+    non-members false-positive (determinism of the frozen spec)."""
+    bits = oracle_bloom_bits(build_keys, n_bits, n_hashes)
+    out = []
+    for k in probe_keys:
+        pos = _bloom_value_positions(k, n_bits, n_hashes)
+        out.append((k, all(p in bits for p in pos)))
+    return out

@@ -500,3 +500,68 @@ def test_progressive_jpeg_exactness_and_oracle():
     # the media corpus exercises baseline AND both progressive shapes
     modes = {_jpeg_mode(i) for i in range(300) if _is_jpeg_row(i)}
     assert modes == {0, 1, 2}
+
+
+def test_bloom_filter_engine_matches_oracle(ray_session):
+    """Distributed Bloom build (partial-bitmap OR AggregateFn) ==
+    naive per-value oracle restatement bit-for-bit — including WHICH
+    non-members false-positive; no false negatives ever; measured FPR
+    within theory; partial-bitmap merge is order/partition-independent;
+    negate=True keeps only definite non-members."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayxt.sketches import (bloom_build, bloom_contains,
+                                bloom_filter_ds, bloom_positions)
+    from tests.oracle.sketches import oracle_bloom_bits, oracle_bloom_hits
+
+    members = [f"url-{i}" for i in range(2000)]
+    n_bits, k = 1 << 14, 5
+    ds = rd.from_arrow(pa.table({"k": members})).repartition(7)
+    bits = bloom_build(ds, key_col="k", n_bits=n_bits, n_hashes=k)
+
+    # bit-for-bit vs the oracle's position set
+    eng_set = {int(w_i * 64 + b) for w_i, w in enumerate(bits.tolist())
+               for b in range(64) if (w >> b) & 1}
+    assert eng_set == oracle_bloom_bits(members, n_bits, k)
+
+    # no false negatives; FP parity with the oracle on mixed probes
+    assert bloom_contains(bits, pa.array(members), k).all()
+    probes = [f"url-{i}" for i in range(1500, 3500)]
+    got = bloom_contains(bits, pa.array(probes), k).tolist()
+    want = [h for _, h in oracle_bloom_hits(members, probes,
+                                            n_bits=n_bits, n_hashes=k)]
+    assert got == want
+    # measured FPR within 3x of (1 - e^{-kn/m})^k
+    theory = (1 - np.exp(-k * len(members) / n_bits)) ** k
+    fpr = np.mean(got[500:])
+    assert fpr <= max(3 * theory, 0.02), (fpr, theory)
+
+    # partition independence: different partitioning, same bitmap
+    bits2 = bloom_build(ds.repartition(2), key_col="k",
+                        n_bits=n_bits, n_hashes=k)
+    assert np.array_equal(bits, bits2)
+
+    # filter / negate semantics
+    probe_ds = rd.from_arrow(pa.table({"k": probes}))
+    kept = bloom_filter_ds(probe_ds, bits, key_col="k",
+                           n_hashes=k).to_pandas()
+    anti = bloom_filter_ds(probe_ds, bits, key_col="k", n_hashes=k,
+                           negate=True).to_pandas()
+    assert len(kept) + len(anti) == len(probes)
+    assert set(p for p in probes if p in set(members)) <= set(kept["k"])
+    assert not (set(anti["k"]) & set(members))
+
+    # numeric keys share the frozen spec
+    ints = list(range(777))
+    ids = rd.from_arrow(pa.table({"k": pa.array(ints, pa.int64())}))
+    ibits = bloom_build(ids, key_col="k", n_bits=1 << 12, n_hashes=4)
+    iset = {int(w_i * 64 + b) for w_i, w in enumerate(ibits.tolist())
+            for b in range(64) if (w >> b) & 1}
+    assert iset == oracle_bloom_bits(ints, 1 << 12, 4)
+    # empty build: nothing is a member
+    ebits = bloom_build(ids.filter(lambda r: False), key_col="k",
+                        n_bits=1 << 12, n_hashes=4)
+    assert not bloom_contains(ebits, pa.array(ints, pa.int64()), 4).any()
+    assert bloom_positions(pa.array(["x"]), 1 << 12, 4).shape == (1, 4)
