@@ -704,9 +704,9 @@ def global_rank(ds, *, order_col: str, tie_col: str, ntile: int | None = None,
         raise ValueError(
             f"global_rank: order_col {order_col!r} has {n_distinct} "
             f"distinct values (> max_histogram={max_histogram}); the "
-            "driver-side histogram would not be bounded. Bucket the "
-            "column first or use Dataset.sort for a range-partitioned "
-            "rank.")
+            "driver-side histogram would not be bounded. Use "
+            "range_rank (the exact range-partitioned fallback) or "
+            "bucket the column first.")
     hist = hist_ds.to_pandas()
     if hist.empty:
         # empty-input aggregates come back schema-less (no columns)
@@ -743,6 +743,85 @@ def global_rank(ds, *, order_col: str, tie_col: str, ntile: int | None = None,
 
     return ds.groupby(order_col).map_groups(rank_group,
                                             batch_format="pandas")
+
+
+def range_rank(ds, *, order_col: str, tie_col: str,
+               ntile: int | None = None, keep_cols: tuple = (),
+               alpha: float = 0.01):
+    """EXACT global dense row numbering by ``(order_col, tie_col)`` for
+    HIGH-cardinality order columns — the range-partitioned fallback
+    :func:`global_rank`'s bounded-histogram envelope points to.
+
+    Rows range-partition by their DDSketch value bucket (a pure
+    monotone function of the value: negatives by descending magnitude,
+    zero, positives by ascending magnitude — so bucket order IS value
+    order and EQUAL values always share a bucket, keeping tie runs
+    together).  Pass 1 counts rows per bucket (pure aggregate over at
+    most ``O(log(range)/alpha)`` buckets — bounded regardless of value
+    cardinality); the driver turns counts into cumulative offsets and
+    broadcasts them.  Pass 2 ranks each bucket locally by
+    ``(value, tie)``: ``rank = offset[bucket] + local position`` —
+    exact, not approximate (the sketch only CHOOSES partitions; ranking
+    within them is an exact sort).
+
+    Envelope: a bucket holds rows within a ±alpha relative value range;
+    a value-heavy column (many exact ties) concentrates those rows on
+    one worker — inherent to exact ranking, since equal values must
+    co-locate to be tie-ordered.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    gamma = _dd_gamma(alpha)
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vals = np.asarray(pc.cast(t[order_col], pa.float64()))
+        kind, idx = _dd_buckets(vals, gamma)
+        # single monotone int64 key: neg (desc |v|) < zero < pos
+        bkey = np.zeros(len(vals), dtype=np.int64)
+        off = np.int64(1) << 40
+        bkey[kind == 2] = -idx[kind == 2] - off
+        bkey[kind == 1] = idx[kind == 1] + off
+        return t.append_column("__rb", pa.array(bkey))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    hist = (tagged.groupby("__rb")
+            .aggregate(Count(alias_name="__n")).to_pandas())
+    if hist.empty:
+        hist = pd.DataFrame({"__rb": [], "__n": []})
+    hist = hist.sort_values("__rb")
+    counts = hist["__n"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    off_ref = ray.put(dict(zip(hist["__rb"].tolist(), offsets.tolist())))
+
+    if ntile is not None:
+        q, r = divmod(total, ntile)
+
+        def bucket_of(rank: np.ndarray) -> np.ndarray:
+            cut = r * (q + 1)
+            small = rank <= cut
+            out = np.empty(len(rank), dtype=np.int64)
+            out[small] = (rank[small] - 1) // (q + 1) + 1
+            if q > 0:
+                out[~small] = r + (rank[~small] - 1 - cut) // q + 1
+            return out
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(g["__rb"].iloc[0])]
+        g = g.sort_values([order_col, tie_col],
+                          kind="mergesort").reset_index(drop=True)
+        out = {c: g[c] for c in (tie_col, order_col, *keep_cols)}
+        rank = off + np.arange(1, len(g) + 1, dtype=np.int64)
+        out["rank"] = pd.Series(rank)
+        if ntile is not None:
+            out["bucket"] = pd.Series(bucket_of(rank))
+        return pd.DataFrame(out)
+
+    return tagged.groupby("__rb").map_groups(rank_group,
+                                             batch_format="pandas")
 
 
 def rolling_stats(ds, *, key: str, ts_col: str, tie_col: str,

@@ -541,3 +541,33 @@ def test_group_quantiles_by_value_parity(ray_session):
     assert base["user_id"].tolist() == hist["user_id"].tolist()
     for c in ("p25", "p50", "p95"):
         assert np.allclose(base[c], hist[c], atol=1e-6)
+
+
+def test_range_rank_matches_bruteforce_high_cardinality(ray_session):
+    """range_rank: exact ROW_NUMBER/NTILE over an all-distinct float
+    column (the case global_rank's histogram guard rejects), plus
+    negatives, zeros and heavy exact ties sharing one bucket."""
+    import ray.data as rd
+
+    from rayxt.windows import range_rank
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.normal(0, 100, 3000),          # high-cardinality floats
+        np.zeros(50),                       # exact zero ties
+        np.full(75, -3.25),                 # negative exact ties
+        rng.uniform(1e-8, 1e-6, 200),       # tiny magnitudes
+    ])
+    df = pd.DataFrame({"event_id": np.arange(len(vals), dtype=np.int64),
+                       "value": vals})
+    got = (range_rank(rd.from_pandas(df).repartition(7),
+                      order_col="value", tie_col="event_id", ntile=7)
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+    want = df.sort_values(["value", "event_id"]).reset_index(drop=True)
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["rank"].tolist() == list(range(1, len(df) + 1))
+    n, k = len(df), 7
+    q, r = divmod(n, k)
+    sizes = [q + 1] * r + [q] * (k - r)
+    assert got["bucket"].tolist() == np.repeat(
+        np.arange(1, k + 1), sizes).tolist()
