@@ -159,8 +159,12 @@ def test_media_decode_round_trips_ground_truth():
     # JPEG is supported now; a truncated/garbage JPEG is a poison row
     with pytest.raises(ValueError):
         _decode_payload(b"\xff\xd8\xff\xe0" + b"\0" * 30)
-    with pytest.raises(NotImplementedError):
-        _decode_payload(b"\x00\x00\x00\x18ftypmp42" + b"\0" * 30)  # MP4
+    # MP4 is a real demuxer now (round 4): a bare ftyp with no sample
+    # tables is a MALFORMED container (-> error status); only a real
+    # track with a patent codec maps to unsupported_codec (covered by
+    # test_media_mp4_mjpeg_decode_and_sample)
+    with pytest.raises(ValueError):
+        _decode_payload(b"\x00\x00\x00\x18ftypmp42" + b"\0" * 30)
 
 
 def test_ivf_ann_recall_gate(ray_session):
