@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["grouped_corr", "zscore", "logreg_train", "logreg_predict",
-           "winsorize"]
+           "winsorize", "profile_table"]
 
 
 def _moment_partials(key: str, x_col: str, y_col: str):
@@ -230,3 +230,95 @@ def winsorize(ds, *, value_col: str, q_lo: float = 0.01,
         return t.append_column(out, pa.array(w, pa.float64()))
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def profile_table(ds, *, columns, ndigits: int = 6):
+    """ANALYZE-style column profile: one row per column with ``n``,
+    ``n_null``, ``n_distinct`` (exact), ``min_v`` / ``max_v`` /
+    ``mean_v`` — numeric columns profile their values, string columns
+    their UTF-8 lengths (SQL ``LENGTH``), so everything lands in one
+    typed float schema.
+
+    Scale shape: scalar stats are per-batch partial rows (one per
+    column per batch) merged by pure ``Sum/Min/Max`` aggregates;
+    distinct counts go through ONE shuffle for ALL columns — values
+    cast to strings (injective per column type), in-batch pre-deduped
+    with ``pc.unique``, exchanged as ``(column, value)`` rows, counted
+    by two pure ``Count`` aggregates.  Driver work = ``n_columns``
+    rows.  Envelope: exact distinct ships each column's distinct
+    values once — for open-ended columns at corpus scale use the HLL
+    sketch (:func:`rayxt.sketches.group_distinct_hll`) instead.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    columns = list(columns)
+
+    def is_str(typ) -> bool:
+        return pa.types.is_string(typ) or pa.types.is_large_string(typ)
+
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls, vmin, vmax, vsum = [], [], [], [], [], []
+        for c in columns:
+            col = t[c]
+            if is_str(col.type):
+                v = pc.cast(pc.utf8_length(col), pa.float64())
+            elif pa.types.is_timestamp(col.type):
+                v = pc.cast(pc.cast(col, pa.int64()), pa.float64())
+            else:
+                v = pc.cast(col, pa.float64())
+            names.append(c)
+            ns.append(len(col))
+            nulls.append(col.null_count)
+            mn = pc.min(v).as_py()
+            mx = pc.max(v).as_py()
+            sm = pc.sum(v).as_py()
+            vmin.append(np.inf if mn is None else float(mn))
+            vmax.append(-np.inf if mx is None else float(mx))
+            vsum.append(0.0 if sm is None else float(sm))
+        return pa.table({
+            "column": pa.array(names, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "n_null": pa.array(nulls, pa.int64()),
+            "vmin": pa.array(vmin, pa.float64()),
+            "vmax": pa.array(vmax, pa.float64()),
+            "vsum": pa.array(vsum, pa.float64()),
+        })
+
+    scal = (ds.map_batches(scalar_partial, batch_format="pyarrow")
+            .groupby("column")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("n_null", alias_name="n_null"),
+                       Min("vmin", alias_name="vmin"),
+                       Max("vmax", alias_name="vmax"),
+                       Sum("vsum", alias_name="vsum"))
+            .to_pandas())
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        out_c, out_v = [], []
+        for c in columns:
+            u = pc.unique(pc.cast(pc.drop_null(
+                t[c].combine_chunks()), pa.string()))
+            out_c.append(pa.array([c] * len(u), pa.string()))
+            out_v.append(u)
+        return pa.table({
+            "column": pa.concat_arrays(out_c),
+            "v": pa.concat_arrays([a.cast(pa.string()) for a in out_v]),
+        })
+
+    dist = (ds.map_batches(distinct_partial, batch_format="pyarrow")
+            .groupby(["column", "v"]).aggregate(Count(alias_name="__c"))
+            .groupby("column").aggregate(Count(alias_name="n_distinct"))
+            .to_pandas())
+
+    out = scal.merge(dist, on="column", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    nn = (out["n"] - out["n_null"]).to_numpy(dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = np.where(nn > 0, out["vsum"].to_numpy() / nn, np.nan)
+    out["min_v"] = np.round(out["vmin"].replace(np.inf, np.nan), ndigits)
+    out["max_v"] = np.round(out["vmax"].replace(-np.inf, np.nan), ndigits)
+    out["mean_v"] = np.round(mean, ndigits)
+    out = out[["column", "n", "n_null", "n_distinct",
+               "min_v", "max_v", "mean_v"]]
+    return out.sort_values("column").reset_index(drop=True)

@@ -1344,3 +1344,31 @@ def test_media_mp4_mjpeg_decode_and_sample(ray_session):
     st = decode_media(bad, concurrency=1).to_pandas().set_index("media_id")
     assert st.loc[0, "decode_status"] == "unsupported_codec"
     assert st.loc[1, "decode_status"] == "error"
+
+
+def test_profile_table_matches_pandas(ray_session):
+    """ANALYZE-style profile == pandas brute force: numerics by value,
+    strings by length, nulls counted, exact distinct, partitioning-
+    independent."""
+    import ray.data as rd
+
+    from rayxt.stats import profile_table
+
+    df = pd.DataFrame({
+        "x": [1.5, 2.5, None, 2.5, -7.0, 0.0],
+        "s": ["a", None, "abc", "abc", "", "zz"],
+        "k": pd.array([3, 3, 1, None, 2, 2], dtype="Int64"),
+    })
+    got = profile_table(rd.from_pandas(df).repartition(3),
+                        columns=["x", "s", "k"]).set_index("column")
+    assert got.loc["x", "n"] == 6 and got.loc["x", "n_null"] == 1
+    assert got.loc["x", "n_distinct"] == 4
+    assert got.loc["x", "min_v"] == -7.0 and got.loc["x", "max_v"] == 2.5
+    assert got.loc["x", "mean_v"] == round((1.5+2.5+2.5-7.0+0.0)/5, 6)
+    assert got.loc["s", "n_null"] == 1 and got.loc["s", "n_distinct"] == 4
+    assert got.loc["s", "min_v"] == 0.0 and got.loc["s", "max_v"] == 3.0
+    assert got.loc["k", "n_distinct"] == 3 and got.loc["k", "n_null"] == 1
+    # partition independence
+    got2 = profile_table(rd.from_pandas(df).repartition(1),
+                         columns=["x", "s", "k"]).set_index("column")
+    pd.testing.assert_frame_equal(got, got2)
