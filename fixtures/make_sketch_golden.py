@@ -32,7 +32,9 @@ from tests.oracle.url_oracle import oracle_canonicalize_url  # noqa: E402
 from tests.oracle.phash_oracle import oracle_hamming_pairs  # noqa: E402
 from tests.oracle import oracle_rule_hits  # noqa: E402
 from tests.oracle.sketches import (
-    oracle_bloom_hits,  # noqa: E402
+    oracle_bloom_hits,
+    oracle_lm_ppl,
+    oracle_lm_train,  # noqa: E402
     ddsketch_group_quantiles,
     oracle_bpe_token_counts,
     oracle_bpe_train,
@@ -65,6 +67,8 @@ N_URLS = 400   # keep in sync with __ray_entry__._q_pages_url_canon
 N_BPE_MERGES = 25  # keep in sync with __ray_entry__._q_doc_bpe_merges
 BLOOM_BITS = 1 << 12  # keep in sync with __ray_entry__._q_customers_bloom_hits
 BLOOM_K = 5
+LM_VOCAB = 500   # keep in sync with __ray_entry__._q_doc_lm_ppl
+LM_ALPHA = 0.1
 
 
 def main() -> None:
@@ -240,6 +244,15 @@ def main() -> None:
         "value_w", pa.array(clipped, pa.float64())),
         os.path.join(DATA_DIR, "golden_winsorize.parquet"))
 
+    # bigram LM perplexity: model trained on the documents corpus by
+    # the naive restatement, every doc scored by it
+    lm_model = oracle_lm_train(texts, vocab_size=LM_VOCAB, alpha=LM_ALPHA)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "ppl": pa.array([oracle_lm_ppl(lm_model, t) for t in texts],
+                        pa.float64()),
+    }), os.path.join(DATA_DIR, "golden_lm_ppl.parquet"))
+
     # Bloom membership: build over the custkeys of URGENT orders,
     # probe every customer — hits INCLUDE the frozen spec's false
     # positives (the filtered build guarantees true non-members exist)
@@ -390,6 +403,7 @@ def main() -> None:
                  "golden_bpe_merges", "golden_bpe_counts",
                  "golden_logreg_weights", "golden_logreg_scores",
                  "golden_decontaminate", "golden_winsorize", "golden_bloom",
+                 "golden_lm_ppl",
                  "golden_image_clusters"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")

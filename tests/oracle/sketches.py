@@ -691,3 +691,52 @@ def oracle_bloom_hits(build_keys, probe_keys, *, n_bits: int,
         pos = _bloom_value_positions(k, n_bits, n_hashes)
         out.append((k, all(p in bits for p in pos)))
     return out
+
+
+# -- bigram LM perplexity restatement ---------------------------------------
+# Plain dict counts, per-token loops, python floats — no numpy in the
+# model path (log/exp are the shared libm primitives).
+
+
+def _lm_tokens(text: str) -> list:
+    import re as _re
+
+    return _re.findall(r"[a-z0-9]+", (text or "").lower())
+
+
+def oracle_lm_train(texts, *, vocab_size: int = 1000, alpha: float = 0.1):
+    uni: dict = {}
+    for t in texts:
+        for w in _lm_tokens(t):
+            uni[w] = uni.get(w, 0) + 1
+    top = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vocab = sorted(w for w, _ in top)
+    index = {w: i for i, w in enumerate(vocab)}
+    V = len(vocab)
+    bi: dict = {}
+    left = defaultdict(int)
+    for t in texts:
+        ids = [index.get(w, V) for w in _lm_tokens(t)]
+        for a, b in zip(ids, ids[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+            left[a] += 1
+    return {"vocab": vocab, "bi": bi, "left": dict(left),
+            "alpha": alpha}
+
+
+def oracle_lm_ppl(model, text: str, *, ndigits: int = 6) -> float:
+    import math
+
+    vocab = model["vocab"]
+    V = len(vocab)
+    index = {w: i for i, w in enumerate(vocab)}
+    alpha = model["alpha"]
+    ids = [index.get(w, V) for w in _lm_tokens(text)]
+    if len(ids) < 2:
+        return -1.0
+    logs = []
+    for a, b in zip(ids, ids[1:]):
+        c12 = model["bi"].get((a, b), 0)
+        c1 = model["left"].get(a, 0)
+        logs.append(math.log((c12 + alpha) / (c1 + alpha * (V + 1))))
+    return round(math.exp(-sum(logs) / len(logs)), ndigits)

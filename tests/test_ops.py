@@ -1372,3 +1372,39 @@ def test_profile_table_matches_pandas(ray_session):
     got2 = profile_table(rd.from_pandas(df).repartition(1),
                          columns=["x", "s", "k"]).set_index("column")
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_lm_perplexity_engine_matches_oracle(ray_session):
+    """Bigram-LM quality scoring: distributed count passes + broadcast
+    scoring == the naive dict/loop restatement; vocabulary selection
+    total order; short docs score the -1 sentinel; partitioning cannot
+    change a score."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayxt.lm import lm_perplexity, lm_train
+    from tests.oracle.sketches import oracle_lm_ppl, oracle_lm_train
+
+    rng = np.random.default_rng(13)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "Iota", "KAPPA", "42", "x9"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(0, 40)))
+             for _ in range(300)]
+    texts += ["", "one", "  ", "!!!", "one two"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))), "text": texts})).repartition(6)
+
+    model = lm_train(ds, vocab_size=7, alpha=0.25)
+    om = oracle_lm_train(texts, vocab_size=7, alpha=0.25)
+    assert model["vocab"] == om["vocab"]
+    got = (lm_perplexity(ds, model, key_cols=("doc_id",))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = [oracle_lm_ppl(om, t) for t in texts]
+    assert np.allclose(got["ppl"], want, atol=1e-6)
+    assert (got["ppl"].iloc[-5:-1] == -1.0).sum() == 4  # <2-token docs
+    # partition independence
+    m2 = lm_train(ds.repartition(1), vocab_size=7, alpha=0.25)
+    assert m2["vocab"] == model["vocab"]
+    assert np.array_equal(m2["pairs"], model["pairs"])
+    assert np.array_equal(m2["pair_counts"], model["pair_counts"])
