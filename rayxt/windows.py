@@ -21,8 +21,8 @@ import pyarrow as pa
 __all__ = ["sessionize", "group_quantiles", "group_quantiles_sketch",
            "corpus_quantiles_sketch", "grouped_topk",
            "assign_hopping_windows", "grouped_mode", "sequence_stats",
-           "pivot_count", "global_rank", "rolling_stats",
-           "ordered_string_agg", "dense_grid"]
+           "pivot_count", "global_rank", "range_rank", "rolling_stats",
+           "ordered_string_agg", "dense_grid", "rollup_counts"]
 
 
 def assign_hopping_windows(ds, *, ts_col: str = "ts", size_us: int,
@@ -1005,3 +1005,55 @@ def dense_grid(ds, *, dim_a: str, dim_b: str, count_col: str = "n"):
     out = grid.merge(sparse, on=[dim_a, dim_b], how="left")
     out[count_col] = out["cnt"].fillna(0).astype("int64")
     return out.drop(columns=["cnt"])
+
+
+def rollup_counts(ds, *, dims, value_col: str | None = None,
+                  ndigits: int = 4):
+    """SQL ``GROUP BY ROLLUP(dims...)``: counts (and optional value
+    sums) at every prefix level of the dimension list, rolled-up
+    dimensions NULL — the report-cube shape.
+
+    Scale shape: ONE distributed groupby at the FINEST level (the only
+    pass over the data; per-batch partials combine inside blocks as
+    with any aggregate); every coarser level re-aggregates the finest
+    AGGREGATE, which is bounded by the finest group count — the
+    documented small-aggregate exception, so the rollup itself is
+    driver-side pandas over that small table.  Exact: counts/sums are
+    associative.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    dims = list(dims)
+    aggs = [Count(alias_name="n")]
+    if value_col is not None:
+        aggs.append(Sum(value_col, alias_name="sum_v"))
+    finest = ds.groupby(dims).aggregate(*aggs).to_pandas()
+    if finest.empty:
+        cols = {d: pd.Series([], dtype=object) for d in dims}
+        cols["n"] = pd.Series([], dtype="int64")
+        if value_col is not None:
+            cols["sum_v"] = pd.Series([], dtype="float64")
+        return pd.DataFrame(cols)
+
+    out_levels = []
+    for k in range(len(dims), -1, -1):
+        keep = dims[:k]
+        if keep:
+            lvl = finest.groupby(keep, as_index=False, dropna=False).agg(
+                n=("n", "sum"),
+                **({"sum_v": ("sum_v", "sum")}
+                   if value_col is not None else {}))
+        else:
+            lvl = pd.DataFrame({"n": [int(finest["n"].sum())]})
+            if value_col is not None:
+                lvl["sum_v"] = [float(finest["sum_v"].sum())]
+        for d in dims[k:]:
+            lvl[d] = None
+        out_levels.append(lvl[dims + ["n"]
+                              + (["sum_v"] if value_col is not None
+                                 else [])])
+    out = pd.concat(out_levels, ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    if value_col is not None:
+        out["sum_v"] = np.round(out["sum_v"].astype("float64"), ndigits)
+    return out

@@ -571,3 +571,32 @@ def test_range_rank_matches_bruteforce_high_cardinality(ray_session):
     sizes = [q + 1] * r + [q] * (k - r)
     assert got["bucket"].tolist() == np.repeat(
         np.arange(1, k + 1), sizes).tolist()
+
+
+def test_rollup_counts_matches_pandas(ray_session, ev_df):
+    """GROUP BY ROLLUP parity: every prefix level present, rolled-up
+    dims NULL, counts/sums exact."""
+    import ray.data as rd
+
+    from rayxt.windows import rollup_counts
+
+    df = ev_df.copy()
+    df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+    got = rollup_counts(rd.from_pandas(df).repartition(5),
+                        dims=["kind", "day"], value_col="value")
+    finest = df.groupby(["kind", "day"]).agg(
+        n=("value", "size"), sum_v=("value", "sum")).reset_index()
+    # level 2 rows
+    lvl2 = got[got["day"].notna()]
+    assert len(lvl2) == len(finest)
+    m = lvl2.set_index(["kind", "day"])
+    for _, r in finest.iterrows():
+        assert m.loc[(r["kind"], r["day"]), "n"] == r["n"]
+        assert abs(m.loc[(r["kind"], r["day"]), "sum_v"]
+                   - round(r["sum_v"], 4)) < 1e-9
+    # level 1: per-kind totals; level 0: grand total
+    lvl1 = got[got["day"].isna() & got["kind"].notna()].set_index("kind")
+    for kind, g in df.groupby("kind"):
+        assert lvl1.loc[kind, "n"] == len(g)
+    lvl0 = got[got["kind"].isna()]
+    assert len(lvl0) == 1 and int(lvl0["n"].iloc[0]) == len(df)
