@@ -34,7 +34,8 @@ from tests.oracle import oracle_rule_hits  # noqa: E402
 from tests.oracle.sketches import (
     oracle_bloom_hits,
     oracle_lm_ppl,
-    oracle_lm_train,  # noqa: E402
+    oracle_lm_train,
+    oracle_pack_documents,  # noqa: E402
     ddsketch_group_quantiles,
     oracle_bpe_token_counts,
     oracle_bpe_train,
@@ -69,6 +70,7 @@ BLOOM_BITS = 1 << 12  # keep in sync with __ray_entry__._q_customers_bloom_hits
 BLOOM_K = 5
 LM_VOCAB = 500   # keep in sync with __ray_entry__._q_doc_lm_ppl
 LM_ALPHA = 0.1
+PACK_MAX = 256   # keep in sync with __ray_entry__._q_doc_pack
 
 
 def main() -> None:
@@ -253,6 +255,16 @@ def main() -> None:
                         pa.float64()),
     }), os.path.join(DATA_DIR, "golden_lm_ppl.parquet"))
 
+    # sequence packing golden
+    packed = oracle_pack_documents(ids, texts, max_tokens=PACK_MAX)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_tokens": pa.array([packed[i][0] for i in ids], pa.int64()),
+        "pack_id": pa.array([packed[i][1] for i in ids], pa.int64()),
+        "pack_pos": pa.array([packed[i][2] for i in ids], pa.int64()),
+        "oversize": pa.array([packed[i][3] for i in ids], pa.bool_()),
+    }), os.path.join(DATA_DIR, "golden_pack.parquet"))
+
     # Bloom membership: build over the custkeys of URGENT orders,
     # probe every customer — hits INCLUDE the frozen spec's false
     # positives (the filtered build guarantees true non-members exist)
@@ -403,7 +415,7 @@ def main() -> None:
                  "golden_bpe_merges", "golden_bpe_counts",
                  "golden_logreg_weights", "golden_logreg_scores",
                  "golden_decontaminate", "golden_winsorize", "golden_bloom",
-                 "golden_lm_ppl",
+                 "golden_lm_ppl", "golden_pack",
                  "golden_image_clusters"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")

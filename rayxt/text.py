@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 from ._blockutil import crc_bucket
 
 __all__ = [
+    "pack_documents",
     "add_json_int_field",
     "add_char_entropy",
     "char_entropy_of",
@@ -730,3 +731,71 @@ def chunk_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow")
+
+
+def pack_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                   max_tokens: int = 512, n_buckets: int = 64):
+    """Pack documents into fixed token-budget groups — the
+    training-batch construction step (sequence packing).
+
+    FROZEN spec: tokens = single-space split (the :func:`chunk_documents`
+    convention); docs hash to ``bucket = crc32(str(id)) % n_buckets``
+    and pack WITHIN their bucket in ascending ``id`` order by
+    NEXT-FIT — a pack closes when the next doc would push it past
+    ``max_tokens``; a doc alone bigger than the budget gets its own
+    pack (flagged ``oversize``).  ``pack_id = bucket * 2^40 + seq``.
+    Deterministic and partition-independent: the assignment is a pure
+    function of the (id, n_tokens) pairs.
+
+    Scale shape: token counts are vectorized per batch; the ONLY
+    exchange is the ``n_buckets``-way groupby (each group holds ~1/64
+    of the corpus' (id, n_tokens) pairs — counts, never text); the
+    packing loop runs vectorized-ish per bucket over those small rows.
+    Returns one row per doc: (id, n_tokens, pack_id, pack_pos,
+    oversize).
+    """
+    def counts(t: pa.Table) -> pa.Table:
+        import zlib
+
+        n = pc.cast(pc.list_value_length(
+            pc.split_pattern(t[text_col], " ")), pa.int64())
+        ids = t[id_col].to_pylist()
+        bucket = [zlib.crc32(str(i).encode()) % n_buckets for i in ids]
+        return pa.table({
+            id_col: t[id_col], "n_tokens": n,
+            "__b": pa.array(bucket, pa.int64()),
+        })
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        b = int(g["__b"].iloc[0])
+        n = g["n_tokens"].to_numpy(np.int64)
+        pack_seq = np.zeros(len(g), dtype=np.int64)
+        pack_pos = np.zeros(len(g), dtype=np.int64)
+        seq = 0
+        acc = 0
+        pos = 0
+        for i in range(len(g)):
+            if pos > 0 and acc + n[i] > max_tokens:
+                seq += 1
+                acc = 0
+                pos = 0
+            pack_seq[i] = seq
+            pack_pos[i] = pos
+            acc += n[i]
+            pos += 1
+            if acc >= max_tokens:  # full (or oversize doc): close it
+                seq += 1
+                acc = 0
+                pos = 0
+        return pd.DataFrame({
+            id_col: g[id_col],
+            "n_tokens": g["n_tokens"],
+            "pack_id": pack_seq + (np.int64(b) << np.int64(40)),
+            "pack_pos": pack_pos,
+            "oversize": n > max_tokens,
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(counts, batch_format="pyarrow")
+            .groupby("__b").map_groups(pack, batch_format="pandas"))

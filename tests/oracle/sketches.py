@@ -740,3 +740,37 @@ def oracle_lm_ppl(model, text: str, *, ndigits: int = 6) -> float:
         c1 = model["left"].get(a, 0)
         logs.append(math.log((c12 + alpha) / (c1 + alpha * (V + 1))))
     return round(math.exp(-sum(logs) / len(logs)), ndigits)
+
+
+# -- sequence-packing restatement -------------------------------------------
+
+
+def oracle_pack_documents(ids, texts, *, max_tokens: int,
+                          n_buckets: int = 64):
+    """-> {id: (n_tokens, pack_id, pack_pos, oversize)} — plain loops,
+    same frozen spec as rayxt.text.pack_documents."""
+    import zlib
+
+    per_bucket = defaultdict(list)
+    for i, t in zip(ids, texts):
+        n = len((t or "").split(" "))
+        per_bucket[zlib.crc32(str(i).encode()) % n_buckets].append((i, n))
+    out = {}
+    for b, rows in per_bucket.items():
+        rows.sort()
+        seq = 0
+        acc = 0
+        pos = 0
+        for i, n in rows:
+            if pos > 0 and acc + n > max_tokens:
+                seq += 1
+                acc = 0
+                pos = 0
+            out[i] = (n, seq + (b << 40), pos, n > max_tokens)
+            acc += n
+            pos += 1
+            if acc >= max_tokens:
+                seq += 1
+                acc = 0
+                pos = 0
+    return out

@@ -1408,3 +1408,38 @@ def test_lm_perplexity_engine_matches_oracle(ray_session):
     assert m2["vocab"] == model["vocab"]
     assert np.array_equal(m2["pairs"], model["pairs"])
     assert np.array_equal(m2["pair_counts"], model["pair_counts"])
+
+
+def test_pack_documents_budget_and_determinism(ray_session):
+    """Sequence packing: budget respected (except oversize singleton
+    packs), next-fit order within bucket, partition independence."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayxt.text import pack_documents
+
+    rng = np.random.default_rng(23)
+    texts = [" ".join(["w"] * int(n))
+             for n in rng.integers(1, 120, size=400)]
+    texts[7] = " ".join(["w"] * 999)  # oversize doc
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))), "text": texts}))
+    got = (pack_documents(ds.repartition(5), max_tokens=256)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(texts)
+    # every non-oversize pack fits the budget
+    sums = got.groupby("pack_id").agg(tot=("n_tokens", "sum"),
+                                      over=("oversize", "any"))
+    assert (sums.loc[~sums["over"], "tot"] <= 256).all()
+    # oversize doc sits alone in its pack
+    over_pack = got.loc[got["doc_id"] == 7, "pack_id"].iloc[0]
+    assert (got["pack_id"] == over_pack).sum() == 1
+    # pack_pos is a contiguous 0..k run within each pack (id order)
+    for _, grp in got.groupby("pack_id"):
+        grp = grp.sort_values("doc_id")
+        assert grp["pack_pos"].tolist() == list(range(len(grp)))
+    # partition independence
+    got2 = (pack_documents(ds.repartition(1), max_tokens=256)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
