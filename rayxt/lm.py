@@ -6,8 +6,8 @@ dropping or down-weighting).
 FROZEN spec (restated by ``tests/oracle/sketches.oracle_lm_*``; the
 golden locks engine/oracle agreement):
 
-* tokenizer: lowercase, split on runs of ``[^a-z0-9]`` (ASCII fold of
-  the document — this is a quality SIGNAL, not a linguistic model);
+* tokenizer: lowercase, runs of ``[a-z0-9]`` (ASCII fold of the
+  document — this is a quality SIGNAL, not a linguistic model);
 * vocabulary: the ``vocab_size`` most frequent tokens, ties broken by
   token ascending; everything else maps to ``<unk>`` (id ``V``);
 * probabilities: add-alpha smoothing over the ``V+1``-token vocab,
@@ -20,12 +20,15 @@ Scale shape: unigram and bigram counts are per-batch partial counts
 merged by pure ``Sum`` groupbys (text never shuffles — only (token,
 count) / (id-pair, count) rows do); the finished model is bounded by
 ``V + observed-bigrams <= V^2`` rows, ships ONCE via ``ray.put``, and
-scoring is a stateless vectorized second pass (token ids via
-``searchsorted`` over the sorted vocab, bigram lookups via
-``searchsorted`` over sorted packed pair keys).  Determinism: counts
-are exact integers, vocabulary selection is totally ordered, and each
-document's float ops run in a fixed sequence — batching cannot change
-a score.
+scoring is a stateless vectorized second pass.  EVERY hot path is
+vectorized: tokenization is one Arrow ``utf8_lower`` +
+``split_pattern_regex`` per batch, unigram counts one
+``pc.value_counts``, bigram pairing / per-doc log-prob sums run on
+the flattened token array with offset arithmetic (``np.repeat`` /
+``np.add.at`` segment ops) — no per-token Python anywhere.
+Determinism: counts are exact integers, vocabulary selection is
+totally ordered, and each document's float ops run in a fixed
+sequence — batching cannot change a score.
 """
 
 from __future__ import annotations
@@ -35,15 +38,70 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["lm_train", "lm_perplexity", "LM_UNK"]
 
 LM_UNK = "<unk>"
 _TOK_RE = re.compile(r"[a-z0-9]+")
+_SEP_RE = r"[^a-z0-9]+"
 
 
 def _tokens(text: str) -> list:
+    """Reference tokenizer (the oracle's form; engine paths use the
+    equivalent vectorized split below)."""
     return _TOK_RE.findall((text or "").lower())
+
+
+def _split_column(col) -> tuple:
+    """Text column -> (flat object ndarray of pieces, doc start/end
+    index arrays with leading/trailing empty pieces trimmed) — the
+    vectorized equivalent of per-doc ``findall`` (splitting on
+    separator runs yields the same tokens plus possible ""-pieces at
+    the edges, which the bound trim removes)."""
+    lst = pc.split_pattern_regex(
+        pc.utf8_lower(pc.cast(col, pa.string())), _SEP_RE)
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    vals = lst.flatten().to_numpy(zero_copy_only=False)
+    off = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    s = off[:-1].copy()
+    e = off[1:].copy()
+    if len(vals):
+        empty = np.asarray(vals == "")
+        lead = (s < e)
+        lead[lead] = empty[s[lead]]
+        s = s + lead
+        trail = (s < e)
+        trail[trail] = empty[e[trail] - 1]
+        e = e - trail
+    return vals, s, e
+
+
+def _ids_of(vals: np.ndarray, v_arr: np.ndarray) -> np.ndarray:
+    """Vocab ids (unk = V) via one searchsorted over the sorted vocab."""
+    V = len(v_arr)
+    if len(vals) == 0:
+        return np.empty(0, dtype=np.int64)
+    if V == 0:
+        return np.zeros(len(vals), dtype=np.int64)
+    idx = np.clip(np.searchsorted(v_arr, vals), 0, V - 1)
+    return np.where(v_arr[idx] == vals, idx, V).astype(np.int64)
+
+
+def _pair_index(s: np.ndarray, e: np.ndarray):
+    """-> (j, doc_of_pair): flat positions whose (j, j+1) bigram stays
+    inside one document, and each pair's document index."""
+    cnt = np.clip(e - s - 1, 0, None)
+    total = int(cnt.sum())
+    if total == 0:
+        return (np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64), cnt)
+    doc = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    base = np.repeat(s, cnt)
+    within = (np.arange(total, dtype=np.int64)
+              - np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt))
+    return base + within, doc, cnt
 
 
 def lm_train(ds, *, text_col: str = "text", vocab_size: int = 1000,
@@ -59,13 +117,16 @@ def lm_train(ds, *, text_col: str = "text", vocab_size: int = 1000,
     from ray.data.aggregate import Sum
 
     def uni_partial(t: pa.Table) -> pa.Table:
-        counts: dict = {}
-        for txt in t[text_col].to_pylist():
-            for w in _tokens(txt):
-                counts[w] = counts.get(w, 0) + 1
+        lst = pc.split_pattern_regex(
+            pc.utf8_lower(pc.cast(t[text_col], pa.string())), _SEP_RE)
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = pc.drop_null(lst.flatten())
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
         return pa.table({
-            "tok": pa.array(list(counts.keys()), pa.string()),
-            "c": pa.array(list(counts.values()), pa.int64()),
+            "tok": vc.field("values"),
+            "c": pc.cast(vc.field("counts"), pa.int64()),
         })
 
     uni = (ds.select_columns([text_col])
@@ -81,25 +142,17 @@ def lm_train(ds, *, text_col: str = "text", vocab_size: int = 1000,
     v_arr = np.asarray(vocab, dtype=object)
     V = len(vocab)
 
-    def ids_of(words: list) -> np.ndarray:
-        if not words:
-            return np.empty(0, dtype=np.int64)
-        w = np.asarray(words, dtype=object)
-        idx = np.searchsorted(v_arr, w) if V else np.zeros(len(w), np.int64)
-        idx = np.clip(idx, 0, max(V - 1, 0))
-        ok = (v_arr[idx] == w) if V else np.zeros(len(w), dtype=bool)
-        return np.where(ok, idx, V).astype(np.int64)  # V = <unk>
-
     def bi_partial(t: pa.Table) -> pa.Table:
-        counts: dict = {}
-        for txt in t[text_col].to_pylist():
-            ids = ids_of(_tokens(txt))
-            for k in (ids[:-1] * (V + 1) + ids[1:]).tolist():
-                counts[k] = counts.get(k, 0) + 1
-        return pa.table({
-            "pair": pa.array(list(counts.keys()), pa.int64()),
-            "c": pa.array(list(counts.values()), pa.int64()),
-        })
+        vals, s, e = _split_column(t[text_col])
+        j, _doc, _cnt = _pair_index(s, e)
+        if len(j) == 0:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        ids = _ids_of(vals, v_arr)
+        keys = ids[j] * (V + 1) + ids[j + 1]
+        ukeys, ucounts = np.unique(keys, return_counts=True)
+        return pa.table({"pair": pa.array(ukeys, pa.int64()),
+                         "c": pa.array(ucounts.astype(np.int64))})
 
     bi = (ds.select_columns([text_col])
           .map_batches(bi_partial, batch_format="pyarrow")
@@ -124,7 +177,8 @@ def lm_perplexity(ds, model: dict, *, text_col: str = "text",
                   ndigits: int = 6):
     """Score every document: keys + ``out_col`` (round-6 perplexity;
     ``-1.0`` for documents with fewer than 2 tokens).  The model ships
-    once via ``ray.put``; scoring is stateless per batch."""
+    once via ``ray.put``; scoring is one vectorized pass per batch
+    (segmented log-prob sums over the flattened token array)."""
     import ray
 
     key_cols = list(key_cols)
@@ -139,19 +193,13 @@ def lm_perplexity(ds, model: dict, *, text_col: str = "text",
         left = m["left_counts"]
         alpha = m["alpha"]
         denom_add = alpha * (V + 1)
-        out = []
-        for txt in t[text_col].to_pylist():
-            words = _tokens(txt)
-            if len(words) < 2:
-                out.append(-1.0)
-                continue
-            w = np.asarray(words, dtype=object)
-            if V:
-                idx = np.clip(np.searchsorted(v_arr, w), 0, V - 1)
-                ids = np.where(v_arr[idx] == w, idx, V).astype(np.int64)
-            else:
-                ids = np.zeros(len(w), dtype=np.int64)
-            keys = ids[:-1] * (V + 1) + ids[1:]
+
+        vals, s, e = _split_column(t[text_col])
+        j, doc, cnt = _pair_index(s, e)
+        ppl = np.full(t.num_rows, -1.0)
+        if len(j):
+            ids = _ids_of(vals, v_arr)
+            keys = ids[j] * (V + 1) + ids[j + 1]
             c12 = np.zeros(len(keys), dtype=np.int64)
             if len(pairs):
                 pos = np.searchsorted(pairs, keys)
@@ -159,11 +207,14 @@ def lm_perplexity(ds, model: dict, *, text_col: str = "text",
                 hit = inb.copy()
                 hit[inb] = pairs[pos[inb]] == keys[inb]
                 c12[hit] = pcounts[pos[hit]]
-            c1 = left[ids[:-1]]
+            c1 = left[ids[j]]
             logp = np.log((c12 + alpha) / (c1 + denom_add))
-            out.append(round(float(np.exp(-logp.mean())), ndigits))
+            sums = np.zeros(t.num_rows, dtype=np.float64)
+            np.add.at(sums, doc, logp)
+            has = cnt > 0
+            ppl[has] = np.round(np.exp(-sums[has] / cnt[has]), ndigits)
         cols = {c: t[c] for c in key_cols}
-        cols[out_col] = pa.array(out, pa.float64())
+        cols[out_col] = pa.array(ppl, pa.float64())
         return pa.table(cols)
 
     return ds.select_columns([*key_cols, text_col]).map_batches(

@@ -739,9 +739,10 @@ def pack_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
     training-batch construction step (sequence packing).
 
     FROZEN spec: tokens = single-space split (the :func:`chunk_documents`
-    convention); docs hash to ``bucket = crc32(str(id)) % n_buckets``
-    and pack WITHIN their bucket in ascending ``id`` order by
-    NEXT-FIT — a pack closes when the next doc would push it past
+    convention); docs hash to ``bucket = digest_a(id) % n_buckets``
+    (channel *a* of :func:`rayxt.state.key_digests` — vectorized,
+    process-stable) and pack WITHIN their bucket in ascending ``id``
+    order by NEXT-FIT — a pack closes when the next doc would push it past
     ``max_tokens``; a doc alone bigger than the budget gets its own
     pack (flagged ``oversize``).  ``pack_id = bucket * 2^40 + seq``.
     Deterministic and partition-independent: the assignment is a pure
@@ -755,12 +756,12 @@ def pack_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
     oversize).
     """
     def counts(t: pa.Table) -> pa.Table:
-        import zlib
+        from rayxt.state import key_digests
 
         n = pc.cast(pc.list_value_length(
             pc.split_pattern(t[text_col], " ")), pa.int64())
-        ids = t[id_col].to_pylist()
-        bucket = [zlib.crc32(str(i).encode()) % n_buckets for i in ids]
+        bucket = (key_digests(t[id_col])["a"]
+                  % np.uint64(n_buckets)).astype(np.int64)
         return pa.table({
             id_col: t[id_col], "n_tokens": n,
             "__b": pa.array(bucket, pa.int64()),

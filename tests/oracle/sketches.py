@@ -748,13 +748,21 @@ def oracle_lm_ppl(model, text: str, *, ndigits: int = 6) -> float:
 def oracle_pack_documents(ids, texts, *, max_tokens: int,
                           n_buckets: int = 64):
     """-> {id: (n_tokens, pack_id, pack_pos, oversize)} — plain loops,
-    same frozen spec as rayxt.text.pack_documents."""
-    import zlib
+    same frozen spec as rayxt.text.pack_documents (the bucket hash is
+    the shared pandas-siphash digest primitive, evaluated per value)."""
+    import pandas as pd
 
     per_bucket = defaultdict(list)
     for i, t in zip(ids, texts):
         n = len((t or "").split(" "))
-        per_bucket[zlib.crc32(str(i).encode()) % n_buckets].append((i, n))
+        if isinstance(i, (int, np.integer)):
+            h = int(pd.util.hash_array(
+                np.asarray([i], dtype=np.int64))[0])
+        else:
+            h = int(pd.util.hash_array(
+                np.asarray([i], dtype=object),
+                hash_key="0123456789123456", categorize=False)[0])
+        per_bucket[h % n_buckets].append((i, n))
     out = {}
     for b, rows in per_bucket.items():
         rows.sort()
