@@ -55,6 +55,7 @@ def ensure_worker_importable() -> None:
         sys.path.insert(0, _REPO_ROOT)
 
 from . import __version__
+from .state import key_digests
 from .dom import parse_html, parse_xml
 from .kernel import DEFAULT_HARD_CAP, extract_one
 from .manifest import (
@@ -573,8 +574,6 @@ def _shard_name(sub: pa.Table, pid: int) -> str:
     sequences are byte-identical would collide and keep one file — that
     requires an exactly repeated 10^4-row run of the corpus.
     """
-    from rayxt.state import key_digests
-
     h = hashlib.sha1()
     h.update(b"%d:%d" % (pid, sub.num_rows))
     names = sub.column_names

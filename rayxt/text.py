@@ -15,6 +15,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .state import key_digests
+
 from ._blockutil import crc_bucket
 
 __all__ = [
@@ -756,8 +758,6 @@ def pack_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
     oversize).
     """
     def counts(t: pa.Table) -> pa.Table:
-        from rayxt.state import key_digests
-
         n = pc.cast(pc.list_value_length(
             pc.split_pattern(t[text_col], " ")), pa.int64())
         bucket = (key_digests(t[id_col])["a"]
