@@ -47,6 +47,47 @@ def _ensure_corpus() -> str:
                                 use_ray=True)
 
 
+FLAGSHIP_ROWS = int(os.environ.get("RAYXT_FLAGSHIP_ROWS", "60000"))
+FLAGSHIP_FILES = 8
+
+
+def _ensure_flagship_warc() -> list:
+    """Stage the first FLAGSHIP_ROWS bench pages as plain WARC files
+    (one-time, cached; excluded from timing)."""
+    import pyarrow.parquet as pq
+
+    from rayxt.warc import write_warc
+
+    d = f"/tmp/rayxt_bench/warc_{FLAGSHIP_ROWS}"
+    paths = [os.path.join(d, f"seg-{k}.warc") for k in range(FLAGSHIP_FILES)]
+    done = os.path.join(d, ".done")
+    if os.path.exists(done):
+        return paths
+    pages = _ensure_corpus()
+    os.makedirs(d, exist_ok=True)
+    pf = pq.ParquetFile(pages) if not os.path.isdir(pages) else None
+    if pf is None:  # directory dataset
+        import pyarrow.dataset as pads
+
+        scanner = pads.dataset(pages).scanner(
+            columns=["url", "warc_ts", "html"])
+        batches = scanner.to_batches()
+    else:
+        batches = pf.iter_batches(columns=["url", "warc_ts", "html"])
+    rows = []
+    for b in batches:
+        rows.extend(b.to_pylist())
+        if len(rows) >= FLAGSHIP_ROWS:
+            break
+    rows = rows[:FLAGSHIP_ROWS]
+    per = (len(rows) + FLAGSHIP_FILES - 1) // FLAGSHIP_FILES
+    for k in range(FLAGSHIP_FILES):
+        write_warc(rows[k * per:(k + 1) * per], paths[k])
+    with open(done, "w") as fh:
+        fh.write(str(len(rows)))
+    return paths
+
+
 def run_bench() -> dict:
     import ray
 
@@ -149,6 +190,46 @@ def run_bench() -> dict:
             mc.sum("n_chars")
             mc_times.append(time.time() - t0)
         queries["main_content"] = round(_st.median(mc_times), 3)
+
+    # composed flagship: WARC -> extract -> langid -> quality -> url
+    # dedup -> near-dup removal -> pack -> partitioned training sink,
+    # end to end over a WARC staging of the first RAYXT_FLAGSHIP_ROWS
+    # bench pages.  Fresh work dir per trial (measures the full job,
+    # not a resume).  Stage stats of both streaming sink plans go to
+    # BENCH/FLAGSHIP_STATS.txt — the no-materialization evidence.
+    fl_trials = int(os.environ.get("RAYXT_FLAGSHIP_TRIALS", "1"))
+    if fl_trials:
+        import statistics as _st
+
+        from rayxt.flagship import warc_to_training
+
+        warc_paths = _ensure_flagship_warc()
+        fl_times, fl_summary = [], None
+        for k in range(fl_trials):
+            wdir = f"{out_base}/rayxt_bench_flagship_{NUM_CPUS}_{os.getpid()}_{k}"
+            shutil.rmtree(wdir, ignore_errors=True)
+            t0 = time.time()
+            fl_summary = warc_to_training(
+                warc_paths, wdir, num_partitions=64,
+                concurrency=(2, pool), batch_size=128,
+                langid_concurrency=(1, max(2, pool // 2)),
+                dedup_concurrency=(2, max(2, pool // 2)))
+            fl_times.append(time.time() - t0)
+            shutil.rmtree(wdir, ignore_errors=True)
+        queries["warc_to_pack"] = round(_st.median(fl_times), 3)
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "FLAGSHIP_STATS.txt"),
+                  "w") as fh:
+            fh.write(
+                f"flagship warc_to_pack @ {NUM_CPUS} cpus: "
+                f"median {queries['warc_to_pack']}s over {fl_trials} "
+                f"trial(s)\nclean_rows={fl_summary['clean_rows']} "
+                f"neardup_dropped={fl_summary['neardup_dropped']} "
+                f"packed_rows={fl_summary['packed_rows']}\n\n"
+                f"== PASS 1 (clean) executed plan ==\n"
+                f"{fl_summary['clean_stats']}\n\n"
+                f"== PASS 3 (pack sink) executed plan ==\n"
+                f"{fl_summary['pack_stats']}\n")
 
     # representative non-headline pipelines over the sf tables.
     # median of >= 3 in-process repeats per query: single-run numbers on

@@ -524,12 +524,15 @@ def _run_extraction_job(
         two_tier=two_tier,
         timeout_s=timeout_s,
     )
+    ex_cols = [f.name for f in EXTRACT_SCHEMA] + ["part_id"]
     if sink == "streaming":
         return write_partitioned_streaming(
-            ex, out_dir, num_partitions, program_name=program, resume=resume
+            ex, out_dir, num_partitions, program_name=program, resume=resume,
+            columns=ex_cols,
         )
     return write_partitioned(
-        ex, out_dir, num_partitions, program_name=program, resume=resume
+        ex, out_dir, num_partitions, program_name=program, resume=resume,
+        columns=ex_cols,
     )
 
 
@@ -640,11 +643,19 @@ def write_partitioned_streaming(
     resume: bool = True,
     drop_columns: tuple = ("rule_hits", "spans"),
     rows_per_write: int | None = None,
+    columns: list | None = None,
 ):
     """P12/P13/P14 streaming sink: partitioned write with NO exchange.
 
     See the mode comparison above.  Returns a pandas summary
     ``(part_id, rows)`` like the exchange sink.
+
+    ``columns`` lets the caller DECLARE the input's column names.
+    Without it the sink asks ``ds.columns()``, which executes the
+    upstream plan to its first row — harmless on a pure map pipeline
+    (streaming early-exit) but a FULL extra execution when an
+    all-to-all barrier (groupby/sort) sits upstream.  Callers that
+    know their schema should always pass it.
 
     ``rows_per_write`` is the sink batch size and therefore the sink
     TASK granularity (Ray coalesces input blocks into batches of this
@@ -675,7 +686,7 @@ def write_partitioned_streaming(
     if n_stale:
         logger.info("removed %d stale shard files from unfinished partitions",
                     n_stale)
-    cols = ds.columns() or []
+    cols = columns if columns is not None else (ds.columns() or [])
     to_drop = [c for c in drop_columns if c in cols]
     if to_drop:
         ds = ds.drop_columns(to_drop)
@@ -739,6 +750,7 @@ def write_partitioned(
     resume: bool = True,
     drop_columns: tuple = ("rule_hits", "spans"),
     materialize_boundary: bool = True,
+    columns: list | None = None,
 ):
     """P12/P13/P14: url-hash partitioned sink with lineage + manifest.
 
@@ -761,7 +773,7 @@ def write_partitioned(
     # drop nested (list<struct>) columns BEFORE the all-to-all exchange:
     # they slow the sort-based shuffle ~5x (measured 30s -> 6s on 40k
     # rows) and are not part of the persisted partition schema anyway
-    cols = ds.columns() or []
+    cols = columns if columns is not None else (ds.columns() or [])
     to_drop = [c for c in drop_columns if c in cols]
     if to_drop:
         ds = ds.drop_columns(to_drop)
