@@ -12,11 +12,18 @@ From-scratch per the public spec, stdlib only:
   ``Name: value`` fields, empty line terminator), exactly
   ``Content-Length`` payload bytes, then CRLF CRLF;
 * response payloads are HTTP messages — the body starts after the
-  first CRLF CRLF (headers are not interpreted; chunked re-assembly
-  belongs to the capture tool, CC WARCs store the raw bytes);
+  first CRLF CRLF.  By default headers are not interpreted (CC WARCs
+  store raw capture bytes); ``dechunk=True`` re-assembles bodies whose
+  HTTP headers declare ``Transfer-Encoding: chunked`` (newer
+  CC-derived corpora ship those un-decoded);
 * ``.warc.gz`` files are concatenated per-record gzip members —
   Python's gzip reader walks multi-member streams natively, so one
-  wrapper serves both the plain and gzip layouts.
+  wrapper serves both the plain and gzip layouts;
+* ``.warc.zst`` files are concatenated zstd frames (RFC 8878) —
+  decoded via pyarrow's bundled zstd codec (no extra dependency; the
+  same codec every Arrow build ships for parquet).  Frames using a
+  custom dictionary (some CC releases embed one in a skippable
+  frame) are NOT supported and fail loudly.
 
 Scale shape: a ``FileBasedDatasource`` subclass — Ray schedules one
 read task per file (CC segments are ~1 GiB, thousands per crawl, so
@@ -95,7 +102,32 @@ def _parse_warc_date(raw: bytes):
         return None
 
 
-def parse_warc_records(f):
+def _dechunk(body: bytes) -> bytes:
+    """Re-assemble an RFC 9112 chunked body: ``size-hex[;ext] CRLF
+    data CRLF`` repeated, ``0`` chunk terminates (trailers dropped).
+    Malformed framing returns the body unchanged — a capture may
+    declare chunked but store already-decoded bytes."""
+    out, pos = [], 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            return body
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return body
+        if size == 0:
+            return b"".join(out)
+        start = nl + 2
+        end = start + size
+        if end > len(body):
+            return body
+        out.append(body[start:end])
+        pos = end + 2  # skip the chunk-data CRLF
+
+
+def parse_warc_records(f, *, dechunk: bool = False):
     """Stream (url, warc_ts, body bytes) tuples for every response
     record of one (decompressed) WARC stream."""
     while True:
@@ -113,24 +145,49 @@ def parse_warc_records(f):
         # HTTP message: body starts after the first CRLF CRLF
         sep = payload.find(b"\r\n\r\n")
         body = payload[sep + 4:] if sep >= 0 else payload
+        if (dechunk and sep >= 0
+                and b"chunked" in payload[:sep].lower()
+                and _http_declares_chunked(payload[:sep])):
+            body = _dechunk(body)
         yield url, ts, body
 
 
-def read_warc(paths, *, batch_rows: int = 256, **kwargs):
-    """WARC/WARC-gz files -> Dataset(url, warc_ts, html, lang)."""
+def _http_declares_chunked(head: bytes) -> bool:
+    for line in head.split(b"\r\n")[1:]:  # skip the status line
+        name, _, val = line.partition(b":")
+        if (name.strip().lower() == b"transfer-encoding"
+                and b"chunked" in val.lower()):
+            return True
+    return False
+
+
+def read_warc(paths, *, batch_rows: int = 256, dechunk: bool = False,
+              **kwargs):
+    """WARC/WARC-gz/WARC-zst files -> Dataset(url, warc_ts, html,
+    lang).  ``dechunk=True`` re-assembles chunked HTTP bodies."""
     import ray.data as rd
     from ray.data.datasource import FileBasedDatasource
 
     class WarcDatasource(FileBasedDatasource):
-        _FILE_EXTENSIONS = ["warc", "gz"]
+        _FILE_EXTENSIONS = ["warc", "gz", "zst"]
 
         def _read_stream(self, f, path: str):
             # NOTE: Ray's FileBasedDatasource auto-decompresses ``.gz``
             # (Arrow CompressedInputStream) — ``f`` is already the
-            # plain WARC byte stream for both layouts
+            # plain WARC byte stream for that layout.  ``.zst`` is not
+            # auto-detected on every Ray version, so sniff the stream:
+            # a zstd frame opens 28 B5 2F FD, a plain record "WARC/".
             stream = io.BufferedReader(_NativeWrapper(f))
+            magic = stream.peek(4)[:4]
+            if magic == b"\x28\xb5\x2f\xfd":
+                stream = io.BufferedReader(_NativeWrapper(
+                    pa.CompressedInputStream(stream, "zstd")))
+            elif magic[:2] == b"\x1f\x8b":
+                stream = io.BufferedReader(
+                    gzip.GzipFile(fileobj=stream))
             urls, tss, bodies = [], [], []
-            for url, ts, body in parse_warc_records(stream):
+            for url, ts, body in parse_warc_records(
+                    stream, dechunk=dechunk):
                 urls.append(url)
                 tss.append(ts)
                 bodies.append(body)
@@ -168,17 +225,40 @@ def _warc_table(urls, tss, bodies) -> pa.Table:
     })
 
 
+def _warc_date(ts) -> tuple[str, bytes]:
+    """(WARC-Date string, version line) for one timestamp.  Tz-aware
+    datetimes are normalized to UTC first (naive values are taken as
+    already-UTC, matching ``_parse_warc_date``).  Sub-second
+    timestamps emit microsecond precision, which WARC/1.1 allows but
+    WARC/1.0 forbids — the version line follows the precision, so
+    second-aligned rows keep the exact bytes earlier rounds wrote."""
+    if not hasattr(ts, "isoformat"):
+        return str(ts), b"WARC/1.0"
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+    if ts.microsecond:
+        return ts.isoformat(timespec="microseconds") + "Z", b"WARC/1.1"
+    return ts.isoformat(timespec="seconds") + "Z", b"WARC/1.0"
+
+
 def write_warc(rows, path: str, *, gzip_members: bool | None = None,
+               zstd_frames: bool | None = None,
                warcinfo: bytes = b"software: rayxt\r\n") -> str:
     """Spec-true WARC writer (fixtures / re-export): one warcinfo
     record + one response record per (url, warc_ts, html) row.
-    ``.gz`` paths write one gzip member PER RECORD (the CC layout);
-    override with ``gzip_members``."""
+    ``.gz`` paths write one gzip member PER RECORD and ``.zst`` paths
+    one zstd frame per record (both the CC layouts — member/frame
+    boundaries make records independently seekable); override with
+    ``gzip_members`` / ``zstd_frames``."""
     if gzip_members is None:
         gzip_members = path.endswith(".gz")
+    if zstd_frames is None:
+        zstd_frames = path.endswith(".zst")
+    zstd_codec = pa.Codec("zstd") if zstd_frames else None
 
-    def record(rtype: bytes, headers: list, payload: bytes) -> bytes:
-        head = [b"WARC/1.0",
+    def record(rtype: bytes, headers: list, payload: bytes,
+               version: bytes = b"WARC/1.0") -> bytes:
+        head = [version,
                 b"WARC-Type: " + rtype,
                 *headers,
                 b"Content-Length: " + str(len(payload)).encode()]
@@ -186,7 +266,9 @@ def write_warc(rows, path: str, *, gzip_members: bool | None = None,
                 + _CRLF + _CRLF)
 
     def emit(out, blob: bytes):
-        if gzip_members:
+        if zstd_codec is not None:
+            out.write(zstd_codec.compress(blob, asbytes=True))
+        elif gzip_members:
             # mtime=0 for deterministic bytes
             buf = io.BytesIO()
             with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
@@ -200,11 +282,7 @@ def write_warc(rows, path: str, *, gzip_members: bool | None = None,
                          [b"Content-Type: application/warc-fields"],
                          warcinfo))
         for r in rows:
-            ts = r["warc_ts"]
-            if hasattr(ts, "isoformat"):
-                date = ts.isoformat(timespec="seconds") + "Z"
-            else:
-                date = str(ts)
+            date, version = _warc_date(r["warc_ts"])
             http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
                     b"Content-Length: " + str(len(r["html"])).encode()
                     + b"\r\n\r\n" + r["html"])
@@ -213,5 +291,5 @@ def write_warc(rows, path: str, *, gzip_members: bool | None = None,
                 [b"WARC-Target-URI: " + r["url"].encode(),
                  b"WARC-Date: " + date.encode(),
                  b"Content-Type: application/http;msgtype=response"],
-                http))
+                http, version))
     return path

@@ -63,6 +63,91 @@ def test_warc_record_parsing_edge_cases():
             io.BytesIO(b"NOT A WARC\r\n\r\n"))))
 
 
+def test_warc_zst_roundtrip(ray_session, pages_rows, tmp_path):
+    """.warc.zst: concatenated per-record zstd frames (RFC 8878 magic),
+    read back identical to the plain layout."""
+    z = write_warc(pages_rows[:80], str(tmp_path / "z.warc.zst"))
+    raw = open(z, "rb").read()
+    assert raw[:4] == b"\x28\xb5\x2f\xfd"
+    assert raw.count(b"\x28\xb5\x2f\xfd") >= 81  # warcinfo + 80 frames
+    df = (read_warc([z]).to_pandas()
+          .sort_values(["url", "warc_ts"]).reset_index(drop=True))
+    import pandas as pd
+
+    want = (pd.DataFrame(pages_rows[:80])
+            .sort_values(["url", "warc_ts"]).reset_index(drop=True))
+    assert len(df) == 80
+    assert (df["url"] == want["url"]).all()
+    assert all(x == y for x, y in zip(df["html"], want["html"]))
+
+
+def test_warc_date_precision_and_tz(tmp_path):
+    """Sub-second timestamps survive a write/parse round trip at
+    microsecond precision (WARC/1.1); tz-aware datetimes normalize to
+    UTC instead of emitting an invalid '+00:00Z' suffix."""
+    from datetime import datetime, timedelta, timezone
+
+    from rayxt.warc import parse_warc_records
+
+    sub = datetime(2024, 5, 6, 7, 8, 9, 123456)
+    aware = datetime(2024, 5, 6, 9, 8, 9, 500000,
+                     tzinfo=timezone(timedelta(hours=2)))
+    whole = datetime(2024, 5, 6, 7, 8, 9)
+    rows = [{"url": f"http://x/{i}", "warc_ts": ts, "html": b"<p>a</p>"}
+            for i, ts in enumerate([sub, aware, whole])]
+    p = write_warc(rows, str(tmp_path / "ts.warc"))
+    raw = open(p, "rb").read()
+    assert b"WARC-Date: 2024-05-06T07:08:09.123456Z" in raw
+    assert b"WARC-Date: 2024-05-06T07:08:09.500000Z" in raw  # UTC-shifted
+    assert b"WARC-Date: 2024-05-06T07:08:09Z" in raw
+    assert b"+00:00" not in raw
+    # fractional dates ride a WARC/1.1 version line, whole seconds 1.0
+    assert b"WARC/1.1\r\n" in raw and b"WARC/1.0\r\n" in raw
+    got = {u: ts for u, ts, _ in
+           parse_warc_records(io.BufferedReader(io.BytesIO(raw)))}
+    assert got["http://x/0"] == sub
+    assert got["http://x/1"] == datetime(2024, 5, 6, 7, 8, 9, 500000)
+    assert got["http://x/2"] == whole
+
+
+def test_warc_dechunk():
+    """dechunk=True re-assembles Transfer-Encoding: chunked bodies;
+    default leaves raw capture bytes; malformed framing passes through."""
+    chunked = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + chunked)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://c/\r\n"
+           b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+           b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+           + http + b"\r\n\r\n")
+
+    def parse(blob, **kw):
+        return list(parse_warc_records(
+            io.BufferedReader(io.BytesIO(blob)), **kw))
+
+    assert parse(rec)[0][2] == chunked
+    assert parse(rec, dechunk=True)[0][2] == b"hello world"
+    # declared chunked but body already decoded -> unchanged
+    plain = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+             b"just plain text")
+    rec2 = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://p/\r\n"
+            b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+            b"Content-Length: " + str(len(plain)).encode() + b"\r\n\r\n"
+            + plain + b"\r\n\r\n")
+    assert parse(rec2, dechunk=True)[0][2] == b"just plain text"
+    # a 'chunked' mention in an unrelated header never triggers decode
+    other = (b"HTTP/1.1 200 OK\r\nX-Note: chunked\r\n\r\n5\r\nhello\r\n"
+             b"0\r\n\r\n")
+    rec3 = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://n/\r\n"
+            b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+            b"Content-Length: " + str(len(other)).encode() + b"\r\n\r\n"
+            + other + b"\r\n\r\n")
+    assert parse(rec3, dechunk=True)[0][2] == other.split(b"\r\n\r\n", 1)[1]
+
+
 def test_warc_feeds_extraction(ray_session, pages_rows, tmp_path):
     """read_warc -> extract_pages equals the parquet-sourced extraction
     on the same rows (the source swap is transparent)."""
