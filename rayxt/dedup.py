@@ -123,14 +123,97 @@ def _perm_params(num_perm: int, seed: int = 7):
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Per-row reference path (kept as the semantic spec and as the
+    fallback for rows the vectorized splitter can't reproduce)."""
     toks = text.split()
     if len(toks) < k:
         shingles = [" ".join(toks)] if toks else [""]
     else:
         shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    uniq = set(shingles)
     return np.fromiter(
-        (_sha1_int64(s) for s in set(shingles)), dtype=np.int64, count=len(set(shingles))
+        (_sha1_int64(s) for s in uniq), dtype=np.int64, count=len(uniq)
     )
+
+
+# Python str.split() treats \x1c-\x1f (FS/GS/RS/US) as whitespace but
+# Unicode White_Space=No, so Arrow's utf8_split_whitespace keeps them;
+# rows containing any take the per-row reference path to stay
+# byte-identical with the spec above.
+_PY_ONLY_WS = "[\\x1c-\\x1f]"
+
+
+def _batch_shingle_hashes(texts, k: int):
+    """Vectorized batch shingling -> (h_all, bounds).
+
+    ``h_all``: every (non-deduped) shingle's sha1-int64 hash, grouped by
+    document in batch order; ``bounds``: each document's start offset in
+    ``h_all`` (every doc contributes >= 1 shingle, matching
+    :func:`_shingle_hashes`'s empty-string shingle for empty docs).
+
+    The whole path is C kernels: Arrow whitespace split -> flattened
+    offsets -> k-gram strings via ``take`` + ``binary_join_element_wise``
+    -> ONE sha1 per batch-distinct shingle (``dictionary_encode``), so
+    duplicate-heavy corpora hash each repeated shingle once.
+    """
+    texts = pc.cast(texts, pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = texts.fill_null("")
+    n = len(texts)
+    if n == 0:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+    lst = pc.utf8_split_whitespace(texts)
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = lst.flatten()
+    offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    # Arrow keeps empty tokens for leading/trailing whitespace runs;
+    # str.split() drops them
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        doc = doc[keep]
+    cnt = np.bincount(doc, minlength=n)
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    sc = np.clip(cnt - k + 1, 0, None)  # shingles per doc with >= k tokens
+    total = int(sc.sum())
+    j0 = (np.repeat(starts, sc)
+          + (np.arange(total, dtype=np.int64)
+             - np.repeat(np.concatenate([[0], np.cumsum(sc)[:-1]]), sc)))
+    sh_doc = np.repeat(np.arange(n, dtype=np.int64), sc)
+    if total:
+        parts = [flat.take(pa.array(j0 + t)) for t in range(k)]
+        strs = pc.binary_join_element_wise(*parts, " ")
+        if isinstance(strs, pa.ChunkedArray):
+            strs = strs.combine_chunks()
+    else:
+        strs = pa.array([], pa.string())
+    short = cnt < k  # 0..k-1 tokens -> the single " ".join(toks) shingle
+    if short.any():
+        sidx = np.flatnonzero(short)
+        sstr = pa.array(
+            [" ".join(flat.slice(starts[i], cnt[i]).to_pylist())
+             for i in sidx], pa.string())
+        strs = pa.concat_arrays([strs, sstr])
+        sh_doc = np.concatenate([sh_doc, sidx])
+        order = np.argsort(sh_doc, kind="stable")
+        strs = strs.take(pa.array(order))
+        sh_doc = sh_doc[order]
+    de = strs.dictionary_encode()
+    if isinstance(de, pa.ChunkedArray):
+        de = de.combine_chunks()
+    inv = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = de.dictionary.to_pylist()
+    h = np.fromiter((_sha1_int64(s) for s in uniq), dtype=np.int64,
+                    count=len(uniq)).astype(np.uint64)
+    h_all = h[inv]
+    if len(sh_doc) == 0:  # empty batch
+        return h_all, np.empty(0, dtype=np.int64)
+    bounds = np.flatnonzero(
+        np.concatenate([[True], sh_doc[1:] != sh_doc[:-1]]))
+    return h_all, bounds
 
 
 class minhash_signatures:
@@ -150,6 +233,8 @@ class minhash_signatures:
         self.a, self.b = _perm_params(num_perm)
 
     def signature(self, text: str) -> np.ndarray:
+        """Per-row reference path (the vectorized batch path below is
+        parity-tested byte-identical against this)."""
         sh = _shingle_hashes(text, self.k).astype(np.uint64)
         # one vectorized (shingles x perms) pass; uint64 wrap-around
         # multiplication is a deterministic hash family (not strictly
@@ -160,16 +245,39 @@ class minhash_signatures:
         vals = sh[:, None] * a[None, :] + b[None, :]
         return (vals.min(axis=0) >> np.uint64(1)).astype(np.int64)
 
+    def _batch_signatures(self, texts) -> np.ndarray:
+        """All signatures of one batch, (n x num_perm) '<i8'.  One
+        perm at a time over the flattened shingle-hash array: an 8
+        MiB/1M-shingle working set instead of a (shingles x perms)
+        matrix, so the min-reduction stays cache-resident."""
+        h_all, bounds = _batch_shingle_hashes(texts, self.k)
+        n = len(bounds)
+        if n == 0:
+            return np.empty((0, self.num_perm), dtype="<i8")
+        a = self.a.astype(np.uint64)
+        b = self.b.astype(np.uint64)
+        out = np.empty((n, self.num_perm), dtype=np.uint64)
+        buf = np.empty(len(h_all), dtype=np.uint64)
+        for p in range(self.num_perm):
+            np.multiply(h_all, a[p], out=buf)
+            buf += b[p]
+            out[:, p] = np.minimum.reduceat(buf, bounds)
+        return (out >> np.uint64(1)).astype("<i8")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
+        texts = batch[self.text_col]
+        sigs = self._batch_signatures(texts)
+        legacy = pc.match_substring_regex(
+            pc.cast(texts, pa.string()).fill_null(""), _PY_ONLY_WS)
+        for i in np.flatnonzero(legacy.to_numpy(zero_copy_only=False)):
+            sigs[i] = self.signature(texts[i].as_py() or "").astype("<i8")
         # packed little-endian int64 bytes: joins support binary payload
         # columns (Arrow's hash join rejects list<> non-key fields)
-        sigs = [self.signature(t or "").astype("<i8").tobytes() for t in texts]
         return pa.table(
             {
-                self.id_col: pa.array(ids),
-                "sig": pa.array(sigs, pa.binary()),
+                self.id_col: batch[self.id_col],
+                "sig": pa.array([sigs[i].tobytes()
+                                 for i in range(len(sigs))], pa.binary()),
             }
         )
 
@@ -285,8 +393,9 @@ def bucket_candidate_pairs(buckets, *, id_col: str, max_bucket: int,
         hot_ref = ray.put(hot_keys)
 
         def keep_hot(t: pa.Table) -> pa.Table:
-            from ._blockutil import sorted_membership
-
+            # NOTE: sorted_membership is the module-level import — a
+            # runtime relative import here would break workers whose
+            # driver ran outside the repo (UDFs travel by value)
             keys = _mixed_key(t["band"].to_numpy(zero_copy_only=False),
                               t["bucket"].to_numpy(zero_copy_only=False))
             return t.filter(
@@ -413,10 +522,32 @@ def _shingle_set_rows(batch: pa.Table, *, id_col: str, text_col: str,
     packed SORTED little-endian int64 bytes.  8 bytes per shingle cross
     the verify joins instead of the text; sortedness lets the per-pair
     verify intersect two arrays with one linear merge."""
-    ids = batch[id_col].to_pylist()
-    packed = [np.sort(_shingle_hashes(t or "", k)).astype("<i8").tobytes()
-              for t in batch[text_col].to_pylist()]
-    return pa.table({id_col: pa.array(ids),
+    texts = batch[text_col]
+    h_all, bounds = _batch_shingle_hashes(texts, k)
+    n = len(bounds)
+    if n == 0:
+        return pa.table({id_col: batch[id_col],
+                         "sh": pa.array([], pa.binary())})
+    # sort within each doc segment, then drop within-doc duplicates —
+    # one batch-wide lexsort instead of a per-row sort/set
+    seg_len = np.diff(np.concatenate([bounds, [len(h_all)]]))
+    doc_ids = np.repeat(np.arange(n, dtype=np.int64), seg_len)
+    h_i64 = h_all.astype(np.int64)  # hashes are < 2^63 (sha1 >> 1)
+    order = np.lexsort((h_i64, doc_ids))
+    hs, ds_ = h_i64[order], doc_ids[order]
+    first = np.concatenate(
+        [[True], (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])])
+    hs, ds_ = hs[first], ds_[first]
+    le = hs.astype("<i8")
+    starts = np.searchsorted(ds_, np.arange(n))
+    ends = np.concatenate([starts[1:], [len(le)]])
+    packed = [le[s:e].tobytes() for s, e in zip(starts, ends)]
+    legacy = pc.match_substring_regex(
+        pc.cast(texts, pa.string()).fill_null(""), _PY_ONLY_WS)
+    for i in np.flatnonzero(legacy.to_numpy(zero_copy_only=False)):
+        packed[i] = np.sort(_shingle_hashes(
+            texts[i].as_py() or "", k)).astype("<i8").tobytes()
+    return pa.table({id_col: batch[id_col],
                      "sh": pa.array(packed, pa.binary())})
 
 

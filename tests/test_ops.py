@@ -120,6 +120,37 @@ def test_exact_dedup(ray_session):
     assert out["n_dups"].tolist() == [3, 1]
 
 
+def test_minhash_vectorized_matches_reference():
+    """The batch signature/shingle-set kernels are byte-identical to the
+    per-row reference path — including whitespace edge cases, empty
+    docs, sub-k docs, and the \\x1c-\\x1f chars only Python splits on."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayxt.dedup import (_shingle_hashes, _shingle_set_rows,
+                             minhash_signatures)
+
+    texts = ["", "   ", "a", "a b", "a b c", "a b c d", "  x\ty\nz  ",
+             None, "a  b", "c a b", "b a", "q\x1cr s t", "dup dup dup dup",
+             "the quick brown fox jumps over the lazy dog " * 5]
+    sig = minhash_signatures("id")
+    batch = pa.table({"id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    got = sig(batch)["sig"].to_pylist()
+    want = [sig.signature(t or "").astype("<i8").tobytes() for t in texts]
+    assert got == want
+    got_sh = _shingle_set_rows(batch, id_col="id", text_col="text",
+                               k=3)["sh"].to_pylist()
+    want_sh = [np.sort(_shingle_hashes(t or "", 3)).astype("<i8").tobytes()
+               for t in texts]
+    assert got_sh == want_sh
+    # empty batch
+    empty = batch.slice(0, 0)
+    assert len(sig(empty)) == 0
+    assert len(_shingle_set_rows(empty, id_col="id", text_col="text",
+                                 k=3)) == 0
+
+
 def test_minhash_lsh_finds_neardups(ray_session):
     import ray.data as rd
 
