@@ -42,11 +42,24 @@ first-seen rows, and streams them on.  Scale design (this is the
   must key on the deduped column, not the carried row (the driver
   query projects the key set; the "pick a deterministic
   representative" job is :func:`rayxt.dedup.dedup_keep_first`);
-* **fault caveat** — hot-buffer state is lost on actor death (frozen
-  runs survive on the actor's node only); a production ingest would
-  checkpoint shards (the manifest pattern in :mod:`rayxt.manifest`) —
-  documented, not implemented here.  Spill files land under a
-  per-deduper temp directory on each actor's node.
+* **checkpoint / restore** — ``StreamingDeduper.checkpoint(dir)``
+  freezes every shard and writes one sorted digest array per shard
+  (atomic tmp+rename, the :mod:`rayxt.incremental` pattern) plus a
+  ``manifest.json`` recording the shard count;
+  ``StreamingDeduper(..., restore_dir=dir)`` re-opens each shard's
+  array memory-mapped as its initial frozen run, so a resumed job
+  re-sees nothing the checkpoint covered.  The checkpoint dir must be
+  shared storage on a multi-node cluster (each shard writes/reads its
+  own file, so a URI-per-shard layout maps directly onto an object
+  store).  Restore requires the same shard count (validated against
+  the manifest; ``n_shards=None`` adopts the manifest's).  Hot-buffer
+  rows seen AFTER the last checkpoint are still re-seen on resume —
+  the same at-least-once envelope as the extraction manifest (P13).
+* **lifecycle** — ``close()`` (also ``__del__``, best-effort) kills
+  the shard actors after each removes its node-local spill directory,
+  and removes the driver-side temp dir, so long-lived clusters do not
+  accumulate ``/tmp`` spill files (spills otherwise live for the
+  actor's lifetime only).
 """
 
 from __future__ import annotations
@@ -114,7 +127,7 @@ def _shard_actor():
         16-byte digests + sorted frozen runs spilled to mmap'd files."""
 
         def __init__(self, shard_id: int, hot_cap: int, spill_dir: str,
-                     max_runs: int = 8):
+                     max_runs: int = 8, restore_path: str | None = None):
             self._id = shard_id
             self._hot_cap = max(int(hot_cap), 1024)
             self._max_runs = max_runs
@@ -126,6 +139,14 @@ def _shard_actor():
             # actor-local spill dir (each node has its own /tmp)
             self._dir = os.path.join(spill_dir, f"shard-{shard_id}")
             os.makedirs(self._dir, exist_ok=True)
+            if restore_path is not None and os.path.exists(restore_path):
+                # checkpointed digests become the initial frozen run,
+                # memory-mapped in place (never copied into the heap)
+                run = np.load(restore_path, mmap_mode="r")
+                if len(run):
+                    self._runs.append(run)
+                    self._run_paths.append(None)  # not ours to delete
+                    self._n_frozen = len(run)
 
         def filter_new(self, dig_bytes: bytes) -> np.ndarray:
             """-> bool per digest: True the FIRST time it is offered to
@@ -169,7 +190,8 @@ def _shard_actor():
                 merged.sort()
                 for k in (i, j):
                     del self._runs[k]
-                    os.unlink(self._run_paths[k])
+                    if self._run_paths[k] is not None:  # restore runs
+                        os.unlink(self._run_paths[k])   # aren't ours
                     del self._run_paths[k]
                 self._append_run(merged)
 
@@ -197,6 +219,35 @@ def _shard_actor():
                     "runs": len(self._runs), "spills": self._n_spills,
                     "heap_bytes": self.memory_bytes()}
 
+        def checkpoint(self, path: str) -> int:
+            """Persist the shard's full seen-set (hot + every run) as
+            ONE sorted array at ``path``, atomically (tmp + rename).
+            Non-destructive: the live index keeps serving.  Runs are
+            pairwise disjoint by construction (``filter_new`` inserts
+            only unseen digests), so concat+sort needs no dedup."""
+            parts = [np.asarray(r) for r in self._runs]
+            if self._hot:
+                parts.append(np.frombuffer(b"".join(self._hot),
+                                           DIGEST_DT))
+            merged = (np.concatenate(parts) if parts
+                      else np.empty(0, DIGEST_DT))
+            merged.sort()
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:  # file handle: no .npy suffixing
+                np.save(fh, merged)
+            os.replace(tmp, path)
+            return len(merged)
+
+        def close(self):
+            """Drop mmaps and remove this shard's node-local spill dir
+            (restore files are the caller's and are left alone)."""
+            import shutil
+
+            self._runs.clear()
+            self._run_paths.clear()
+            self._hot.clear()
+            shutil.rmtree(self._dir, ignore_errors=True)
+
     return _SeenShard
 
 
@@ -211,18 +262,45 @@ class StreamingDeduper:
     """Sharded first-seen index + the batch filter that consults it."""
 
     def __init__(self, key_col: str, n_shards: int | None = None, *,
-                 hot_cap: int = 1 << 20, spill_dir: str | None = None):
+                 hot_cap: int = 1 << 20, spill_dir: str | None = None,
+                 restore_dir: str | None = None):
+        import json
+
         import ray
 
         shard_cls = _shard_actor()
         self.key_col = key_col
+        restore_paths: list = []
+        if restore_dir is not None:
+            with open(os.path.join(restore_dir, "manifest.json")) as fh:
+                man = json.load(fh)
+            if n_shards is not None and int(n_shards) != man["n_shards"]:
+                raise ValueError(
+                    f"checkpoint has {man['n_shards']} shards, "
+                    f"restore requested {n_shards}: digest routing is "
+                    f"shard-count-dependent, counts must match")
+            n_shards = man["n_shards"]
+            restore_paths = [os.path.join(restore_dir, f"shard-{i}.npy")
+                             for i in range(n_shards)]
         self.n_shards = int(n_shards) if n_shards else _default_shards()
+        if not restore_paths:
+            restore_paths = [None] * self.n_shards
         if spill_dir is None:
             spill_dir = tempfile.mkdtemp(prefix="rayxt-sdedup-")
+            self._own_spill_dir = True
+        else:
+            self._own_spill_dir = False
         self.spill_dir = spill_dir
-        self.shards = [shard_cls.remote(i, hot_cap, spill_dir)
+        self.shards = [shard_cls.remote(i, hot_cap, spill_dir,
+                                        restore_path=restore_paths[i])
                        for i in range(self.n_shards)]
         self._ray = ray
+        self._closed = False
+        # the deduper is COPIED into every map worker via the filter
+        # closure; only the originating process may tear the shared
+        # actors down (__init__ does not re-run on unpickle, so the
+        # owner pid travels with the copy and fails the guard there)
+        self._owner_pid = os.getpid()
 
     def filter_batch(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -258,16 +336,68 @@ class StreamingDeduper:
     def shard_stats(self) -> list:
         return self._ray.get([s.stats.remote() for s in self.shards])
 
+    def checkpoint(self, state_dir: str) -> int:
+        """Persist the whole index to ``state_dir`` (one sorted digest
+        file per shard + ``manifest.json``), atomically per file; the
+        manifest is written LAST so a torn checkpoint never restores.
+        Returns total digests persisted.  The index keeps serving."""
+        import json
+
+        os.makedirs(state_dir, exist_ok=True)
+        counts = self._ray.get([
+            s.checkpoint.remote(os.path.join(state_dir, f"shard-{i}.npy"))
+            for i, s in enumerate(self.shards)])
+        man = {"n_shards": self.n_shards, "total": int(sum(counts)),
+               "format": "rayxt-sdedup-v1"}
+        tmp = os.path.join(state_dir, "manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(tmp, os.path.join(state_dir, "manifest.json"))
+        return man["total"]
+
+    def close(self):
+        """Remove every shard's spill files, kill the actors, and (when
+        this deduper created it) the driver-side temp dir.  Idempotent;
+        the deduper is unusable afterwards.  A no-op on worker-side
+        COPIES (see ``_owner_pid``): a worker process dropping its copy
+        must never tear down the shared index."""
+        if self._closed or os.getpid() != self._owner_pid:
+            return
+        self._closed = True
+        try:
+            self._ray.get([s.close.remote() for s in self.shards])
+        except Exception:  # actors may already be dead
+            pass
+        for s in self.shards:
+            try:
+                self._ray.kill(s)
+            except Exception:
+                pass
+        self.shards = []
+        if self._own_spill_dir:
+            import shutil
+
+            shutil.rmtree(self.spill_dir, ignore_errors=True)
+
+    def __del__(self):  # best-effort: don't leak /tmp spills
+        try:
+            self.close()
+        except Exception:
+            pass
+
 
 def streaming_dedup(ds, *, key_col: str, n_shards: int | None = None,
                     batch_size: int = 4096, hot_cap: int = 1 << 20,
-                    spill_dir: str | None = None):
+                    spill_dir: str | None = None,
+                    restore_dir: str | None = None):
     """First-seen streaming dedup of ``ds`` on ``key_col`` via a
     sharded actor index (module docstring for semantics/caveats).
     Returns ``(deduped_dataset, deduper)`` — the deduper exposes
-    ``total_seen()`` / ``shard_stats()`` after consumption."""
+    ``total_seen()`` / ``shard_stats()`` / ``checkpoint(dir)`` /
+    ``close()`` after consumption; ``restore_dir`` resumes from a
+    prior :meth:`StreamingDeduper.checkpoint`."""
     dd = StreamingDeduper(key_col, n_shards, hot_cap=hot_cap,
-                          spill_dir=spill_dir)
+                          spill_dir=spill_dir, restore_dir=restore_dir)
 
     def keep_new(t: pa.Table) -> pa.Table:
         return dd.filter_batch(t)

@@ -87,3 +87,74 @@ def test_streaming_dedup_shard_scaling_default(ray_session):
     dd = StreamingDeduper("k")
     assert dd.n_shards >= 8
     assert len(dd.shards) == dd.n_shards
+    dd.close()
+
+
+def test_streaming_dedup_checkpoint_restore_survives_kill(
+        ray_session, tmp_path):
+    """Kill the actor pool mid-corpus after a checkpoint, restore, run
+    the remainder, and assert the surviving distinct-key set equals the
+    single-run set (VERDICT r4 item 3's 'done' criterion).  Keys in the
+    second half that overlap the checkpointed first half must NOT
+    re-survive after restore."""
+    rng = np.random.default_rng(11)
+    all_keys = rng.integers(0, 50_000, size=120_000, dtype=np.int64)
+    half = 60_000
+    state = str(tmp_path / "ckpt")
+
+    # single uninterrupted run = the oracle
+    ref = StreamingDeduper("k", 4, hot_cap=4096,
+                           spill_dir=str(tmp_path / "ref"))
+    ref_keys = set()
+    for lo in range(0, len(all_keys), 10_000):
+        out = ref.filter_batch(
+            pa.table({"k": all_keys[lo:lo + 10_000]}))
+        ref_keys.update(out["k"].to_pylist())
+    ref.close()
+
+    # interrupted run: first half -> checkpoint -> KILL -> restore
+    dd1 = StreamingDeduper("k", 4, hot_cap=4096,
+                           spill_dir=str(tmp_path / "a"))
+    got = set()
+    for lo in range(0, half, 10_000):
+        out = dd1.filter_batch(pa.table({"k": all_keys[lo:lo + 10_000]}))
+        got.update(out["k"].to_pylist())
+    n_ckpt = dd1.checkpoint(state)
+    assert n_ckpt == dd1.total_seen() == len(got)
+    import ray as _ray
+
+    for s in dd1.shards:  # simulate actor death, not a clean close
+        _ray.kill(s)
+
+    dd2 = StreamingDeduper("k", n_shards=None, hot_cap=4096,
+                           spill_dir=str(tmp_path / "b"),
+                           restore_dir=state)
+    assert dd2.n_shards == 4  # adopted from the manifest
+    assert dd2.total_seen() == n_ckpt
+    for lo in range(half, len(all_keys), 10_000):
+        out = dd2.filter_batch(pa.table({"k": all_keys[lo:lo + 10_000]}))
+        kept = out["k"].to_pylist()
+        assert not (set(kept) & got)  # nothing checkpointed re-survives
+        got.update(kept)
+    assert got == ref_keys
+    # shard-count mismatch fails loudly (routing is count-dependent)
+    with pytest.raises(ValueError):
+        StreamingDeduper("k", 8, restore_dir=state)
+    # checkpoint again from the restored index: totals carry over
+    state2 = str(tmp_path / "ckpt2")
+    assert dd2.checkpoint(state2) == len(got)
+    dd2.close()
+
+
+def test_streaming_dedup_close_removes_spills(ray_session, tmp_path):
+    """close() reaps every shard spill dir and the own temp dir."""
+    import glob
+
+    dd = StreamingDeduper("k", 2, hot_cap=1024,
+                          spill_dir=str(tmp_path / "sp"))
+    keys = np.arange(50_000, dtype=np.int64)
+    dd.filter_batch(pa.table({"k": keys}))
+    assert glob.glob(str(tmp_path / "sp" / "shard-*" / "run-*.npy"))
+    dd.close()
+    assert not glob.glob(str(tmp_path / "sp" / "shard-*"))
+    dd.close()  # idempotent
