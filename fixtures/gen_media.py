@@ -98,6 +98,174 @@ def _png_encode(arr: np.ndarray, colour: int) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _png_filter_line(cur, prev, ch: int, f: int) -> bytes:
+    """Filter one scanline (int64 arrays) with PNG filter ``f``."""
+    stride = len(cur)
+    zeros = np.zeros(ch, dtype=np.int64)
+    a = np.concatenate([zeros, cur[:-ch]]) if stride > ch else \
+        np.zeros(stride, dtype=np.int64)
+    c = np.concatenate([zeros, prev[:-ch]]) if stride > ch else \
+        np.zeros(stride, dtype=np.int64)
+    if f == 0:
+        out = cur
+    elif f == 1:
+        out = cur - a
+    elif f == 2:
+        out = cur - prev
+    elif f == 3:
+        out = cur - (a + prev) // 2
+    else:  # Paeth
+        p = a + prev - c
+        pa_, pb, pc_ = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+        pred = np.where((pa_ <= pb) & (pa_ <= pc_), a,
+                        np.where(pb <= pc_, prev, c))
+        out = cur - pred
+    return bytes([f]) + (out & 0xFF).astype(np.uint8).tobytes()
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_encode_adam7(arr: np.ndarray, colour: int) -> bytes:
+    """Spec-true Adam7-interlaced PNG writer (same pixels as
+    ``_png_encode`` would carry).  Each pass is filtered as its own
+    sub-image (prev scanline = previous scanline OF THE PASS); the
+    filter type cycles over a global scanline counter so every pass
+    mixes filter kinds.  Empty passes emit no bytes at all."""
+    h, stride = arr.shape
+    ch = _PNG_CH[colour]
+    w = stride // ch
+    flat = arr.astype(np.int64)
+    lines = []
+    counter = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        cols = (x0 + dx * np.arange(pw)) * ch
+        col_idx = (cols[:, None] + np.arange(ch)[None, :]).ravel()
+        sub = flat[y0::dy][:ph][:, col_idx]
+        prev = np.zeros(pw * ch, dtype=np.int64)
+        for r in range(ph):
+            lines.append(_png_filter_line(sub[r], prev, ch, counter % 5))
+            prev = sub[r]
+            counter += 1
+    comp = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colour, 0, 0, 1)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp)
+            + chunk(b"IEND", b""))
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int,
+                    reset_every: int | None = None) -> bytes:
+    """From-scratch GIF-variant LZW: variable code width growing at
+    table size ``2^width`` (the decoder, one entry behind, grows at
+    ``2^width - 1``), LSB-first bit packing, CLEAR emitted up front,
+    on (optional) ``reset_every`` emissions, and before the 12-bit
+    table could overflow; EOI terminates."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nacc = 0
+    out = bytearray()
+
+    def emit(code: int, width: int):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, clear + 2, \
+            min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    cur = indices[0:1]
+    emitted = 0
+    for j in range(1, len(indices)):
+        k = indices[j:j + 1]
+        if cur + k in table:
+            cur = cur + k
+            continue
+        emit(table[cur], width)
+        emitted += 1
+        if next_code < 4095:
+            table[cur + k] = next_code
+            next_code += 1
+            if width < 12 and next_code == (1 << width):
+                width += 1
+        else:  # table nearly full: reset rather than defer
+            emit(clear, width)
+            table, next_code, width = fresh()
+        if reset_every and emitted % reset_every == 0:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        cur = k
+    emit(table[cur], width)
+    emit(eoi, width)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_encode(frames: list, palette: np.ndarray, *,
+                interlace: bool = False, local_tables: bool = False,
+                reset_every: int | None = None) -> bytes:
+    """Spec-true GIF89a writer: logical screen + global colour table
+    (or per-image local tables), a graphic-control extension per frame
+    (sub-block skipping must be exercised), LZW-compressed image data
+    in <=255-byte sub-blocks, optional 4-pass row interlace."""
+    h, w = frames[0].shape
+    n_col = len(palette)
+    bits = max(2, (n_col - 1).bit_length())
+    packed = (0x80 | 0x70 | (bits - 1)) if not local_tables else 0x70
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, packed, 0, 0)
+    pal_bytes = palette.astype(np.uint8).tobytes()
+    pal_bytes += b"\x00" * (3 * (1 << bits) - len(pal_bytes))
+    if not local_tables:
+        out += pal_bytes
+    for fi, fr in enumerate(frames):
+        # GCE: delay 4/100 s, no transparency
+        out += b"\x21\xF9\x04" + struct.pack("<BHB", 0, 4, 0) + b"\x00"
+        ipk = (0x40 if interlace else 0)
+        if local_tables:
+            ipk |= 0x80 | (bits - 1)
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, ipk)
+        if local_tables:
+            out += pal_bytes
+        idx = fr
+        if interlace:
+            rows = np.concatenate(
+                [np.arange(s, h, st) for s, st in _GIF_INTERLACE])
+            idx = fr[rows]
+        min_code = max(2, bits)
+        lzw = _gif_lzw_encode(idx.astype(np.uint8).tobytes(), min_code,
+                              reset_every=reset_every)
+        out.append(min_code)
+        for off in range(0, len(lzw), 255):
+            blk = lzw[off:off + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
 def _wav_encode(samples: np.ndarray, channels: int, sr: int = 8000) -> bytes:
     data = samples.astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, channels, sr, sr * channels * 2,
@@ -776,6 +944,36 @@ def _is_jpeg_row(i: int) -> bool:
     return i % 3 == 0 and (i // 3) % 4 == 3
 
 
+def _is_gif_row(i: int) -> bool:
+    """A quarter of the image rows carry a GIF (possibly animated)."""
+    return i % 3 == 0 and (i // 3) % 4 == 1
+
+
+def _is_adam7_row(i: int) -> bool:
+    """A quarter of the image rows carry an Adam7-interlaced PNG."""
+    return i % 3 == 0 and (i // 3) % 4 == 2
+
+
+def _gif_spec(i: int):
+    """(w, h, frames, palette array, interlace, local_tables,
+    reset_every) — cycles palette width 4/16/256 colours, interlaced
+    rows, local-vs-global tables, and forced mid-stream LZW resets."""
+    w, h, _colour = _image_spec(i)
+    frames = 1 + _h(i, "gf") % 3
+    bits = (2, 4, 8)[(i // 12) % 3]
+    n_col = 1 << bits
+    palette = _body(i * 7 + 1, 3 * n_col).reshape(n_col, 3)
+    interlace = (i // 24) % 2 == 1
+    local_tables = (i // 36) % 3 == 2
+    reset_every = 300 if (i // 12) % 2 == 1 else None
+    return w, h, frames, palette, interlace, local_tables, reset_every
+
+
+def _gif_frame_indices(i: int, f: int, w: int, h: int,
+                       n_col: int) -> np.ndarray:
+    return (_body(i * 131 + f, h * w) % n_col).reshape(h, w)
+
+
 def _is_avi_row(i: int) -> bool:
     """Every 3rd video row is a real MJPEG AVI instead of RAYX raw."""
     return i % 3 == 2 and (i // 3) % 3 == 2
@@ -824,14 +1022,21 @@ def media_row(i: int) -> dict:
     kind = ("image", "audio", "video")[i % 3]
     if kind == "image":
         w, h, colour = _image_spec(i)
+        frames = 1
         if _is_jpeg_row(i):
             src = _body(i, h * w * 3).reshape(h, w, 3)
             payload = _jpeg_payload(i, src)
+        elif _is_gif_row(i):
+            w, h, frames, palette, inter, local, reset = _gif_spec(i)
+            frs = [_gif_frame_indices(i, f, w, h, len(palette))
+                   for f in range(frames)]
+            payload = _gif_encode(frs, palette, interlace=inter,
+                                  local_tables=local, reset_every=reset)
         else:
             arr = _body(i, h * w * _PNG_CH[colour]).reshape(
                 h, w * _PNG_CH[colour])
-            payload = _png_encode(arr, colour)
-        frames = 1
+            enc = _png_encode_adam7 if _is_adam7_row(i) else _png_encode
+            payload = enc(arr, colour)
     elif kind == "audio":
         n, channels = _audio_spec(i)
         payload = _wav_encode(_audio_samples(i, n, channels), channels)
@@ -879,6 +1084,17 @@ def media_ground_truth(i: int) -> dict:
             return {"width": w, "height": h, "n_frames": 1,
                     "mean_value": round(float(dec.mean()), 6),
                     "decode_status": "ok"}
+        if _is_gif_row(i):
+            # GIF is LOSSLESS palette-indexed: the truth is the mean of
+            # the palette-mapped SOURCE indices, never a decode
+            w, h, frames, palette, _int, _loc, _rst = _gif_spec(i)
+            px = np.concatenate([
+                palette[_gif_frame_indices(i, f, w, h, len(palette))]
+                .ravel().astype(np.float64) for f in range(frames)])
+            return {"width": w, "height": h, "n_frames": frames,
+                    "mean_value": round(float(px.mean()), 6),
+                    "decode_status": "ok"}
+        # plain AND Adam7 PNG: lossless, truth = source-array mean
         arr = _body(i, h * w * _PNG_CH[colour])
         return {"width": w, "height": h, "n_frames": 1,
                 "mean_value": round(float(arr.mean()), 6),

@@ -8,9 +8,15 @@ sizes (payloads are large — batch bytes, not batch rows, bound memory).
 Codecs (no PIL/ffmpeg in this environment — these are real, from
 format specs, stdlib+numpy only):
 
-* **PNG** (`_decode_png`): 8-bit greyscale / RGB / RGBA,
-  non-interlaced — signature, chunk walk, concatenated-IDAT zlib
-  inflate, scanline unfiltering (None/Sub/Up/Average/Paeth);
+* **PNG** (`_decode_png`): 8-bit greyscale / RGB / RGBA, progressive
+  AND Adam7-interlaced — signature, chunk walk, concatenated-IDAT
+  zlib inflate, scanline unfiltering (None/Sub/Up/Average/Paeth),
+  per-pass defilter + grid scatter for interlace 1;
+* **GIF** (`_decode_gif`): 87a/89a, from-scratch variable-width LZW
+  (CLEAR/EOI, KwKwK, 12-bit cap, mid-stream resets), global and
+  local colour tables, 4-pass row interlace, multi-frame (animation)
+  — frames decode standalone; canvas compositing/disposal and
+  transparency are a renderer's job, not a stats pipeline's;
 * **JPEG** (`_decode_jpeg`): baseline sequential DCT (SOF0, 8-bit,
   any sampling factors, optional restart intervals) AND progressive
   DCT (SOF2: spectral selection, successive approximation, EOB-run
@@ -37,6 +43,11 @@ format specs, stdlib+numpy only):
 
 Anything else needs codec libraries absent from this image and raises
 ``NotImplementedError`` -> ``decode_status unsupported_codec``.
+WebP is deliberately out of scope: a correct VP8 intra decoder
+(boolean arithmetic coder, 10 prediction modes, loop filter) is a
+codec-sized project with little marginal coverage over the GIF/PNG/
+JPEG set; WebP payloads surface as ``unsupported_codec`` rows, the
+same defensible envelope as H.264/HEVC.
 Heavy formats would slot into the same actor-pool stage (decoders are
 per-actor state).
 
@@ -83,42 +94,11 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # greyscale, RGB, RGBA
 
 
-def _decode_png_array(payload: bytes):
-    """PNG -> (pixels as (h, w*ch) uint8, w, h, ch, colour type).
-
-    Supports the web-common subset: bit depth 8, colour types 0/2/6,
-    interlace 0.  Scanline filters implemented per the spec; Sub /
-    Paeth are sequential along the row, vectorized across rows where
-    the spec allows (Up is a pure row-to-row add).
-    """
-    pos = len(_PNG_SIG)
-    w = h = None
-    channels = 0
-    idat = []
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos:pos + 4])
-        ctype = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            w, h, depth, colour, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or colour not in _PNG_CHANNELS or interlace != 0:
-                raise NotImplementedError(
-                    f"PNG subset: depth={depth} colour={colour} "
-                    f"interlace={interlace}"
-                )
-            channels = _PNG_CHANNELS[colour]
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-    if w is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = w * channels
-    raw = raw.reshape(h, stride + 1)
+def _png_defilter(raw: np.ndarray, h: int, stride: int, channels: int):
+    """Reconstruct ``h`` filtered scanlines (``raw``: (h, 1+stride),
+    filter byte first) -> (h, stride) uint8.  Sub / Paeth are
+    sequential along the row, vectorized across rows where the spec
+    allows (Up is a pure row-to-row add)."""
     filters = raw[:, 0]
     rows = raw[:, 1:].astype(np.int64)
     recon = np.zeros((h, stride), dtype=np.int64)
@@ -149,7 +129,220 @@ def _decode_png_array(payload: bytes):
                 line[x] = v & 0xFF
         else:
             raise ValueError(f"bad PNG filter {f}")
-    return recon.astype(np.uint8), int(w), int(h), channels, colour
+    return recon.astype(np.uint8)
+
+
+#: Adam7: (x_start, y_start, x_step, y_step) per pass, spec order
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _decode_png_array(payload: bytes):
+    """PNG -> (pixels as (h, w*ch) uint8, w, h, ch, colour type).
+
+    Supports the web-common subset: bit depth 8, colour types 0/2/6,
+    interlace 0 (progressive) or 1 (Adam7).  Each Adam7 pass is a
+    self-contained filtered sub-image (filters reference the previous
+    scanline OF THE SAME PASS); reconstructed pixels scatter back on
+    the pass grid.  Passes with zero width or height contribute no
+    bytes at all, per the spec.
+    """
+    pos = len(_PNG_SIG)
+    w = h = None
+    channels = 0
+    interlace = 0
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, colour, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or colour not in _PNG_CHANNELS or \
+                    interlace not in (0, 1):
+                raise NotImplementedError(
+                    f"PNG subset: depth={depth} colour={colour} "
+                    f"interlace={interlace}"
+                )
+            channels = _PNG_CHANNELS[colour]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * channels
+    if interlace == 0:
+        recon = _png_defilter(raw.reshape(h, stride + 1), h, stride,
+                              channels)
+        return recon, int(w), int(h), channels, colour
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        pstride = pw * channels
+        n = ph * (pstride + 1)
+        sub = _png_defilter(raw[pos:pos + n].reshape(ph, pstride + 1),
+                            ph, pstride, channels)
+        pos += n
+        cols = (x0 + dx * np.arange(pw)) * channels
+        col_idx = (cols[:, None] + np.arange(channels)[None, :]).ravel()
+        out[y0::dy][:ph][:, col_idx] = sub
+    return out, int(w), int(h), channels, colour
+
+
+# -- GIF (87a/89a, from-scratch LZW) ----------------------------------------
+
+#: GIF interlace: 4 passes of rows (start, step), spec order
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW -> uint8 index array of exactly ``n_pixels``.
+
+    Codes are packed LSB-first; the code width grows when the next
+    table slot reaches ``1 << width`` (capped at 12 bits) and CLEAR
+    resets the table — encoders may emit CLEAR at any time, not only
+    at slot 4096, so the reset path is unconditional.
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def reset():
+        return ([bytes([i]) for i in range(clear)] + [b"", b""],
+                min_code_size + 1)
+
+    table, width = reset()
+    prev = None
+    while n_out < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:  # first code after a clear: literal by spec
+            if code >= clear:
+                raise ValueError("GIF LZW: bad first code")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("GIF LZW: code out of range")
+            # the decoder's table is ONE entry behind the encoder's
+            # (it adds entry n while reading code n+1), so the width
+            # grows at 2^width - 1 where the encoder grows at 2^width
+            if width < 12 and len(table) == (1 << width) - 1:
+                width += 1
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out:n_out + take] = np.frombuffer(entry[:take], np.uint8)
+        n_out += take
+        prev = entry
+    if n_out != n_pixels:
+        raise ValueError(f"GIF LZW: {n_out} pixels, expected {n_pixels}")
+    return out
+
+
+def _gif_frames(payload: bytes):
+    """GIF -> (w, h, [per-frame (fh, fw, 3) uint8 RGB]).
+
+    Full spec walk: logical screen descriptor + global colour table,
+    extension blocks skipped by sub-block framing, one image per image
+    descriptor (local colour tables and the interlace flag honoured).
+    Frames are returned standalone (no canvas compositing/disposal —
+    fixture frames are full-canvas; a real renderer would composite).
+    """
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos:pos + 3 * n],
+                            np.uint8).reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _x, _y, fw, fh, ipk = struct.unpack("<HHHHB",
+                                                payload[pos:pos + 9])
+            pos += 9
+            pal = gct
+            if ipk & 0x80:
+                n = 2 << (ipk & 0x07)
+                pal = np.frombuffer(payload[pos:pos + 3 * n],
+                                    np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without colour table")
+            min_code = payload[pos]
+            pos += 1
+            blocks = []
+            while payload[pos]:
+                ln = payload[pos]
+                blocks.append(payload[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(b"".join(blocks), min_code,
+                                  fw * fh).reshape(fh, fw)
+            if ipk & 0x40:  # interlaced: rows arrive in 4 passes
+                rows = np.concatenate(
+                    [np.arange(s, fh, st) for s, st in _GIF_INTERLACE])
+                ordered = np.empty_like(idx)
+                ordered[rows] = idx
+                idx = ordered
+            frames.append(pal[idx])
+        else:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("GIF with no image data")
+    return int(w), int(h), frames
+
+
+def _decode_gif(payload: bytes):
+    """GIF -> (w, h, n_frames, mean over all frames' RGB bytes)."""
+    w, h, frames = _gif_frames(payload)
+    all_px = np.concatenate([f.ravel().astype(np.float64) for f in frames])
+    return w, h, len(frames), float(all_px.mean())
 
 
 def _encode_png(arr: np.ndarray, colour: int) -> bytes:
@@ -945,6 +1138,8 @@ def _decode_payload(payload: bytes):
         raise ValueError("short payload")
     if payload.startswith(_PNG_SIG):
         return _decode_png(payload)
+    if payload.startswith(b"GIF87a") or payload.startswith(b"GIF89a"):
+        return _decode_gif(payload)
     if payload.startswith(b"\xFF\xD8"):
         return _decode_jpeg(payload)
     if payload.startswith(b"RIFF"):

@@ -167,6 +167,83 @@ def test_media_decode_round_trips_ground_truth():
         _decode_payload(b"\x00\x00\x00\x18ftypmp42" + b"\0" * 30)
 
 
+def test_gif_engine_matches_independent_oracle():
+    """Every GIF fixture row (animated, interlaced, local tables,
+    forced LZW resets, 4/16/256-colour palettes) decodes bit-identical
+    between the engine and the independently-architected oracle, and
+    the engine inverts the encoder exactly (lossless)."""
+    import numpy as np
+
+    from fixtures.gen_media import (_gif_frame_indices, _gif_spec,
+                                    _is_gif_row, media_row)
+    from rayxt.multimodal import _gif_frames
+    from tests.oracle.gif_oracle import oracle_decode_gif
+
+    seen = {"interlace": 0, "local": 0, "reset": 0, "multi": 0}
+    n = 0
+    for i in range(400):
+        if not _is_gif_row(i):
+            continue
+        w, h, frames, palette, inter, local, reset = _gif_spec(i)
+        seen["interlace"] += inter
+        seen["local"] += local
+        seen["reset"] += bool(reset)
+        seen["multi"] += frames > 1
+        p = media_row(i)["payload"]
+        w1, h1, fr1 = _gif_frames(p)
+        w2, h2, fr2 = oracle_decode_gif(p)
+        assert (w1, h1, len(fr1)) == (w2, h2, len(fr2)) == (w, h, frames)
+        for f, (a, b) in enumerate(zip(fr1, fr2)):
+            assert np.array_equal(a, b), (i, f)
+            src = palette[_gif_frame_indices(i, f, w, h, len(palette))]
+            assert np.array_equal(a, src), (i, f)  # lossless inversion
+        n += 1
+    assert n >= 30
+    assert all(v > 0 for v in seen.values()), seen
+
+
+def test_gif_lzw_kwkwk_and_reset():
+    """The KwKwK code (cScSc pattern) and mid-stream CLEARs decode
+    correctly in both engine and oracle."""
+    import numpy as np
+
+    from fixtures.gen_media import _gif_encode
+    from rayxt.multimodal import _gif_frames
+    from tests.oracle.gif_oracle import oracle_decode_gif
+
+    # abababab... guarantees the encoder emits a just-created code
+    idx = np.tile(np.array([[0, 1]], np.uint8), (8, 8))
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    for reset in (None, 3):
+        p = _gif_encode([idx], pal, reset_every=reset)
+        _, _, [fr] = _gif_frames(p)
+        assert np.array_equal(fr, pal[idx])
+        _, _, [fo] = oracle_decode_gif(p)
+        assert np.array_equal(fo, pal[idx])
+
+
+def test_png_adam7_matches_plain():
+    """An Adam7-interlaced encoding of the same pixels decodes
+    bit-identical to the progressive encoding — every colour type,
+    including dims not divisible by 8 and degenerate 1-pixel-wide/tall
+    images where several passes are empty."""
+    import numpy as np
+
+    from fixtures.gen_media import _png_encode, _png_encode_adam7
+    from rayxt.multimodal import _decode_png_array
+
+    rng = np.random.default_rng(5)
+    for colour, ch in ((0, 1), (2, 3), (6, 4)):
+        for w, h in ((17, 9), (8, 8), (1, 13), (13, 1), (3, 3), (40, 33)):
+            arr = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+            plain, _, _, _, _ = _decode_png_array(_png_encode(arr, colour))
+            inter, iw, ih, ich, _ = _decode_png_array(
+                _png_encode_adam7(arr, colour))
+            assert (iw, ih, ich) == (w, h, ch)
+            assert np.array_equal(plain, arr)
+            assert np.array_equal(inter, arr)
+
+
 def test_ivf_ann_recall_gate(ray_session):
     """IVF with list-aligned clusters must recover the exact top-k
     (nprobe covers the true clusters) and return exact cosines."""
