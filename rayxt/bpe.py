@@ -149,6 +149,10 @@ class BpeApply:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         counts = [self._count(t or "") for t in batch[self.col].to_pylist()]
+        # drop schema metadata: parquet-embedded pandas metadata makes
+        # pa.Schema unhashable (metadata hashes as a dict) and defeats
+        # Ray's block-schema dedup with a per-batch warning
+        batch = batch.replace_schema_metadata(None)
         return batch.append_column(self.out, pa.array(counts, pa.int64()))
 
 
@@ -158,6 +162,12 @@ def bpe_token_counts(ds, merges_table: pa.Table, *, col: str = "text",
     merges_rows = list(zip(merges_table["rank"].to_pylist(),
                            merges_table["left"].to_pylist(),
                            merges_table["right"].to_pylist()))
+    # parquet blocks carry embedded pandas metadata that makes their
+    # pa.Schema unhashable; the actor pool's batcher then warns on
+    # every block-schema dedup.  Strip it in a stage that fuses with
+    # the read task (zero-copy: only the schema object changes).
+    ds = ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                        batch_format="pyarrow")
     return ds.map_batches(
         BpeApply, fn_constructor_kwargs=dict(merges_rows=merges_rows,
                                              col=col, out=out),

@@ -480,15 +480,21 @@ def _jpeg_extend(v: int, size: int) -> int:
 
 def _jpeg_skip_entropy(data: bytes, pos: int) -> int:
     """Advance past an entropy-coded segment: first offset at or after
-    ``pos`` holding a real marker (not FF00 byte stuffing, not RSTn)."""
+    ``pos`` holding a real marker (not FF00 byte stuffing, not RSTn,
+    and not an FF fill byte — T.81 B.1.1.2 allows any number of FF
+    fill bytes before a marker; the marker code is the first non-FF
+    byte of the run)."""
     p = pos
     n = len(data)
     while p + 1 < n:
         if data[p] == 0xFF:
             nxt = data[p + 1]
-            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+            if nxt == 0xFF:  # fill byte: slide along the FF run
+                p += 1
+            elif nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
                 return p
-            p += 2
+            else:
+                p += 2
         else:
             p += 1
     return n
@@ -519,6 +525,8 @@ def _decode_jpeg_array(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker stream")
+        while pos + 2 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2: FF fill bytes before any marker
         marker = data[pos + 1]
         if marker == 0xD9:
             break

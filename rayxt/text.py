@@ -587,7 +587,15 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "_tb": pa.array(bucket, pa.int64()),
         })
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+    out_schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                            ("tf", pa.int64()), ("postings", pa.string())])
+
+    def assemble(g: pd.DataFrame) -> pa.Table:
+        # returns a TYPED Arrow table even for empty partitions — a
+        # schema-less empty pandas block would trip the streaming
+        # executor's "RefBundle with a different schema" warning
+        if g.empty:
+            return out_schema.empty_table()
         g = g.sort_values(["term", id_col], kind="mergesort")
         gb = g.groupby("term", sort=False)
         out = gb.agg(
@@ -595,9 +603,8 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
             tf=("tf", "sum"),
             postings=(id_col, lambda s: ",".join(map(str, s))),
         ).reset_index()
-        out["df"] = out["df"].astype("int64")
-        out["tf"] = out["tf"].astype("int64")
-        return out
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
 
     return (ds.select_columns([id_col, text_col])
             .map_batches(partial, batch_format="pyarrow")

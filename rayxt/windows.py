@@ -408,6 +408,11 @@ def group_quantiles(ds, *, key: str, value_col: str,
     (grades, prices, bucketed scores).  A key with all-distinct float
     values gains nothing (histogram == rows); for those use
     :func:`group_quantiles_sketch`.
+
+    NaN handling is identical in both modes: any NaN in a group
+    poisons every quantile of that group to NaN (numpy's behaviour,
+    made explicit in the histogram path, which would otherwise sort
+    NaNs last and only contaminate high quantiles).
     """
     names = [f"p{int(q * 100)}" for q in qs]
 
@@ -433,6 +438,10 @@ def group_quantiles(ds, *, key: str, value_col: str,
         cum = np.cumsum(g["__n"].to_numpy(np.int64))
         n = int(cum[-1])
         out = {key: pd.Series([g[key].iloc[0]], dtype=g[key].dtype)}
+        if np.isnan(vals).any():  # NaN poisons the group, as np does
+            for name in names:
+                out[name] = pd.Series([np.nan], dtype="float64")
+            return pd.DataFrame(out)
         for name, q in zip(names, qs):
             rank = q * (n - 1)                  # numpy 'linear' virtual idx
             lo = int(np.floor(rank))
@@ -778,6 +787,14 @@ def range_rank(ds, *, order_col: str, tie_col: str,
         import pyarrow.compute as pc
 
         vals = np.asarray(pc.cast(t[order_col], pa.float64()))
+        if not np.isfinite(vals).all():
+            # NaN would land in the zero bucket and ±inf overflows the
+            # int64 bucket index — silently mis-ranking vs SQL ORDER BY;
+            # exact ranking of non-finite values has no one right order
+            # (engines disagree on NaN placement), so fail loudly
+            raise ValueError(
+                f"range_rank: order_col {order_col!r} contains "
+                "NaN/±inf; filter or impute non-finite values first")
         kind, idx = _dd_buckets(vals, gamma)
         # single monotone int64 key: neg (desc |v|) < zero < pos
         bkey = np.zeros(len(vals), dtype=np.int64)

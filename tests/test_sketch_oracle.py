@@ -167,6 +167,29 @@ def test_media_decode_round_trips_ground_truth():
         _decode_payload(b"\x00\x00\x00\x18ftypmp42" + b"\0" * 30)
 
 
+def test_jpeg_ff_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows runs of FF fill bytes before any marker —
+    both the header walk and the entropy-segment skipper must treat
+    the first non-FF byte of a run as the marker code (baseline and
+    progressive, where the walk resumes after each SOS)."""
+    import numpy as np
+
+    from fixtures.gen_media import (_body, _jpeg_encode,
+                                    _jpeg_encode_progressive)
+    from rayxt.multimodal import _decode_jpeg_array
+
+    src = _body(77, 24 * 24 * 3).reshape(24, 24, 3)
+    for enc in (_jpeg_encode, _jpeg_encode_progressive):
+        p = enc(src, 85)
+        want = _decode_jpeg_array(p)
+        # fill run after SOI (before the first segment marker) and
+        # before EOI (after the last entropy segment)
+        assert p[-2:] == b"\xff\xd9"
+        padded = p[:2] + b"\xff" * 3 + p[2:-2] + b"\xff" * 4 + p[-2:]
+        got = _decode_jpeg_array(padded)
+        assert np.array_equal(got, want)
+
+
 def test_gif_engine_matches_independent_oracle():
     """Every GIF fixture row (animated, interlaced, local tables,
     forced LZW resets, 4/16/256-colour palettes) decodes bit-identical

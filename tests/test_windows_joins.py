@@ -543,6 +543,54 @@ def test_group_quantiles_by_value_parity(ray_session):
         assert np.allclose(base[c], hist[c], atol=1e-6)
 
 
+def test_group_quantiles_nan_consistent_across_modes(ray_session):
+    """A NaN-bearing group yields NaN quantiles in BOTH modes (the
+    histogram path would otherwise sort NaNs last and only contaminate
+    high quantiles); NaN-free groups are unaffected."""
+    import ray.data as rd
+
+    from rayxt.windows import group_quantiles
+
+    df = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 4,
+        "value": [1.0, 2.0, np.nan, 4.0, 2.0, 1.0,
+                  10.0, 20.0, 20.0, 40.0],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    kw = dict(key="k", value_col="value", qs=(0.25, 0.5, 0.95))
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        base = (group_quantiles(ds, **kw).to_pandas()
+                .sort_values("k").reset_index(drop=True))
+        hist = (group_quantiles(ds, by_value=True, **kw).to_pandas()
+                .sort_values("k").reset_index(drop=True))
+    for got in (base, hist):
+        a = got[got["k"] == "a"]
+        b = got[got["k"] == "b"]
+        assert a[["p25", "p50", "p95"]].isna().all().all()
+        assert not b[["p25", "p50", "p95"]].isna().any().any()
+    for c in ("p25", "p50", "p95"):
+        assert np.allclose(base[base["k"] == "b"][c],
+                           hist[hist["k"] == "b"][c], atol=1e-6)
+
+
+def test_range_rank_rejects_non_finite(ray_session):
+    """NaN/±inf order values fail loudly instead of silently
+    mis-bucketing (NaN fell into the zero bucket, inf overflowed the
+    int64 bucket index)."""
+    import ray.data as rd
+
+    from rayxt.windows import range_rank
+
+    for poison in (np.nan, np.inf, -np.inf):
+        ds = rd.from_pandas(pd.DataFrame(
+            {"v": [1.0, 2.0, poison], "id": [1, 2, 3]}))
+        with pytest.raises(Exception, match="non-finite|NaN"):
+            range_rank(ds, order_col="v", tie_col="id").to_pandas()
+
+
 def test_range_rank_matches_bruteforce_high_cardinality(ray_session):
     """range_rank: exact ROW_NUMBER/NTILE over an all-distinct float
     column (the case global_rank's histogram guard rejects), plus
