@@ -11,8 +11,11 @@ XPath subset::
     explicit axes: child:: descendant:: descendant-or-self:: self::
                    parent:: ancestor:: ancestor-or-self::
                    following-sibling:: preceding-sibling::
+                   following:: preceding:: attribute::
                    (reverse axes count position nearest-first per spec;
-                   following:: / preceding:: / attribute:: raise)
+                   namespace:: raises)
+    attribute steps (final step only): @name  @*  attribute::name —
+                yield attribute VALUE strings, lxml-style
     predicates: [n] [last()] [@attr] [@attr='v'] [tag] [text()='v']
                 plus 'and' / 'or' of those
     unions: p1 | p2
@@ -23,7 +26,7 @@ CSS subset (compiled onto the same AST)::
     tag  .class  #id  [attr]  [attr=v]  *
     descendant (space), child (>), comma (union), compounds (div.a#b)
     pseudo-classes: :first-child :last-child :not(<simple compound>)
-                    (others raise)
+                    :nth-child(an+b | odd | even)   (others raise)
 
 Evaluation returns elements in document order without duplicates.
 Namespace resolution of ``prefix:local`` happens at evaluation time via
@@ -155,6 +158,53 @@ class _LastChildPred(_Pred):
                     None) is node
 
 
+class _NthChildPred(_Pred):
+    """CSS ``:nth-child(an+b)`` — 1-based index among ELEMENT siblings
+    equals ``a*k + b`` for some integer ``k >= 0`` (CSS Selectors L3;
+    ``odd`` = 2n+1, ``even`` = 2n)."""
+
+    def __init__(self, a: int, b: int):
+        self.a, self.b = a, b
+
+    def matches(self, node, position, size, nsmap):
+        p = node.parent
+        idx = 1
+        if p is not None:
+            idx = 0
+            for c in p.children:
+                if c.is_element():
+                    idx += 1
+                if c is node:
+                    break
+        if self.a == 0:
+            return idx == self.b
+        k, r = divmod(idx - self.b, self.a)
+        return r == 0 and k >= 0
+
+
+_NTH_RE = re.compile(r"^([+-]?\d*)n(?:\s*([+-]\s*\d+))?$|^([+-]?\d+)$")
+
+
+def _parse_nth(text: str):
+    """'odd' | 'even' | 'an+b' | 'b' | 'an' -> (a, b)."""
+    t = text.strip().lower().replace(" ", "")
+    if t == "odd":
+        return 2, 1
+    if t == "even":
+        return 2, 0
+    m = _NTH_RE.match(t)
+    if not m:
+        raise SelectorError(f"bad nth-child argument {text!r}")
+    if m.group(3) is not None:
+        return 0, int(m.group(3))
+    a_txt = m.group(1)
+    a = {"": 1, "+": 1, "-": -1}.get(a_txt)
+    if a is None:
+        a = int(a_txt)
+    b = int(m.group(2)) if m.group(2) else 0
+    return a, b
+
+
 class _NotCompoundPred(_Pred):
     """CSS ``:not(<simple compound>)`` — negate a tag + preds compound."""
 
@@ -203,7 +253,7 @@ class _Step:
 #: count position nearest-first per the XPath spec) — evaluate() re-sorts
 #: the final node-set into document order when any step uses one.
 _UNORDERED_AXES = frozenset(
-    {"ancestor", "ancestor-or-self", "preceding-sibling"})
+    {"ancestor", "ancestor-or-self", "preceding-sibling", "preceding"})
 
 
 def _resolve_name(name: str, nsmap) -> str:
@@ -245,7 +295,9 @@ class XPath:
         for absolute, steps in self._paths:
             nodes = self._eval_path(start, absolute, steps, nsmap)
             for n in nodes:
-                if id(n) not in seen:
+                if isinstance(n, str):  # attribute values never dedup
+                    result.append(n)    # (small strings intern)
+                elif id(n) not in seen:
                     seen.add(id(n))
                     result.append(n)
         if len(self._paths) > 1 or self._needs_order:
@@ -265,8 +317,9 @@ class XPath:
             if not current:
                 return []
         # note: the virtual document node never sets start.parent (children
-        # assigned directly), so the real tree is untouched.
-        return [n for n in current if isinstance(n, Node)]
+        # assigned directly), so the real tree is untouched.  Attribute
+        # steps yield plain strings — keep them alongside elements.
+        return [n for n in current if isinstance(n, (Node, str))]
 
     def _apply_step(self, nodes, step, nsmap):
         out = []
@@ -291,6 +344,49 @@ class XPath:
                     if n.is_element():
                         cands.append(n)
                     n = n.parent
+                self._filter_into(cands, step, nsmap, out, seen)
+            elif step.axis == "attribute":
+                # attribute VALUES (strings), lxml-style; '@*' yields
+                # values sorted by attribute name for determinism.  No
+                # id()-dedup: equal values from different elements are
+                # distinct attribute nodes (and small strings intern).
+                if not ctx.is_element():
+                    continue
+                if step.name == "*":
+                    out.extend(ctx.attrs[k] for k in sorted(ctx.attrs))
+                else:
+                    name = step.name
+                    if ":" in name and not name.startswith("{"):
+                        # prefixed attr names resolve via nsmap; plain
+                        # names are in NO namespace (default ns never
+                        # applies to attributes, XML-Names 6.2)
+                        name = _resolve_name(name, nsmap)
+                    if name in ctx.attrs:
+                        out.append(ctx.attrs[name])
+            elif step.axis in ("following", "preceding"):
+                # whole-document axes relative to the evaluation root
+                root = ctx
+                while root.parent is not None:
+                    root = root.parent
+                order = [n for n in root.iter() if n.is_element()]
+                try:
+                    i = next(j for j, n in enumerate(order) if n is ctx)
+                except StopIteration:
+                    continue  # ctx outside the tree (virtual doc node)
+                if step.axis == "following":
+                    # pre-order: ctx's descendants sit contiguously
+                    # right after it; everything past them follows
+                    ndesc = sum(1 for d in ctx.iter() if d.is_element()) - 1
+                    cands = order[i + 1 + ndesc:]
+                else:  # preceding: before ctx, minus ancestors; the
+                    # reverse axis counts positions nearest-first
+                    anc = set()
+                    n = ctx.parent
+                    while n is not None:
+                        anc.add(id(n))
+                        n = n.parent
+                    cands = [n for n in order[:i]
+                             if id(n) not in anc][::-1]
                 self._filter_into(cands, step, nsmap, out, seen)
             elif step.axis in ("following-sibling", "preceding-sibling"):
                 parent = ctx.parent
@@ -406,10 +502,15 @@ class _Parser:
                 steps.append(self.parse_step("child"))
             else:
                 break
+        for s in steps[:-1]:
+            if s.axis == "attribute":
+                raise SelectorError(
+                    f"attribute step must be final in {self.source!r} "
+                    "(attribute nodes have no children)")
         return absolute, steps
 
     #: explicit-axis spellings -> internal axis names; everything else
-    #: (following::, preceding::, attribute::, namespace::) raises.
+    #: (namespace::) raises.
     AXES = {
         "child": "child",
         "self": "self",
@@ -420,10 +521,25 @@ class _Parser:
         "ancestor-or-self": "ancestor-or-self",
         "following-sibling": "following-sibling",
         "preceding-sibling": "preceding-sibling",
+        "following": "following",
+        "preceding": "preceding",
+        "attribute": "attribute",
     }
 
     def parse_step(self, axis):
         kind, val = self.next()
+        if kind == "at":  # '@name' path step == attribute::name
+            if axis == "descendant":
+                raise SelectorError(
+                    f"'//@attr' unsupported in {self.source!r}; spell "
+                    "the element step explicitly ('//*/@attr')")
+            kind, val = self.next()
+            if kind == "star":
+                return self._attr_step("*")
+            if kind != "name" or val.endswith("()"):
+                raise SelectorError(
+                    f"bad attribute name {val!r} in {self.source!r}")
+            return self._attr_step(val)
         if kind == "name" and self.peek()[0] == "axisop":
             self.next()
             if val not in self.AXES:
@@ -437,6 +553,13 @@ class _Parser:
                     f"{self.source!r}")
             axis = self.AXES[val]
             kind, val = self.next()
+            if axis == "attribute":
+                if kind == "star":
+                    return self._attr_step("*")
+                if kind != "name" or val.endswith("()"):
+                    raise SelectorError(
+                        f"bad attribute name {val!r} in {self.source!r}")
+                return self._attr_step(val)
         if kind == "dot":
             return _Step("self", "*", [])
         if kind == "dotdot":
@@ -458,6 +581,13 @@ class _Parser:
             preds.append(self.parse_pred_expr())
             self.expect("rbrack")
         return _Step(axis, name, preds)
+
+    def _attr_step(self, name):
+        if self.peek()[0] == "lbrack":
+            raise SelectorError(
+                f"predicates on attribute steps unsupported in "
+                f"{self.source!r}")
+        return _Step("attribute", name, [])
 
     def parse_pred_expr(self):
         parts = [self.parse_pred_atom()]
@@ -543,6 +673,8 @@ def _css_pseudo_pred(text: str, source: str) -> _Pred:
     if text.startswith(":not(") and text.endswith(")"):
         name, preds = _css_compound(text[5:-1].strip(), source)
         return _NotCompoundPred(name, preds)
+    if text.startswith(":nth-child(") and text.endswith(")"):
+        return _NthChildPred(*_parse_nth(text[11:-1]))
     raise SelectorError(f"unsupported pseudo-class {text!r} in {source!r}")
 
 

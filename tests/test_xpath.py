@@ -90,10 +90,10 @@ def test_namespaced_xpath():
 
 
 def test_out_of_subset_raises_at_compile():
-    # (following-sibling:: joined the subset in round 4; following::
-    # remains out of subset)
-    for bad in ["//p[contains(@class,'x')]", "//p/following::a",
-                "count(//p)", "//p[position()<3]"]:
+    # (following-sibling:: joined the subset in round 4; following::/
+    # preceding::/attribute:: in round 5 — functions stay out)
+    for bad in ["//p[contains(@class,'x')]", "count(//p)",
+                "//p[position()<3]", "//p/namespace::a"]:
         with pytest.raises(SelectorError):
             parse_xpath(bad)
 
@@ -172,11 +172,55 @@ def test_sibling_axes():
 
 
 def test_unsupported_axes_raise():
-    for bad in ("//x/following::y", "//x/preceding::y",
-                "//x/attribute::y", "//x/namespace::y",
-                "//ancestor::x"):
+    for bad in ("//x/namespace::y", "//ancestor::x", "//following::y",
+                "//@href", "/a/@b/c", "/a/@b[1]", "/a/attribute::text()"):
         with pytest.raises(SelectorError):
             parse_xpath(bad)
+
+
+def test_following_preceding_axes():
+    root = parse_html(AXES_HTML)
+    # following:: = everything after s1's first p, minus its subtree
+    got = parse_xpath('//section[@id="s1"]/p[1]/following::p') \
+        .evaluate(root)
+    assert _texts(got) == ["b", "c", "d"]
+    got = parse_xpath('//li[1]/following::p').evaluate(root)
+    assert _texts(got) == ["c", "d"]
+    # descendants of the context are NOT on the following axis
+    got = parse_xpath('//section[@id="s1"]/following::p').evaluate(root)
+    assert _texts(got) == ["d"]
+    # preceding:: excludes ancestors; reverse axis => [1] is nearest,
+    # document order restored in the result set
+    got = parse_xpath('//section[@id="s2"]/preceding::p').evaluate(root)
+    assert _texts(got) == ["a", "b", "c"]
+    got = parse_xpath('//section[@id="s2"]/preceding::p[1]') \
+        .evaluate(root)
+    assert _texts(got) == ["c"]
+    got = parse_xpath('//li[2]/preceding::li').evaluate(root)
+    assert _texts(got) == ["x"]
+    # ancestors (body, section) never appear on preceding::
+    got = parse_xpath('//li[1]/preceding::*').evaluate(root)
+    assert all(n.tag not in ("html", "body", "section", "ul")
+               for n in got)
+    assert [n.tag for n in got] == ["h2", "p", "p"]
+
+
+def test_attribute_axis_steps():
+    root = parse_html(HTML)
+    assert parse_xpath('//div/@id').evaluate(root) == ["main"]
+    assert parse_xpath('//div/attribute::class').evaluate(root) \
+        == ["side"]
+    assert parse_xpath('//p/@class').evaluate(root) == ["lead big"]
+    assert parse_xpath('//div/@*').evaluate(root) == ["main", "side"]
+    assert parse_xpath('//span/@id').evaluate(root) == []
+    # equal values from DIFFERENT elements both survive (no id dedup)
+    twin = parse_html(b'<html><body><a href="x">1</a>'
+                      b'<a href="x">2</a></body></html>')
+    assert parse_xpath("//a/@href").evaluate(twin) == ["x", "x"]
+    # union of element and attribute results keeps both kinds
+    mixed = parse_xpath('//p[@class] | //div/@id').evaluate(root)
+    assert [m if isinstance(m, str) else m.text for m in mixed] \
+        == ["one", "main"]
 
 
 def test_css_pseudo_classes():
@@ -191,6 +235,25 @@ def test_css_pseudo_classes():
     got = parse_css("*:not(p):not(li)").evaluate(root)
     assert all(n.tag not in ("p", "li") for n in got)
     with pytest.raises(SelectorError):
-        parse_css("p:nth-child(2)")
-    with pytest.raises(SelectorError):
         parse_css("p:not(div > a)")
+
+
+def test_css_nth_child():
+    root = parse_html(AXES_HTML)
+    # s1 children: h2(1) p(2) p(3) ul(4) p(5); s2: p(1)
+    assert _texts(parse_css("section > p:nth-child(2)").evaluate(root)) \
+        == ["a"]
+    assert _texts(parse_css("section > p:nth-child(odd)").evaluate(root)) \
+        == ["b", "c", "d"]
+    assert _texts(parse_css("section > p:nth-child(even)")
+                  .evaluate(root)) == ["a"]
+    assert _texts(parse_css("section > :nth-child(2n+1)").evaluate(root)) \
+        == ["t1", "b", "c", "d"]
+    assert _texts(parse_css("li:nth-child(n+2)").evaluate(root)) == ["y"]
+    assert _texts(parse_css("section > p:nth-child(-n+2)")
+                  .evaluate(root)) == ["a", "d"]
+    assert _texts(parse_css("li:nth-child(0n+1)").evaluate(root)) == ["x"]
+    for bad in ("p:nth-child()", "p:nth-child(x)", "p:nth-child(n+)",
+                "p:nth-of-type(2)"):
+        with pytest.raises(SelectorError):
+            parse_css(bad)
