@@ -30,7 +30,7 @@ from fixtures.gen_pages import generate_url_table  # noqa: E402
 from tests.oracle.audio_oracle import oracle_audio_features  # noqa: E402
 from tests.oracle.url_oracle import oracle_canonicalize_url  # noqa: E402
 from tests.oracle.phash_oracle import oracle_hamming_pairs  # noqa: E402
-from tests.oracle import oracle_rule_hits  # noqa: E402
+from tests.oracle import oracle_rule_hits, oracle_selector_probe  # noqa: E402
 from tests.oracle.sketches import (
     oracle_bloom_hits,
     oracle_lm_ppl,
@@ -402,6 +402,18 @@ def main() -> None:
         "hits": pa.array([totals[r] for r in rules], pa.int64()),
     }), os.path.join(DATA_DIR, "golden_rule_hits.parquet"))
 
+    # selector-tail probe golden: naive document-order walks (no
+    # selector engine) over the same conformance pages
+    sp: dict[str, int] = {}
+    for html in pages.column("html").to_pylist():
+        for probe, hits in oracle_selector_probe(html).items():
+            sp[probe] = sp.get(probe, 0) + hits
+    probes = sorted(sp)
+    pq.write_table(pa.table({
+        "probe": pa.array(probes, pa.string()),
+        "hits": pa.array([sp[p] for p in probes], pa.int64()),
+    }), os.path.join(DATA_DIR, "golden_selector_probe.parquet"))
+
     for name in ("golden_minhash_pairs", "golden_jaccard_pairs",
                  "golden_simhash_pairs",
                  "golden_neardup_clusters", "golden_langid",
@@ -415,7 +427,7 @@ def main() -> None:
                  "golden_bpe_merges", "golden_bpe_counts",
                  "golden_logreg_weights", "golden_logreg_scores",
                  "golden_decontaminate", "golden_winsorize", "golden_bloom",
-                 "golden_lm_ppl", "golden_pack",
+                 "golden_lm_ppl", "golden_pack", "golden_selector_probe",
                  "golden_image_clusters"):
         p = os.path.join(DATA_DIR, f"{name}.parquet")
         print(f"{name}: {pq.read_metadata(p).num_rows} rows")

@@ -128,7 +128,7 @@ def incremental_group_stats(input_path, state_dir: str, *, key_col: str,
             if grp is not None:
                 out = pa.Table.from_pandas(
                     grp[[key_col, "s", "n"]].reset_index(drop=True),
-                    preserve_index=False)
+                    preserve_index=False).replace_schema_metadata(None)
                 key_type = out.schema.field(key_col).type
             else:
                 # zero-row file: a typed EMPTY partial marks it seen so

@@ -1205,13 +1205,15 @@ class ResizeImages:
     """Actor-pool stage: nearest-neighbor resize, payload -> payload.
 
     Real PNGs are decoded, resized per channel and re-encoded as PNG;
-    JPEGs are decoded and re-encoded as (lossless) PNG — resizing is a
-    pipeline transform, not a format preserver, and re-encoding lossy
-    JPEG would compound generation loss; RAYX raw-frame payloads are
-    resized frame by frame.  Audio, MJPEG-AVI video (re-encoding every
-    frame would compound loss and there is no lossless codec an AVI can
-    legally carry) and any unsupported format pass through unchanged —
-    use SampleFrames for the video-reduction stage."""
+    JPEGs — and single-frame GIFs, whose palette would need
+    re-quantization to stay GIF — are decoded and re-encoded as
+    (lossless) PNG: resizing is a pipeline transform, not a format
+    preserver, and re-encoding lossy JPEG would compound generation
+    loss; RAYX raw-frame payloads are resized frame by frame.  Audio,
+    MJPEG-AVI video (re-encoding every frame would compound loss and
+    there is no lossless codec an AVI can legally carry), ANIMATED
+    GIFs (video-like: SampleFrames territory) and any unsupported
+    format pass through unchanged."""
 
     def __init__(self, target_w: int = 32, target_h: int = 32):
         self.tw, self.th = target_w, target_h
@@ -1224,6 +1226,15 @@ class ResizeImages:
             xi = np.arange(self.tw) * w // self.tw
             out = img[np.ix_(yi, xi)].reshape(self.th, self.tw * ch)
             return _encode_png(out, colour)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h, frames = _gif_frames(payload)
+            if len(frames) != 1:  # animation: pass through untouched
+                return payload
+            img = frames[0]  # (h, w, 3) palette-mapped RGB
+            yi = np.arange(self.th) * h // self.th
+            xi = np.arange(self.tw) * w // self.tw
+            out = img[np.ix_(yi, xi)].reshape(self.th, self.tw * 3)
+            return _encode_png(out, 2)
         if payload.startswith(b"\xFF\xD8"):
             img = _decode_jpeg_array(payload)  # (h, w, ch) uint8
             h, w, ch = img.shape

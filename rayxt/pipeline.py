@@ -57,6 +57,7 @@ def ensure_worker_importable() -> None:
 from . import __version__
 from .state import key_digests
 from .dom import parse_html, parse_xml
+from .xpath import parse_css, parse_xpath
 from .kernel import DEFAULT_HARD_CAP, extract_one
 from .manifest import (
     clean_partial_shards,
@@ -98,11 +99,44 @@ EXTRACT_SCHEMA = pa.schema(
 PAGES_COLUMNS = ["url", "warc_ts", "html", "lang"]
 
 
-def read_pages(path, columns=PAGES_COLUMNS, **kwargs):
-    """P1: parquet source with column pruning (html read only here)."""
+def strip_schema_metadata(t: pa.Table) -> pa.Table:
+    """Drop parquet-embedded pandas metadata from a block's schema.
+
+    pa.Schema hashes its metadata as a dict, so metadata-bearing
+    schemas are unhashable and defeat Ray's block-schema dedup with a
+    per-concat "Failed to hash the schemas" warning.  Zero-copy: only
+    the schema object changes, and the stage fuses with the read."""
+    return t.replace_schema_metadata(None)
+
+
+def read_parquet_clean(path, *, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with metadata-free schemas.
+
+    Passing an explicit metadata-stripped ``schema`` keeps even the
+    blocks INSIDE the fused read task (SplitBlocks concats) hashable;
+    the strip stage after the read covers layouts where the one-file
+    schema probe does not apply (directories, glob lists)."""
     import ray.data as rd
 
-    return rd.read_parquet(path, columns=list(columns), **kwargs)
+    probe = path[0] if isinstance(path, (list, tuple)) and path else path
+    if "schema" not in kwargs and isinstance(probe, str) \
+            and probe.endswith(".parquet") and os.path.isfile(probe):
+        import pyarrow.parquet as pq
+
+        s = pq.read_schema(probe)
+        fields = [s.field(i).remove_metadata() for i in range(len(s))]
+        if columns:
+            by_name = {f.name: f for f in fields}
+            fields = [by_name[c] for c in columns if c in by_name]
+        kwargs["schema"] = pa.schema(fields)
+    ds = rd.read_parquet(
+        path, columns=list(columns) if columns else None, **kwargs)
+    return ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
+
+
+def read_pages(path, columns=PAGES_COLUMNS, **kwargs):
+    """P1: parquet source with column pruning (html read only here)."""
+    return read_parquet_clean(path, columns=columns, **kwargs)
 
 
 class ExtractDocs:
@@ -428,6 +462,69 @@ def rule_hit_totals(ds):
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("rule")
+        .aggregate(Sum("hits", alias_name="hits"))
+    )
+
+
+class SelectorProbe:
+    """Actor-pool stage: count selector matches per page, emitting ONE
+    partial-total row per (batch, probe) — the :func:`rule_hit_totals`
+    partial-combine shape applied to arbitrary XPath/CSS selectors.
+
+    ``probes`` maps a probe name to ``("xpath"|"css", selector)``.
+    Selectors compile once per actor in ``__init__``; per row the page
+    parses once and every probe evaluates against the same tree.
+    Attribute-axis probes count VALUES (strings), element probes count
+    elements — ``len()`` of the node-set either way.  Parse policy
+    mirrors the conformance oracle: empty / over-cap / unparseable
+    pages contribute zero.
+    """
+
+    HARD_CAP = 32 * 1024 * 1024  # == tests.oracle.ORACLE_HARD_CAP
+
+    def __init__(self, probes: dict):
+        # NOTE: parse_xpath/parse_css/parse_html are the MODULE-LEVEL
+        # imports captured in the by-value pickle — a runtime relative
+        # import here would load a second copy of the class hierarchy
+        # in the worker and its isinstance(Node) checks would silently
+        # drop every result (the ExtractDocs gotcha).
+        ensure_worker_importable()
+        self.compiled = {
+            name: (parse_xpath(sel) if kind == "xpath" else parse_css(sel))
+            for name, (kind, sel) in probes.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        totals = {name: 0 for name in self.compiled}
+        for html in batch.column("html").to_pylist():
+            if html is None or len(html) == 0 or len(html) > self.HARD_CAP:
+                continue
+            try:
+                root = parse_html(html)
+            except Exception:  # poison rows contribute zero
+                continue
+            for name, sel in self.compiled.items():
+                totals[name] += len(sel.evaluate(root))
+        names = sorted(totals)
+        return pa.table({
+            "probe": pa.array(names, pa.string()),
+            "hits": pa.array([totals[n] for n in names], pa.int64()),
+        })
+
+
+def selector_probe_totals(ds, probes: dict, *, batch_size: int = 64,
+                          concurrency=(1, 4)):
+    """Corpus-wide selector match counts: actor-pool partials (one row
+    per probe per batch) merged by a tiny Sum groupby."""
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(
+            SelectorProbe, fn_constructor_kwargs=dict(probes=probes),
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1,
+        )
+        .groupby("probe")
         .aggregate(Sum("hits", alias_name="hits"))
     )
 

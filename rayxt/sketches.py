@@ -71,7 +71,8 @@ def hll_partial_table(keys: pa.ChunkedArray | pa.Array, values: np.ndarray,
     rho = (64 - p) - _bit_length_u64(w) + 1
     df = pd.DataFrame({key_name: keys.to_pandas(), "reg": reg, "rho": rho})
     g = df.groupby([key_name, "reg"], sort=False)["rho"].max().reset_index()
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return pa.Table.from_pandas(
+        g, preserve_index=False).replace_schema_metadata(None)
 
 
 def hll_estimate(regs: np.ndarray, p: int) -> int:

@@ -339,7 +339,8 @@ def tfidf_top_terms(ds, *, n_docs: int, id_col: str = "doc_id",
         tf = (frame.groupby([id_col, "term"], sort=False)
               .size().reset_index(name="tf"))
         tf["tf"] = tf["tf"].astype(np.int64)
-        return pa.Table.from_pandas(tf, preserve_index=False)
+        return pa.Table.from_pandas(
+            tf, preserve_index=False).replace_schema_metadata(None)
 
     if join_path:
         from rayxt.windows import grouped_topk
@@ -393,7 +394,8 @@ def tfidf_top_terms(ds, *, n_docs: int, id_col: str = "doc_id",
                             ascending=[True, False, True], kind="mergesort")
         top = tf.groupby(id_col, sort=False).head(k)
         return pa.Table.from_pandas(
-            top[[id_col, "term", "tfidf"]], preserve_index=False)
+            top[[id_col, "term", "tfidf"]],
+            preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(score, batch_format="pyarrow")
 
@@ -603,8 +605,9 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
             tf=("tf", "sum"),
             postings=(id_col, lambda s: ",".join(map(str, s))),
         ).reset_index()
-        return pa.Table.from_pandas(out, schema=out_schema,
-                                    preserve_index=False)
+        return pa.Table.from_pandas(
+            out, schema=out_schema,
+            preserve_index=False).replace_schema_metadata(None)
 
     return (ds.select_columns([id_col, text_col])
             .map_batches(partial, batch_format="pyarrow")

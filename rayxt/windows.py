@@ -25,6 +25,17 @@ __all__ = ["sessionize", "group_quantiles", "group_quantiles_sketch",
            "ordered_string_agg", "dense_grid", "rollup_counts"]
 
 
+
+def _arrowize(ds):
+    """pandas blocks -> metadata-free Arrow blocks before a sort/groupby
+    exchange.  Ray converts pandas blocks to Arrow with
+    ``pa.Table.from_pandas`` inside the sort reduce, which attaches
+    pandas metadata and makes every reduced schema unhashable ("Failed
+    to hash the schemas" per concat); converting (and stripping) here
+    moves the same conversion one stage earlier and keeps it clean."""
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow")
+
 def assign_hopping_windows(ds, *, ts_col: str = "ts", size_us: int,
                            hop_us: int, cols: list[str]):
     """Hopping (sliding) window assignment: replicate each row into
@@ -94,7 +105,11 @@ def grouped_topk(ds, *, key: str, order_col: str, k: int = 10,
     def sort_rows(rows: list) -> list:
         # stable multi-pass: minor keys first, each ascending, then the
         # order column with the requested direction — works for any
-        # comparable dtype (no numeric negation trick needed)
+        # comparable dtype (no numeric negation trick needed).
+        # NOTE: accumulators MUST stay list-of-dict records — they are
+        # stored in a list<struct> block column between the map and
+        # reduce sides of the aggregate, and a DataFrame accumulator
+        # comes back as a bare ndarray at reduce (tried; it breaks).
         for c in reversed(tie_cols):
             rows.sort(key=lambda r: r[c])
         rows.sort(key=lambda r: r[order_col], reverse=descending)
@@ -195,7 +210,7 @@ def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
         g = g.sort_values(ts_col, kind="mergesort")
         return sess_frame(g, g[key].iloc[0])
 
-    partials = (
+    partials = _arrowize(
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby([key, "__b"])
         .map_groups(sess_bucket, batch_format="pandas")
@@ -328,7 +343,8 @@ def group_quantiles_sketch(ds, *, key: str, value_col: str,
         # emit ARROW blocks: Ray's sort-aggregate reduce is vectorized on
         # arrow blocks but costs ~5ms PER DISTINCT GROUP on pandas blocks
         # (measured 8.5s vs 1.0s for the same 1924-group merge)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
 
     # checkpoint the partials: they are tiny (<= keys x buckets rows per
     # input block) and feeding a groupby from a live stream measurably
@@ -377,7 +393,8 @@ def corpus_quantiles_sketch(ds, *, value_col: str, qs: tuple = (0.5, 0.95),
              .groupby(["kind", "idx"], sort=False)
              .size().rename("count").reset_index())
         g["count"] = g["count"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
 
     merged = (ds.map_batches(partial, batch_format="pandas")
               .groupby(["kind", "idx"])
@@ -601,7 +618,8 @@ def sequence_stats(ds, *, key: str, ts_col: str, tie_col: str,
                              "__off": pd.Series(off, dtype="int64"),
                              "__prev": pd.Series(prev, dtype="float64")})
 
-    fix = summ.groupby(key).map_groups(fixup, batch_format="pandas")
+    fix = _arrowize(
+        summ.groupby(key).map_groups(fixup, batch_format="pandas"))
     if join_partitions is None:
         import ray
 
@@ -914,11 +932,12 @@ def rolling_stats(ds, *, key: str, ts_col: str, tie_col: str,
                 outs.append(o)
         return pd.concat(outs, ignore_index=True) if outs else g.head(0)
 
-    carry = (tagged.map_batches(lambda t: mark(t, False),
-                                batch_format="pyarrow")
-             .groupby([key, "__b"]).map_groups(tails,
-                                               batch_format="pandas")
-             .groupby(key).map_groups(spread, batch_format="pandas"))
+    carry = _arrowize(
+        _arrowize(tagged.map_batches(lambda t: mark(t, False),
+                                     batch_format="pyarrow")
+                  .groupby([key, "__b"]).map_groups(
+                      tails, batch_format="pandas"))
+        .groupby(key).map_groups(spread, batch_format="pandas"))
     # NOTE: carry rows re-tag __b but keep __carry=False until here;
     # flip it so the roll pass can drop them from the output
     carry = carry.map_batches(
@@ -983,8 +1002,8 @@ def ordered_string_agg(ds, *, key: str, ts_col: str, tie_col: str,
             "__n": pd.Series([len(g)], dtype="int64"),
         })
 
-    partials = tagged.groupby([key, "__b"]).map_groups(
-        part, batch_format="pandas")
+    partials = _arrowize(tagged.groupby([key, "__b"]).map_groups(
+        part, batch_format="pandas"))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("__b", kind="mergesort")

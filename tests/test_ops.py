@@ -374,16 +374,21 @@ def test_media_decode_and_stages(ray_session, tmp_path):
     # PNG/JPEG images and RAYX video frames resize; audio and MJPEG-AVI
     # video (compressed — resize would force a lossy re-encode) pass
     # through unchanged
-    from fixtures.gen_media import _is_avi_row, _is_mp4_row
+    from fixtures.gen_media import (_gif_spec, _is_avi_row, _is_gif_row,
+                                    _is_mp4_row)
 
-    def _compressed_video(i):
+    def _passthrough(i):
+        # compressed video, and animated GIFs (video-like), keep their
+        # original payload; single-frame GIFs resize to PNG
+        if _is_gif_row(i):
+            return _gif_spec(i)[2] > 1
         return _is_avi_row(i) or _is_mp4_row(i)
 
-    avi = resized["media_id"].map(_compressed_video)
+    avi = resized["media_id"].map(_passthrough)
     vis = resized[(resized.kind != "audio") & ~avi]
     assert (vis["width"] == 8).all() and (vis["height"] == 8).all()
     kept = resized[avi].set_index("media_id")
-    orig_avi = out[out["media_id"].map(_compressed_video)].set_index("media_id")
+    orig_avi = out[out["media_id"].map(_passthrough)].set_index("media_id")
     assert (kept["width"] == orig_avi["width"]).all()
     aud = resized[resized.kind == "audio"].set_index("media_id")
     orig_aud = out[out.kind == "audio"].set_index("media_id")
