@@ -281,12 +281,14 @@ def run_bench() -> dict:
 def run_scaling() -> None:
     """N vs 4N parallelism in fresh processes on the same input.
 
-    Levels default to 4 and 16 CPUs: this host's aggregate throughput
-    saturates around ~18k docs/s (memory-bandwidth-bound DOM churn —
-    per-actor throughput drops from ~1.1k docs/s at 12 actors to ~0.67k
-    at 27, while the single-actor rate is constant), so a 32-CPU level
-    measures the machine's ceiling, not the pipeline's scalability.
-    The 32-CPU headline run is reported alongside for transparency.
+    Levels default to 2 and 8 CPUs: this host's aggregate throughput
+    saturates around ~18-20k docs/s (memory-bandwidth-bound DOM churn —
+    per-actor throughput drops as actors share the socket while the
+    single-actor rate is constant), and the round-5 kernel is fast
+    enough that a 16-CPU level already grazes that ceiling — so higher
+    pairs measure the machine saturating, not the pipeline's
+    scalability.  BENCH/BASELINE.md reports the 4->16 pair and the
+    32-CPU headline alongside for transparency.
     """
 
     def one(ncpu: int) -> dict:
@@ -294,7 +296,7 @@ def run_scaling() -> None:
         # processes already; in-process repeats would cube the cost
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    RAYXT_HEADLINE_TRIALS="1", RAYXT_QUERY_TRIALS="0",
-                   RAYXT_MC_TRIALS="0",
+                   RAYXT_MC_TRIALS="0", RAYXT_FLAGSHIP_TRIALS="0",
                    RAYXT_BENCH_EXTRACT=os.environ.get("RAYXT_BENCH_EXTRACT", "1"))
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
@@ -303,17 +305,27 @@ def run_scaling() -> None:
         time.sleep(5)  # let the child's raylet fully die before the next level
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    def median_of(ncpu: int, trials: int) -> dict:
-        # this shared VM's throughput drifts run to run (observed ±30%);
-        # the BASELINE.md protocol is median of >= 3 fresh-process runs
-        runs = sorted((one(ncpu) for _ in range(trials)),
-                      key=lambda r: r["value"])
+    def median(runs: list) -> dict:
+        runs = sorted(runs, key=lambda r: r["value"])
         return runs[len(runs) // 2]
 
     _ensure_corpus_standalone()
     trials = int(os.environ.get("RAYXT_SCALING_TRIALS", "3"))
-    lo, hi = (int(x) for x in os.environ.get("RAYXT_SCALING_LEVELS", "4,16").split(","))
-    r_lo, r_hi = median_of(lo, trials), median_of(hi, trials)
+    # pool fraction 0.5 keeps the actor-vs-task CPU split IDENTICAL at
+    # both levels of the default pair (2cpu->1 actor, 8cpu->4)
+    os.environ.setdefault("RAYXT_POOL_FRACTION", "0.5")
+    lo, hi = (int(x) for x in os.environ.get("RAYXT_SCALING_LEVELS", "2,8").split(","))
+    # INTERLEAVED trials (lo,hi,lo,hi,...): this VM's throughput drifts
+    # monotonically over tens of minutes (BENCH/BASELINE.md host-drift
+    # trace: 30.8s -> 44.3s for identical code across one day), so
+    # running all lo trials then all hi trials aliases the drift into
+    # the ratio; alternating levels puts both medians on the same drift
+    # window and the ratio measures the pipeline, not the hour
+    runs_lo, runs_hi = [], []
+    for _ in range(trials):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    r_lo, r_hi = median(runs_lo), median(runs_hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     report = {
@@ -344,8 +356,10 @@ def run_scaling() -> None:
             f"| {lo} | {t_lo} | {r_lo['docs_per_sec']} | {r_lo['mb_in_per_sec']} |\n"
             f"| {hi} | {t_hi} | {r_hi['docs_per_sec']} | {r_hi['mb_in_per_sec']} |\n\n"
             f"Scaling efficiency ({lo} -> {hi} cpus, the N->4N criterion, "
-            f"median of {trials} fresh-process runs per level, extract "
-            f"pool fraction {os.environ.get('RAYXT_POOL_FRACTION', '0.75')} "
+            f"median of {trials} INTERLEAVED fresh-process runs per "
+            "level — levels alternate so the host's monotonic drift "
+            "cancels out of the ratio — extract pool fraction "
+            f"{os.environ.get('RAYXT_POOL_FRACTION', '0.75')} "
             "at both levels): "
             f"**{report['scaling_efficiency']}** (target >= 0.8).\n"
             + (
