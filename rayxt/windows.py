@@ -914,14 +914,25 @@ def rolling_stats(ds, *, key: str, ts_col: str, tie_col: str,
         return sel.append_column(
             "__carry", pa.array(np.full(sel.num_rows, carry)))
 
-    def tails(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, tie_col], kind="mergesort")
-        return g.tail(window - 1) if window > 1 else g.head(0)
+    def tails_block(df: pd.DataFrame) -> pd.DataFrame:
+        # per-BLOCK partial: each (key, bucket)'s last window-1 rows —
+        # ONE vectorized pandas groupby per block, no exchange, instead
+        # of a per-(key, bucket) map_groups (whose per-group UDF
+        # overhead dominated: thousands of 2-row groups).  A hot key's
+        # carry input shrinks to (window-1) x buckets x blocks before
+        # the per-key group below.
+        if window <= 1:
+            return df.head(0)
+        df = df.sort_values([ts_col, tie_col], kind="mergesort")
+        return df.groupby([key, "__b"], sort=False).tail(window - 1)
 
     def spread(g: pd.DataFrame) -> pd.DataFrame:
-        # carry for bucket b = last window-1 rows from buckets < b
+        # reduce block partials to TRUE per-bucket tails, then: carry
+        # for bucket b = last window-1 rows from buckets < b
         g = g.sort_values([ts_col, tie_col],
-                          kind="mergesort").reset_index(drop=True)
+                          kind="mergesort")
+        g = (g.groupby("__b", sort=False).tail(window - 1)
+             .reset_index(drop=True))
         bs = np.sort(g["__b"].unique())
         outs = []
         for b in bs[1:]:
@@ -933,10 +944,9 @@ def rolling_stats(ds, *, key: str, ts_col: str, tie_col: str,
         return pd.concat(outs, ignore_index=True) if outs else g.head(0)
 
     carry = _arrowize(
-        _arrowize(tagged.map_batches(lambda t: mark(t, False),
-                                     batch_format="pyarrow")
-                  .groupby([key, "__b"]).map_groups(
-                      tails, batch_format="pandas"))
+        tagged.map_batches(lambda t: mark(t, False),
+                           batch_format="pyarrow")
+        .map_batches(tails_block, batch_format="pandas")
         .groupby(key).map_groups(spread, batch_format="pandas"))
     # NOTE: carry rows re-tag __b but keep __carry=False until here;
     # flip it so the roll pass can drop them from the output
