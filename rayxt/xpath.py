@@ -16,17 +16,29 @@ XPath subset::
                    namespace:: raises)
     attribute steps (final step only): @name  @*  attribute::name —
                 yield attribute VALUE strings, lxml-style
-    predicates: [n] [last()] [@attr] [@attr='v'] [tag] [text()='v']
+    predicates: [n] [last()] [last()-n] [@attr] [@attr='v'] [@attr!='v']
+                [tag] [text()] [text()='v'] [text()!='v']
+                [position() <op> n|last()|last()-n]  (<op> in = != < <= > >=)
+                [not(<pred-expr>)]
+                [contains(<arg>, 'v')] [starts-with(<arg>, 'v')]
+                [normalize-space(<arg>?)] [normalize-space(<arg>?)='v']
+                [string-length(<arg>?) <op> n]
+                where <arg> is @attr | text() | . (the string-value;
+                text() is the element's FIRST text node per XPath's
+                node-set->string rule)
                 plus 'and' / 'or' of those
     unions: p1 | p2
     names: local, prefix:local (resolved against the nsmap), {uri}local
 
 CSS subset (compiled onto the same AST)::
 
-    tag  .class  #id  [attr]  [attr=v]  *
+    tag  .class  #id  [attr]  [attr=v]  [attr~=v] [attr^=v] [attr$=v]
+    [attr*=v] [attr|=v]  *
     descendant (space), child (>), comma (union), compounds (div.a#b)
     pseudo-classes: :first-child :last-child :not(<simple compound>)
-                    :nth-child(an+b | odd | even)   (others raise)
+                    :nth-child(an+b | odd | even)  :nth-of-type(an+b)
+                    :first-of-type :last-of-type :only-child
+                    (others raise)
 
 Evaluation returns elements in document order without duplicates.
 Namespace resolution of ``prefix:local`` happens at evaluation time via
@@ -55,7 +67,15 @@ _TOKEN_RE = re.compile(
   | (?P<rbrack>\])
   | (?P<union>\|)
   | (?P<at>@)
+  | (?P<neq>!=)
+  | (?P<le><=)
+  | (?P<ge>>=)
+  | (?P<lt><)
+  | (?P<gt>>)
   | (?P<eq>=)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<comma>,)
   | (?P<string>'[^']*'|"[^"]*")
   | (?P<number>\d+)
   | (?P<dotdot>\.\.)
@@ -79,7 +99,15 @@ def _tokenize(s: str):
         kind = m.lastgroup
         if kind == "ws":
             continue
-        tokens.append((kind, m.group()))
+        val = m.group()
+        if kind == "name" and re.fullmatch(r"-\d*", val):
+            # the name pattern greedily eats '-1' in 'last()-1'; no real
+            # tag name is a bare minus or minus-digits, so re-split
+            tokens.append(("minus", "-"))
+            if len(val) > 1:
+                tokens.append(("number", val[1:]))
+            continue
+        tokens.append((kind, val))
     return tokens
 
 
@@ -105,14 +133,20 @@ class _LastPred(_Pred):
 
 
 class _AttrPred(_Pred):
-    def __init__(self, name, value=None):
+    def __init__(self, name, value=None, negate=False):
         self.name = name
         self.value = value
+        self.negate = negate
 
     def matches(self, node, position, size, nsmap):
         if self.value is None:
             return self.name in node.attrs
-        return node.attrs.get(self.name) == self.value
+        got = node.attrs.get(self.name)
+        if got is None:
+            # XPath node-set comparison: an empty node-set compares
+            # false under BOTH = and != (lxml agrees)
+            return False
+        return (got != self.value) if self.negate else (got == self.value)
 
 
 class _ClassWordPred(_Pred):
@@ -205,6 +239,67 @@ def _parse_nth(text: str):
     return a, b
 
 
+class _AttrOpPred(_Pred):
+    """CSS attribute operators: ``~=`` word, ``^=`` prefix, ``$=`` suffix,
+    ``*=`` substring, ``|=`` exact-or-dash-prefix (Selectors L3 6.3.1;
+    an empty test string never matches for ^= $= *=)."""
+
+    def __init__(self, name, op, value):
+        self.name = name
+        self.op = op
+        self.value = value
+
+    def matches(self, node, position, size, nsmap):
+        got = node.attrs.get(self.name)
+        if got is None:
+            return False
+        v = self.value
+        if self.op == "~=":
+            return v in got.split()
+        if not v and self.op in ("^=", "$=", "*="):
+            return False
+        if self.op == "^=":
+            return got.startswith(v)
+        if self.op == "$=":
+            return got.endswith(v)
+        if self.op == "*=":
+            return v in got
+        return got == v or got.startswith(v + "-")  # |=
+
+
+class _NthOfTypePred(_Pred):
+    """CSS ``:nth-of-type(an+b)`` / ``:first-of-type`` (a=0,b=1) —
+    1-based index among SAME-TAG element siblings matches an+b."""
+
+    def __init__(self, a: int, b: int, from_end: bool = False):
+        self.a, self.b, self.from_end = a, b, from_end
+
+    def matches(self, node, position, size, nsmap):
+        p = node.parent
+        if p is None:
+            idx = 1
+        else:
+            same = [c for c in p.children
+                    if c.is_element() and c.tag == node.tag]
+            if self.from_end:
+                same = same[::-1]
+            idx = next(i for i, c in enumerate(same, 1) if c is node)
+        if self.a == 0:
+            return idx == self.b
+        k, r = divmod(idx - self.b, self.a)
+        return r == 0 and k >= 0
+
+
+class _OnlyChildPred(_Pred):
+    """CSS ``:only-child`` — the parent has exactly one element child."""
+
+    def matches(self, node, position, size, nsmap):
+        p = node.parent
+        if p is None:
+            return True
+        return sum(1 for c in p.children if c.is_element()) == 1
+
+
 class _NotCompoundPred(_Pred):
     """CSS ``:not(<simple compound>)`` — negate a tag + preds compound."""
 
@@ -219,11 +314,149 @@ class _NotCompoundPred(_Pred):
 
 
 class _TextEqPred(_Pred):
-    def __init__(self, value):
+    def __init__(self, value, negate=False):
+        self.value = value
+        self.negate = negate
+
+    def matches(self, node, position, size, nsmap):
+        got = (node.text or "") == self.value
+        return not got if self.negate else got
+
+
+def _string_value(node: Node) -> str:
+    """XPath string-value of an element: every descendant text node in
+    document order, concatenated raw (comment text excluded, comment
+    *tails* included — they are the parent's character data)."""
+    out = []
+    if node.text:
+        out.append(node.text)
+    stack = [(c, True) for c in reversed(node.children)]
+    while stack:
+        n, fresh = stack.pop()
+        if not fresh:
+            if n.tail:
+                out.append(n.tail)
+            continue
+        stack.append((n, False))
+        if n.is_element():
+            if n.text:
+                out.append(n.text)
+            stack.extend((c, True) for c in reversed(n.children))
+    return "".join(out)
+
+
+#: string-argument forms inside predicate functions:
+#: ('attr', name) | ('text',) | ('self',).  Resolution returns None for
+#: a missing attribute (empty node-set -> the function call is false /
+#: length 0 per XPath's string() of an empty node-set being '').
+def _resolve_strarg(arg, node, nsmap):
+    if arg[0] == "attr":
+        name = arg[1]
+        if ":" in name and not name.startswith("{"):
+            name = _resolve_name(name, nsmap)
+        return node.attrs.get(name)
+    if arg[0] == "text":
+        # node-set -> string takes the FIRST text node; our DOM stores
+        # the element's leading text on .text and later runs on child
+        # tails, so the first text node is .text when present, else the
+        # first non-empty child tail
+        if node.text:
+            return node.text
+        for c in node.children:
+            if c.tail:
+                return c.tail
+        return None
+    return _string_value(node)
+
+
+class _StrFnPred(_Pred):
+    """``contains(arg, 'v')`` / ``starts-with(arg, 'v')``."""
+
+    def __init__(self, fn, arg, value):
+        self.fn = fn
+        self.arg = arg
         self.value = value
 
     def matches(self, node, position, size, nsmap):
-        return (node.text or "") == self.value
+        s = _resolve_strarg(self.arg, node, nsmap)
+        if s is None:
+            s = ""
+        if self.fn == "contains":
+            return self.value in s
+        return s.startswith(self.value)
+
+
+class _NormSpacePred(_Pred):
+    """``normalize-space(arg?)`` bare (truthy) or compared to a string."""
+
+    def __init__(self, arg, op, value):
+        self.arg = arg
+        self.op = op  # 'truthy' | '=' | '!='
+        self.value = value
+
+    def matches(self, node, position, size, nsmap):
+        s = _resolve_strarg(self.arg, node, nsmap) or ""
+        norm = " ".join(s.split())
+        if self.op == "truthy":
+            return bool(norm)
+        if self.op == "=":
+            return norm == self.value
+        return norm != self.value
+
+
+_CMP_FNS = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+class _StrLenPred(_Pred):
+    """``string-length(arg?) <op> n``."""
+
+    def __init__(self, arg, op, n):
+        self.arg = arg
+        self.op = op
+        self.n = n
+
+    def matches(self, node, position, size, nsmap):
+        s = _resolve_strarg(self.arg, node, nsmap) or ""
+        return _CMP_FNS[self.op](len(s), self.n)
+
+
+class _PosCmpPred(_Pred):
+    """``position() <op> rhs`` where rhs is ('lit', n) | ('last', delta)."""
+
+    def __init__(self, op, rhs):
+        self.op = op
+        self.rhs = rhs
+
+    def matches(self, node, position, size, nsmap):
+        target = self.rhs[1] if self.rhs[0] == "lit" else size + self.rhs[1]
+        return _CMP_FNS[self.op](position, target)
+
+
+class _NotPred(_Pred):
+    """XPath ``not(<pred-expr>)``."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def matches(self, node, position, size, nsmap):
+        return not self.inner.matches(node, position, size, nsmap)
+
+
+class _HasTextNodePred(_Pred):
+    """Bare ``[text()]`` — the element has at least one non-empty text
+    node child (leading .text or any child tail)."""
+
+    def matches(self, node, position, size, nsmap):
+        if node.text:
+            return True
+        return any(c.tail for c in node.children)
 
 
 class _BoolPred(_Pred):
@@ -602,6 +835,49 @@ class _Parser:
             return parts[0]
         return _BoolPred(op, parts)
 
+    _CMP_TOKENS = {"eq": "=", "neq": "!=", "lt": "<", "le": "<=",
+                   "gt": ">", "ge": ">="}
+
+    def _cmp_op(self) -> str:
+        kind, val = self.next()
+        op = self._CMP_TOKENS.get(kind)
+        if op is None:
+            raise SelectorError(
+                f"expected comparison operator in {self.source!r}, got {val!r}")
+        return op
+
+    def _num_or_last(self):
+        """Parse a numeric rhs: n | last() | last()-n -> ('lit'|'last', v)."""
+        kind, val = self.next()
+        if kind == "number":
+            return ("lit", int(val))
+        if kind == "name" and val == "last()":
+            delta = 0
+            if self.peek()[0] == "minus":
+                self.next()
+                delta = -int(self.expect("number"))
+            return ("last", delta)
+        raise SelectorError(
+            f"expected number or last() in {self.source!r}, got {val!r}")
+
+    def _parse_strarg(self, *, optional=False):
+        """@attr | text() | .  (optional: absent -> the string-value)."""
+        kind, val = self.peek()
+        if kind == "at":
+            self.next()
+            return ("attr", self.expect("name"))
+        if kind == "name" and val == "text()":
+            self.next()
+            return ("text",)
+        if kind == "dot":
+            self.next()
+            return ("self",)
+        if optional and kind == "rparen":
+            return ("self",)
+        raise SelectorError(
+            f"expected @attr, text() or . as function argument in "
+            f"{self.source!r}, got {val!r}")
+
     def parse_pred_atom(self):
         kind, val = self.peek()
         if kind == "number":
@@ -610,19 +886,69 @@ class _Parser:
         if kind == "at":
             self.next()
             attr = self.expect("name")
-            if self.peek()[0] == "eq":
+            k2 = self.peek()[0]
+            if k2 in ("eq", "neq"):
                 self.next()
                 s = self.expect("string")
-                return _AttrPred(attr, s[1:-1])
+                return _AttrPred(attr, s[1:-1], negate=(k2 == "neq"))
             return _AttrPred(attr)
         if kind == "name":
             self.next()
             if val == "last()":
+                if self.peek()[0] == "minus":
+                    self.next()
+                    delta = -int(self.expect("number"))
+                    return _PosCmpPred("=", ("last", delta))
                 return _LastPred()
+            if val == "position()":
+                op = self._cmp_op()
+                return _PosCmpPred(op, self._num_or_last())
             if val == "text()":
-                self.expect("eq")
+                k2 = self.peek()[0]
+                if k2 in ("eq", "neq"):
+                    self.next()
+                    s = self.expect("string")
+                    return _TextEqPred(s[1:-1], negate=(k2 == "neq"))
+                return _HasTextNodePred()
+            if val == "not" and self.peek()[0] == "lparen":
+                self.next()
+                inner = self.parse_pred_expr()
+                self.expect("rparen")
+                return _NotPred(inner)
+            if val in ("contains", "starts-with") and self.peek()[0] == "lparen":
+                self.next()
+                arg = self._parse_strarg()
+                self.expect("comma")
                 s = self.expect("string")
-                return _TextEqPred(s[1:-1])
+                self.expect("rparen")
+                return _StrFnPred(val, arg, s[1:-1])
+            if val == "normalize-space()" or (
+                    val == "normalize-space" and self.peek()[0] == "lparen"):
+                # no-arg spelling tokenizes with the parens folded in
+                if val.endswith("()"):
+                    arg = ("self",)
+                else:
+                    self.next()
+                    arg = self._parse_strarg(optional=True)
+                    self.expect("rparen")
+                k2 = self.peek()[0]
+                if k2 in ("eq", "neq"):
+                    self.next()
+                    s = self.expect("string")
+                    return _NormSpacePred(
+                        arg, "=" if k2 == "eq" else "!=", s[1:-1])
+                return _NormSpacePred(arg, "truthy", None)
+            if val == "string-length()" or (
+                    val == "string-length" and self.peek()[0] == "lparen"):
+                if val.endswith("()"):
+                    arg = ("self",)
+                else:
+                    self.next()
+                    arg = self._parse_strarg(optional=True)
+                    self.expect("rparen")
+                op = self._cmp_op()
+                n = int(self.expect("number"))
+                return _StrLenPred(arg, op, n)
             if val.endswith("()"):
                 raise SelectorError(f"unsupported predicate function {val!r}")
             return _ChildTagPred(val)
@@ -642,7 +968,7 @@ _CSS_TOKEN_RE = re.compile(
   | (?P<ws>\s+)
   | (?P<hash>\#[\w\-]+)
   | (?P<class>\.[\w\-]+)
-  | (?P<attr>\[\s*[\w\-]+\s*(?:=\s*(?:'[^']*'|"[^"]*"|[\w\-]+)\s*)?\])
+  | (?P<attr>\[\s*[\w\-]+\s*(?:[~^$*|]?=\s*(?:'[^']*'|"[^"]*"|[\w\-]+)\s*)?\])
   | (?P<pseudo>:[\w\-]+(?:\([^()]*\))?)
   | (?P<star>\*)
   | (?P<tag>[\w\-]+(?:\|[\w\-]+)?)
@@ -651,17 +977,22 @@ _CSS_TOKEN_RE = re.compile(
 )
 
 _CSS_ATTR_RE = re.compile(
-    r"""\[\s*(?P<name>[\w\-]+)\s*(?:=\s*(?P<val>'[^']*'|"[^"]*"|[\w\-]+)\s*)?\]"""
+    r"""\[\s*(?P<name>[\w\-]+)\s*
+        (?:(?P<op>[~^$*|]?=)\s*(?P<val>'[^']*'|"[^"]*"|[\w\-]*)\s*)?\]""",
+    re.VERBOSE,
 )
 
 
-def _css_attr_pred(text: str) -> _AttrPred:
+def _css_attr_pred(text: str) -> _Pred:
     am = _CSS_ATTR_RE.match(text)
     if not am:
         raise SelectorError(f"bad attr selector {text!r}")
     val = am.group("val")
     if val and val[0] in "'\"":
         val = val[1:-1]
+    op = am.group("op")
+    if op and op != "=":
+        return _AttrOpPred(am.group("name"), op, val)
     return _AttrPred(am.group("name"), val)
 
 
@@ -670,11 +1001,21 @@ def _css_pseudo_pred(text: str, source: str) -> _Pred:
         return _FirstChildPred()
     if text == ":last-child":
         return _LastChildPred()
+    if text == ":first-of-type":
+        return _NthOfTypePred(0, 1)
+    if text == ":last-of-type":
+        return _NthOfTypePred(0, 1, from_end=True)
+    if text == ":only-child":
+        return _OnlyChildPred()
     if text.startswith(":not(") and text.endswith(")"):
         name, preds = _css_compound(text[5:-1].strip(), source)
         return _NotCompoundPred(name, preds)
     if text.startswith(":nth-child(") and text.endswith(")"):
         return _NthChildPred(*_parse_nth(text[11:-1]))
+    if text.startswith(":nth-of-type(") and text.endswith(")"):
+        return _NthOfTypePred(*_parse_nth(text[13:-1]))
+    if text.startswith(":nth-last-of-type(") and text.endswith(")"):
+        return _NthOfTypePred(*_parse_nth(text[18:-1]), from_end=True)
     raise SelectorError(f"unsupported pseudo-class {text!r} in {source!r}")
 
 

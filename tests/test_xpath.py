@@ -91,9 +91,13 @@ def test_namespaced_xpath():
 
 def test_out_of_subset_raises_at_compile():
     # (following-sibling:: joined the subset in round 4; following::/
-    # preceding::/attribute:: in round 5 — functions stay out)
-    for bad in ["//p[contains(@class,'x')]", "count(//p)",
-                "//p[position()<3]", "//p/namespace::a"]:
+    # preceding::/attribute:: plus the common predicate functions in
+    # round 5 — location-step functions and the rest stay out)
+    for bad in ["count(//p)", "//p/namespace::a",
+                "//p[substring(@a,1,2)='x']", "//p[count(a)=1]",
+                "//p[foo()]", "//p[contains(@a)]",
+                "//p[string-length()]", "//p[position()]",
+                "//p[contains(foo,'x')]"]:
         with pytest.raises(SelectorError):
             parse_xpath(bad)
 
@@ -253,7 +257,119 @@ def test_css_nth_child():
     assert _texts(parse_css("section > p:nth-child(-n+2)")
                   .evaluate(root)) == ["a", "d"]
     assert _texts(parse_css("li:nth-child(0n+1)").evaluate(root)) == ["x"]
-    for bad in ("p:nth-child()", "p:nth-child(x)", "p:nth-child(n+)",
-                "p:nth-of-type(2)"):
+    for bad in ("p:nth-child()", "p:nth-child(x)", "p:nth-child(n+)"):
         with pytest.raises(SelectorError):
             parse_css(bad)
+
+
+FN_HTML = (
+    b"<html><body>"
+    b'<div class="nav-bar top" id="nav"><p>skip</p></div>'
+    b'<div class="content main"><p>one</p><p>  two  words </p><p></p>'
+    b"<span>x<em>y</em>z</span><p>four</p></div>"
+    b"<ul><li>a</li><li>b</li><li>c</li><li>d</li></ul>"
+    b'<a href="https://x.example/aa">A</a>'
+    b'<a href="http://y.example/b">B</a>'
+    b'<a href="https://z.example/c" rel="nofollow">C</a>'
+    b"</body></html>"
+)
+
+
+def test_xpath_string_functions():
+    root = parse_html(FN_HTML)
+    assert [n.attrs["id"] for n in
+            parse_xpath("//div[contains(@class,'nav')]").evaluate(root)] \
+        == ["nav"]
+    assert parse_xpath("//a[starts-with(@href,'https')]/@href") \
+        .evaluate(root) == ["https://x.example/aa", "https://z.example/c"]
+    # missing attribute -> empty string-value -> contains('') semantics
+    assert parse_xpath("//a[contains(@rel,'no')]").evaluate(root)[0] \
+        .text == "C"
+    assert parse_xpath("//a[starts-with(@rel,'x')]").evaluate(root) == []
+    # '.' argument = full string-value (descendant text incl. tails)
+    assert [n.tag for n in
+            parse_xpath("//span[contains(., 'xyz')]").evaluate(root)] \
+        == ["span"]
+    assert _texts(parse_xpath("//p[contains(text(),'two')]")
+                  .evaluate(root)) == ["  two  words "]
+
+
+def test_xpath_normalize_space_and_length():
+    root = parse_html(FN_HTML)
+    assert _texts(parse_xpath("//p[normalize-space()='two words']")
+                  .evaluate(root)) == ["  two  words "]
+    # bare normalize-space() drops the empty <p></p>
+    assert _texts(parse_xpath(
+        "//div[@class='content main']/p[normalize-space()]")
+        .evaluate(root)) == ["one", "  two  words ", "four"]
+    assert [n.attrs["id"] for n in
+            parse_xpath("//div[normalize-space(@id)='nav']")
+            .evaluate(root)] == ["nav"]
+    assert _texts(parse_xpath("//p[normalize-space()!='one']/..")
+                  .evaluate(root)) is not None  # parses; result unused
+    assert _texts(parse_xpath("//li[string-length() > 0]")
+                  .evaluate(root)) == ["a", "b", "c", "d"]
+    assert _texts(parse_xpath("//p[string-length(.) >= 4]")
+                  .evaluate(root)) == ["skip", "  two  words ", "four"]
+    assert parse_xpath("//a[string-length(@href) <= 20]/@href") \
+        .evaluate(root) == ["https://x.example/aa", "http://y.example/b",
+                            "https://z.example/c"]
+
+
+def test_xpath_position_arithmetic_and_not():
+    root = parse_html(FN_HTML)
+    assert _texts(parse_xpath("//ul/li[position()>1]").evaluate(root)) \
+        == ["b", "c", "d"]
+    assert _texts(parse_xpath("//ul/li[position()<=2]").evaluate(root)) \
+        == ["a", "b"]
+    assert _texts(parse_xpath("//ul/li[last()-1]").evaluate(root)) == ["c"]
+    assert _texts(parse_xpath("//ul/li[position()!=last()]")
+                  .evaluate(root)) == ["a", "b", "c"]
+    assert _texts(parse_xpath("//ul/li[position()=last()-2]")
+                  .evaluate(root)) == ["b"]
+    assert _texts(parse_xpath("//a[not(@rel)]").evaluate(root)) \
+        == ["A", "B"]
+    assert _texts(parse_xpath(
+        "//li[not(position()=1 or position()=last())]")
+        .evaluate(root)) == ["b", "c"]
+    # bare [text()] keeps elements owning at least one text node
+    assert _texts(parse_xpath("//div[@class='content main']/p[text()]")
+                  .evaluate(root)) == ["one", "  two  words ", "four"]
+    # != on attributes: missing attribute is FALSE (node-set semantics)
+    assert _texts(parse_xpath("//a[@rel!='x']").evaluate(root)) == ["C"]
+    assert _texts(parse_xpath("//p[text()!='one']").evaluate(root)) \
+        == ["skip", "  two  words ", None, "four"]
+
+
+def test_css_attr_operators():
+    root = parse_html(FN_HTML)
+    assert _texts(parse_css("a[href^='https']").evaluate(root)) \
+        == ["A", "C"]
+    assert _texts(parse_css("a[href$='/b']").evaluate(root)) == ["B"]
+    assert _texts(parse_css("a[href*='example']").evaluate(root)) \
+        == ["A", "B", "C"]
+    assert _texts(parse_css("div[class~='main'] > p[class]")
+                  .evaluate(root)) == []
+    assert [n.attrs["id"] for n in
+            parse_css("div[class|='nav']").evaluate(root)] == ["nav"]
+    assert parse_css("a[href^='']").evaluate(root) == []  # empty never matches
+    assert parse_css("a[href*='']").evaluate(root) == []
+
+
+def test_css_of_type_pseudos():
+    root = parse_html(FN_HTML)
+    assert _texts(parse_css("div.content p:nth-of-type(2)")
+                  .evaluate(root)) == ["  two  words "]
+    assert _texts(parse_css("div.content p:first-of-type")
+                  .evaluate(root)) == ["one"]
+    assert _texts(parse_css("div.content p:last-of-type")
+                  .evaluate(root)) == ["four"]
+    assert _texts(parse_css("div.content p:nth-last-of-type(2)")
+                  .evaluate(root)) == [None]
+    # span is the 4th element child but the 1st (and only) span
+    assert [n.tag for n in
+            parse_css("div.content span:first-of-type").evaluate(root)] \
+        == ["span"]
+    assert _texts(parse_css("div p:only-child").evaluate(root)) == ["skip"]
+    assert _texts(parse_css("li:nth-of-type(even)").evaluate(root)) \
+        == ["b", "d"]
