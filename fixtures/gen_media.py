@@ -1018,6 +1018,556 @@ def _jpeg_payload(i: int, src: np.ndarray) -> bytes:
     return _jpeg_encode_progressive(src, 85, dc_split=mode == 2)
 
 
+# -- WebP lossless (VP8L) writer ---------------------------------------------
+#
+# Spec-true encoder used only to build fixtures: LSB-first bit writer,
+# canonical length-limited Huffman with the full code-length coding
+# (16/17/18 repeats), simple 1/2-symbol codes, colour cache, LZ77
+# backward references over the 2-D distance planes, meta prefix-code
+# groups, and all four transforms (predictor with the 14 modes cycling
+# per block, colour transform, subtract-green, colour-indexing with
+# sub-byte bundling).  The engine decoder (rayxt/webp.py) and the
+# independent oracle (tests/oracle/webp_oracle.py) must both invert it
+# exactly — VP8L is lossless.
+
+
+class _LsbWriter:
+    """LSB-first bit writer (VP8L convention, unlike JPEG's MSB-first
+    ``_BitWriter`` above)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def bits(self, value: int, n: int) -> None:
+        for k in range(n):
+            self.cur |= ((value >> k) & 1) << self.nbits
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def code(self, code: int, length: int) -> None:
+        """Prefix CODES are emitted MSB-first (decoder builds the code
+        one bit at a time)."""
+        for k in range(length - 1, -1, -1):
+            self.bits((code >> k) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.cur)
+            self.cur = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _vp8l_plane_codes() -> dict:
+    """(dx, dy) -> 1-based plane code (inverse of the decoder's
+    table): dy 0..7, dx -7..8, ordered by squared distance, ties by
+    larger dy then positive dx first."""
+    pairs = [(dx, dy)
+             for dy in range(8) for dx in range(-7, 9)
+             if not (dy == 0 and dx < 1)]
+    pairs.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0))
+    return {p: i + 1 for i, p in enumerate(pairs)}
+
+
+_VP8L_PLANES = _vp8l_plane_codes()
+
+
+def _vp8l_dist_code(dist: int, w: int) -> int:
+    for dy in range(8):
+        dx = dist - dy * w
+        if (dx, dy) in _VP8L_PLANES and max(1, dy * w + dx) == dist:
+            return _VP8L_PLANES[(dx, dy)]
+    return dist + 120
+
+
+def _vp8l_lz77_sym(value: int):
+    """LZ77 length/distance value -> (prefix symbol, extra, n_extra)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    rem = value - 1
+    extra_bits = rem.bit_length() - 2
+    bit = (rem >> extra_bits) - 2
+    sym = 2 * extra_bits + 2 + bit
+    offset = (2 + bit) << extra_bits
+    return sym, rem - offset, extra_bits
+
+
+def _vp8l_huff_lengths(freqs, limit: int):
+    """Heap Huffman; on depth overflow halve frequencies and retry
+    (fixture images are tiny, one retry is already rare)."""
+    import heapq
+
+    f = list(freqs)
+    while True:
+        heap = [(fr, sym, ("leaf", sym)) for sym, fr in enumerate(f) if fr > 0]
+        heapq.heapify(heap)
+        if len(heap) <= 1:
+            return [1 if fr > 0 else 0 for fr in f]
+        uid = len(f)
+        while len(heap) > 1:
+            fa, _, na = heapq.heappop(heap)
+            fb, _, nb = heapq.heappop(heap)
+            heapq.heappush(heap, (fa + fb, uid, ("node", na, nb)))
+            uid += 1
+        lengths = [0] * len(f)
+        stack = [(heap[0][2], 0)]
+        max_d = 0
+        while stack:
+            node, d = stack.pop()
+            if node[0] == "leaf":
+                lengths[node[1]] = max(1, d)
+                max_d = max(max_d, d)
+            else:
+                stack.append((node[1], d + 1))
+                stack.append((node[2], d + 1))
+        if max_d <= limit:
+            return lengths
+        f = [(fr + 1) >> 1 if fr > 0 else 0 for fr in f]
+
+
+def _vp8l_canon(lengths) -> dict:
+    """lengths -> {sym: (code, length)} (canonical, DEFLATE order)."""
+    used = sorted((ln, sym) for sym, ln in enumerate(lengths) if ln > 0)
+    codes = {}
+    code = 0
+    prev_len = 0
+    for ln, sym in used:
+        code <<= ln - prev_len
+        prev_len = ln
+        codes[sym] = (code, ln)
+        code += 1
+    return codes
+
+
+def _vp8l_write_code(bw: _LsbWriter, lengths) -> dict:
+    """Emit one prefix-code header; return the symbol->code map the
+    token writer must use.  Uses the simple spelling when possible."""
+    used = [s for s, ln in enumerate(lengths) if ln > 0]
+    if 1 <= len(used) <= 2 and max(used) <= 255:
+        bw.bits(1, 1)  # simple
+        bw.bits(len(used) - 1, 1)
+        first = used[0]
+        if first > 1:
+            bw.bits(1, 1)
+            bw.bits(first, 8)
+        else:
+            bw.bits(0, 1)
+            bw.bits(first, 1)
+        if len(used) == 1:
+            return {first: (0, 0)}
+        bw.bits(used[1], 8)
+        return {used[0]: (0, 1), used[1]: (1, 1)}
+    bw.bits(0, 1)  # normal: code lengths themselves prefix-coded
+    # RLE-tokenize the length array (exercises 16/17/18 on decode)
+    toks = []
+    i = 0
+    n = len(lengths)
+    while i < n:
+        ln = lengths[i]
+        run = 1
+        while i + run < n and lengths[i + run] == ln:
+            run += 1
+        if ln == 0:
+            left = run
+            while left >= 11:
+                take = min(left, 138)
+                toks.append((18, take - 11, 7))
+                left -= take
+            while left >= 3:
+                take = min(left, 10)
+                toks.append((17, take - 3, 3))
+                left -= take
+            toks.extend((0, 0, 0) for _ in range(left))
+        else:
+            toks.append((ln, 0, 0))
+            left = run - 1
+            while left >= 3:
+                take = min(left, 6)
+                toks.append((16, take - 3, 2))
+                left -= take
+            toks.extend((ln, 0, 0) for _ in range(left))
+        i += run
+    clc_order = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10,
+                 11, 12, 13, 14, 15)
+    cl_freq = [0] * 19
+    for sym, _, _ in toks:
+        cl_freq[sym] += 1
+    cl_lengths = _vp8l_huff_lengths(cl_freq, 7)
+    if sum(1 for ln in cl_lengths if ln) == 1:
+        # a lone CL symbol decodes as a 0-bit code; keep its length 1
+        pass
+    cl_codes = _vp8l_canon(cl_lengths)
+    single_cl = sum(1 for ln in cl_lengths if ln) == 1
+    bw.bits(19 - 4, 4)
+    for s in clc_order:
+        bw.bits(cl_lengths[s], 3)
+    bw.bits(0, 1)  # no max-symbol cap
+    for sym, extra, n_extra in toks:
+        if not single_cl:
+            c, ln = cl_codes[sym]
+            bw.code(c, ln)
+        if n_extra:
+            bw.bits(extra, n_extra)
+    return _vp8l_canon(lengths)
+
+
+def _vp8l_hash(px: int, bits: int) -> int:
+    return ((px * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _vp8l_tokenize(flat, w, h, *, cache_bits=0, use_lz77=False,
+                   meta_bits=0, n_groups=1):
+    """Pixel stream -> per-position tokens + group ids.  Tokens:
+    ('lit', a, r, g, b) | ('cache', idx) | ('copy', length, dist)."""
+    total = len(flat)
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    mw = ((w + (1 << meta_bits) - 1) >> meta_bits) if meta_bits else 0
+    tokens = []
+    pos = 0
+    while pos < total:
+        x, y = pos % w, pos // w
+        gid = 0
+        if meta_bits:
+            gid = ((y >> meta_bits) * mw + (x >> meta_bits)) % n_groups
+        best_len = 0
+        best_dist = 0
+        if use_lz77:
+            for dist in (1, w):
+                if dist == 0 or dist > pos:
+                    continue
+                ln = 0
+                while pos + ln < total and ln < 4096 \
+                        and flat[pos + ln - dist] == flat[pos + ln]:
+                    ln += 1
+                if ln > best_len:
+                    best_len, best_dist = ln, dist
+        if best_len >= 3:
+            tokens.append((gid, ("copy", best_len, best_dist)))
+            if cache is not None:
+                for k in range(best_len):
+                    px = int(flat[pos + k])
+                    cache[_vp8l_hash(px, cache_bits)] = px
+            pos += best_len
+            continue
+        px = int(flat[pos])
+        if cache is not None:
+            idx = _vp8l_hash(px, cache_bits)
+            if cache[idx] == px:
+                tokens.append((gid, ("cache", idx)))
+                pos += 1
+                continue
+            cache[idx] = px
+        tokens.append((gid, ("lit", (px >> 24) & 0xFF, (px >> 16) & 0xFF,
+                             (px >> 8) & 0xFF, px & 0xFF)))
+        pos += 1
+    return tokens
+
+
+def _vp8l_write_image(bw, flat, w, h, *, top_level, cache_bits=0,
+                      use_lz77=False, meta_bits=0, n_groups=1):
+    """Write one entropy-coded image (recursively for the meta image)."""
+    if top_level:
+        if meta_bits:
+            bw.bits(1, 1)
+            bw.bits(meta_bits - 2, 3)
+            mw = (w + (1 << meta_bits) - 1) >> meta_bits
+            mh = (h + (1 << meta_bits) - 1) >> meta_bits
+            gids = np.arange(mw * mh, dtype=np.uint32) % n_groups
+            meta_flat = (np.uint32(0xFF) << 24) | (gids << 8)
+            _vp8l_write_image(bw, meta_flat, mw, mh, top_level=False)
+        else:
+            bw.bits(0, 1)
+    if cache_bits:
+        bw.bits(1, 1)
+        bw.bits(cache_bits, 4)
+    else:
+        bw.bits(0, 1)
+    tokens = _vp8l_tokenize(flat, w, h, cache_bits=cache_bits,
+                            use_lz77=use_lz77, meta_bits=meta_bits,
+                            n_groups=n_groups)
+    groups = n_groups if meta_bits else 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    freqs = [[([0] * (256 + 24 + cache_size)), [0] * 256, [0] * 256,
+              [0] * 256, [0] * 40] for _ in range(groups)]
+    for gid, tok in tokens:
+        fg = freqs[gid]
+        if tok[0] == "lit":
+            _, a, r, g, b = tok
+            fg[0][g] += 1
+            fg[1][r] += 1
+            fg[2][b] += 1
+            fg[3][a] += 1
+        elif tok[0] == "cache":
+            fg[0][280 + tok[1]] += 1
+        else:
+            lsym, _, _ = _vp8l_lz77_sym(tok[1])
+            fg[0][256 + lsym] += 1
+            dsym, _, _ = _vp8l_lz77_sym(_vp8l_dist_code(tok[2], w))
+            fg[4][dsym] += 1
+    codes = []
+    for fg in freqs:
+        group_codes = []
+        for f in fg:
+            if not any(f):
+                f = list(f)
+                f[0] = 1  # decoder requires a present (if unused) code
+            lengths = _vp8l_huff_lengths(f, 15)
+            group_codes.append(_vp8l_write_code(bw, lengths))
+        codes.append(group_codes)
+    for gid, tok in tokens:
+        green_c, red_c, blue_c, alpha_c, dist_c = codes[gid]
+        if tok[0] == "lit":
+            _, a, r, g, b = tok
+            bw.code(*green_c[g])
+            bw.code(*red_c[r])
+            bw.code(*blue_c[b])
+            bw.code(*alpha_c[a])
+        elif tok[0] == "cache":
+            bw.code(*green_c[280 + tok[1]])
+        else:
+            _, length, dist = tok
+            lsym, extra, n_extra = _vp8l_lz77_sym(length)
+            bw.code(*green_c[256 + lsym])
+            if n_extra:
+                bw.bits(extra, n_extra)
+            dsym, dextra, dn = _vp8l_lz77_sym(_vp8l_dist_code(dist, w))
+            bw.code(*dist_c[dsym])
+            if dn:
+                bw.bits(dextra, dn)
+
+
+def _vp8l_s8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _vp8l_fwd_predictor(flat, w, h, size_bits):
+    """Residual image + mode sub-image; block modes cycle 0..13 so all
+    14 predictors appear.  Prediction uses the ORIGINAL pixels as the
+    already-decoded neighbours (lossless <=> identical)."""
+    from rayxt.webp import _predict  # shared mode arithmetic (frozen spec)
+
+    mw = (w + (1 << size_bits) - 1) >> size_bits
+    mh = (h + (1 << size_bits) - 1) >> size_bits
+    modes = (np.arange(mw * mh, dtype=np.uint32) % 14)
+    ch = np.stack([(flat >> 24) & 0xFF, (flat >> 16) & 0xFF,
+                   (flat >> 8) & 0xFF, flat & 0xFF], axis=-1).astype(int)
+    res = np.zeros_like(ch)
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        if pos == 0:
+            pred = (255, 0, 0, 0)
+        elif y == 0:
+            pred = tuple(ch[pos - 1])
+        elif x == 0:
+            pred = tuple(ch[pos - w])
+        else:
+            mode = int(modes[(y >> size_bits) * mw + (x >> size_bits)])
+            pred = _predict(mode, tuple(ch[pos - 1]), tuple(ch[pos - w]),
+                            tuple(ch[pos - w - 1]), tuple(ch[pos - w + 1]))
+        res[pos] = [(int(c) - int(p)) & 0xFF for c, p in zip(ch[pos], pred)]
+    res = res.astype(np.uint32)
+    res_flat = (res[:, 0] << 24) | (res[:, 1] << 16) | (res[:, 2] << 8) \
+        | res[:, 3]
+    mode_img = (np.uint32(0xFF) << 24) | (modes << 8)
+    return res_flat, mode_img, mw, mh
+
+
+def _vp8l_fwd_color(flat, w, h, size_bits):
+    """Forward colour transform with multipliers cycling per block."""
+    mw = (w + (1 << size_bits) - 1) >> size_bits
+    mh = (h + (1 << size_bits) - 1) >> size_bits
+    g2r = (np.arange(mw * mh) * 37 + 11) % 256
+    g2b = (np.arange(mw * mh) * 73 + 5) % 256
+    r2b = (np.arange(mw * mh) * 101 + 29) % 256
+    out = flat.copy()
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        b_i = (y >> size_bits) * mw + (x >> size_bits)
+        px = int(flat[pos])
+        g = _vp8l_s8((px >> 8) & 0xFF)
+        red = (px >> 16) & 0xFF
+        blue = px & 0xFF
+        red_e = (red - ((_vp8l_s8(int(g2r[b_i])) * g) >> 5)) & 0xFF
+        blue_e = (blue - ((_vp8l_s8(int(g2b[b_i])) * g) >> 5)
+                  - ((_vp8l_s8(int(r2b[b_i])) * _vp8l_s8(red)) >> 5)) & 0xFF
+        out[pos] = (px & 0xFF00FF00) | (red_e << 16) | blue_e
+    elems = ((np.uint32(0xFF) << 24) | (r2b.astype(np.uint32) << 16)
+             | (g2b.astype(np.uint32) << 8) | g2r.astype(np.uint32))
+    return out, elems, mw, mh
+
+
+def _vp8l_encode(argb: np.ndarray, *, alpha_hint: int = 0,
+                 transforms=(), cache_bits: int = 0,
+                 use_lz77: bool = False, meta_bits: int = 0,
+                 n_groups: int = 1, palette_size: int = 0) -> bytes:
+    """(h, w, 4) uint8 [A,R,G,B] -> VP8L chunk payload."""
+    h, w, _ = argb.shape
+    a = argb[..., 0].astype(np.uint32)
+    r = argb[..., 1].astype(np.uint32)
+    g = argb[..., 2].astype(np.uint32)
+    b = argb[..., 3].astype(np.uint32)
+    flat = ((a << 24) | (r << 16) | (g << 8) | b).reshape(-1)
+    bw = _LsbWriter()
+    bw.bits(0x2F, 8)
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(alpha_hint, 1)
+    bw.bits(0, 3)  # version
+    cur_w = w
+    if palette_size:
+        # colour-indexing transform: palette from the distinct pixels
+        uniq = np.unique(flat)
+        assert len(uniq) <= palette_size <= 256
+        pal = np.zeros(palette_size, dtype=np.uint32)
+        pal[:len(uniq)] = uniq
+        lookup = {int(p): i for i, p in enumerate(pal)}
+        idx = np.array([lookup[int(p)] for p in flat], dtype=np.uint32)
+        if palette_size <= 2:
+            wb = 3
+        elif palette_size <= 4:
+            wb = 2
+        elif palette_size <= 16:
+            wb = 1
+        else:
+            wb = 0
+        bw.bits(1, 1)
+        bw.bits(3, 2)  # transform type 3
+        bw.bits(palette_size - 1, 8)
+        # delta-code the palette entries componentwise
+        pal_ch = np.stack([(pal >> 24) & 0xFF, (pal >> 16) & 0xFF,
+                           (pal >> 8) & 0xFF, pal & 0xFF], axis=-1)
+        deltas = np.diff(np.vstack([[0, 0, 0, 0], pal_ch]), axis=0) % 256
+        dflat = ((deltas[:, 0].astype(np.uint32) << 24)
+                 | (deltas[:, 1].astype(np.uint32) << 16)
+                 | (deltas[:, 2].astype(np.uint32) << 8)
+                 | deltas[:, 3].astype(np.uint32))
+        _vp8l_write_image(bw, dflat, palette_size, 1, top_level=False)
+        if wb:
+            per = 1 << wb
+            bits = 8 >> wb
+            packed_w = (w + per - 1) // per
+            grid = np.zeros((h, packed_w * per), dtype=np.uint32)
+            grid[:, :w] = idx.reshape(h, w)
+            packed = np.zeros((h, packed_w), dtype=np.uint32)
+            for k in range(per):
+                packed |= grid[:, k::per] << (k * bits)
+            flat = ((np.uint32(0xFF) << 24) | (packed << 8)).reshape(-1)
+            cur_w = packed_w
+        else:
+            flat = ((np.uint32(0xFF) << 24) | (idx << 8)).reshape(-1)
+    for t in transforms:
+        if t == "subgreen":
+            bw.bits(1, 1)
+            bw.bits(2, 2)
+            gch = (flat >> 8) & 0xFF
+            rch = (((flat >> 16) & 0xFF) - gch) & 0xFF
+            bch = ((flat & 0xFF) - gch) & 0xFF
+            flat = (flat & 0xFF00FF00) | (rch << 16) | bch
+        elif t == "predictor":
+            size_bits = 2
+            res, mode_img, mw, mh = _vp8l_fwd_predictor(
+                flat, cur_w, h, size_bits)
+            bw.bits(1, 1)
+            bw.bits(0, 2)
+            bw.bits(size_bits - 2, 3)
+            _vp8l_write_image(bw, mode_img, mw, mh, top_level=False)
+            flat = res
+        elif t == "color":
+            size_bits = 3
+            res, elems, mw, mh = _vp8l_fwd_color(flat, cur_w, h, size_bits)
+            bw.bits(1, 1)
+            bw.bits(1, 2)
+            bw.bits(size_bits - 2, 3)
+            _vp8l_write_image(bw, elems, mw, mh, top_level=False)
+            flat = res
+        else:  # pragma: no cover - guard
+            raise ValueError(t)
+    bw.bits(0, 1)  # end of transforms
+    _vp8l_write_image(bw, flat, cur_w, h, top_level=True,
+                      cache_bits=cache_bits, use_lz77=use_lz77,
+                      meta_bits=meta_bits, n_groups=n_groups)
+    return bw.flush()
+
+
+def _webp_wrap(vp8l: bytes, extended: bool = False,
+               canvas=(0, 0)) -> bytes:
+    """RIFF/WEBP container; ``extended`` adds a VP8X header chunk."""
+    chunks = b""
+    if extended:
+        w, h = canvas
+        # VP8X: 1 flags byte (ALPHA bit set), 3 reserved, 3-byte
+        # canvas width-1 and height-1 (10 bytes, always even)
+        body = struct.pack("<B", 0x10) + b"\x00\x00\x00" \
+            + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+        chunks += b"VP8X" + struct.pack("<I", len(body)) + body
+    chunks += b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    if len(vp8l) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def _is_webp_row(i: int) -> bool:
+    """Half of the former plain-PNG image rows carry a lossless WebP."""
+    return i % 3 == 0 and (i // 3) % 4 == 0 and (i // 12) % 2 == 1
+
+
+def _webp_spec(i: int):
+    """(w, h, argb array, alpha_hint, encoder options) — variants cycle
+    the whole VP8L surface: pure literals; colour cache + LZ77;
+    subtract-green; predictor (all 14 modes); colour transform; palette
+    at every bundling width; meta prefix groups; the kitchen sink; and
+    a VP8X-extended container with true alpha."""
+    w = 8 + _h(i, "ww") % 24
+    h = 8 + _h(i, "wh") % 24
+    variant = (i // 24) % 9
+    rgb = _body(i * 13 + 5, h * w * 3).reshape(h, w, 3)
+    alpha = np.full((h, w, 1), 255, dtype=np.uint8)
+    opts = dict(transforms=(), cache_bits=0, use_lz77=False,
+                meta_bits=0, n_groups=1, palette_size=0)
+    extended = False
+    alpha_hint = 0
+    if variant == 1:
+        opts.update(cache_bits=5, use_lz77=True)
+        # horizontal runs (dist=1) plus duplicated rows (dist=w)
+        rgb = np.repeat(rgb[:, : (w + 3) // 4 + 1], 4, axis=1)[:, :w]
+        rgb[h // 2] = rgb[h // 2 - 1]
+    elif variant == 2:
+        opts.update(transforms=("subgreen",), cache_bits=4)
+    elif variant == 3:
+        opts.update(transforms=("predictor",))
+    elif variant == 4:
+        opts.update(transforms=("color",))
+    elif variant == 5:
+        # hit every bundling width (3/2/1/0) across the corpus
+        size = (2, 4, 16, 200)[_h(i, "palw") % 4]
+        quant = (_body(i * 17 + 3, h * w) % size).astype(np.uint8)
+        pal = _body(i * 19 + 7, size * 3).reshape(size, 3)
+        rgb = pal[quant].reshape(h, w, 3)
+        opts.update(palette_size=size)
+    elif variant == 6:
+        opts.update(meta_bits=3, n_groups=2)
+    elif variant == 7:
+        opts.update(transforms=("predictor", "subgreen"),
+                    cache_bits=6, use_lz77=True)
+    elif variant == 8:
+        alpha = (_body(i * 23 + 1, h * w) | 1).reshape(h, w, 1)
+        alpha_hint = 1
+        extended = True
+    argb = np.concatenate([alpha, rgb], axis=-1)
+    return w, h, argb, alpha_hint, opts, extended
+
+
+def _webp_payload(i: int) -> bytes:
+    w, h, argb, alpha_hint, opts, extended = _webp_spec(i)
+    vp8l = _vp8l_encode(argb, alpha_hint=alpha_hint, **opts)
+    return _webp_wrap(vp8l, extended=extended, canvas=(w, h))
+
+
 def media_row(i: int) -> dict:
     kind = ("image", "audio", "video")[i % 3]
     if kind == "image":
@@ -1026,6 +1576,9 @@ def media_row(i: int) -> dict:
         if _is_jpeg_row(i):
             src = _body(i, h * w * 3).reshape(h, w, 3)
             payload = _jpeg_payload(i, src)
+        elif _is_webp_row(i):
+            w, h, _argb, _hint, _opts, _ext = _webp_spec(i)
+            payload = _webp_payload(i)
         elif _is_gif_row(i):
             w, h, frames, palette, inter, local, reset = _gif_spec(i)
             frs = [_gif_frame_indices(i, f, w, h, len(palette))
@@ -1083,6 +1636,17 @@ def media_ground_truth(i: int) -> dict:
             dec = oracle_decode_jpeg(_jpeg_payload(i, src))
             return {"width": w, "height": h, "n_frames": 1,
                     "mean_value": round(float(dec.mean()), 6),
+                    "decode_status": "ok"}
+        if _is_webp_row(i):
+            # VP8L is LOSSLESS: the truth is the SOURCE array mean —
+            # RGB channels when opaque, RGBA when the alpha variant
+            w, h, argb, alpha_hint, _opts, _ext = _webp_spec(i)
+            if alpha_hint:
+                vals = argb.astype(np.float64)  # all four channels
+            else:
+                vals = argb[..., 1:4].astype(np.float64)
+            return {"width": w, "height": h, "n_frames": 1,
+                    "mean_value": round(float(vals.mean()), 6),
                     "decode_status": "ok"}
         if _is_gif_row(i):
             # GIF is LOSSLESS palette-indexed: the truth is the mean of

@@ -41,13 +41,20 @@ format specs, stdlib+numpy only):
 * **RAYX**: the deterministic synthetic container used for video
   fixtures (raw frames), kept as the raw frame-sampling substrate.
 
+* **WebP lossless / VP8L** (:mod:`rayxt.webp`): full still-image VP8L
+  — simple and code-length-coded prefix codes, colour cache, meta
+  prefix groups, LZ77 with the 120-entry distance-plane map, and all
+  four transforms (predictor/colour/subtract-green/colour-indexing
+  with sub-byte bundling).  Verified bit-for-bit against the
+  independent naive decoder in ``tests/oracle/webp_oracle.py`` and
+  round-tripped exactly through the spec-true fixture encoder.
+
 Anything else needs codec libraries absent from this image and raises
 ``NotImplementedError`` -> ``decode_status unsupported_codec``.
-WebP is deliberately out of scope: a correct VP8 intra decoder
-(boolean arithmetic coder, 10 prediction modes, loop filter) is a
-codec-sized project with little marginal coverage over the GIF/PNG/
-JPEG set; WebP payloads surface as ``unsupported_codec`` rows, the
-same defensible envelope as H.264/HEVC.
+Lossy WebP stays out of scope: a correct VP8 intra decoder (boolean
+arithmetic coder, 10 prediction modes, loop filter) is a codec-sized
+project; ``VP8 ``/animated payloads surface as ``unsupported_codec``
+rows, the same defensible envelope as H.264/HEVC.
 Heavy formats would slot into the same actor-pool stage (decoders are
 per-actor state).
 
@@ -71,6 +78,13 @@ import zlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# NOTE: module-level import so the worker-side pickle captures it by
+# value — a runtime relative import inside a UDF re-imports rayxt from
+# the filesystem on workers and silently forks the class hierarchy
+# when the driver runs from outside the repo (see ExtractDocs note).
+from .webp import decode_webp as _decode_webp
+from .webp import vp8l_pixels as _vp8l_pixels
 
 __all__ = ["MEDIA_SCHEMA", "DecodeMedia", "ResizeImages", "SampleFrames",
            "ExtractAudioFeatures", "PhashImages",
@@ -1153,6 +1167,8 @@ def _decode_payload(payload: bytes):
     if payload.startswith(b"RIFF"):
         if payload[8:12] == b"AVI ":
             return _decode_avi(payload)
+        if payload[8:12] == b"WEBP":
+            return _decode_webp(payload)
         return _decode_wav(payload)
     if payload[4:8] == b"ftyp":
         return _decode_mp4(payload)
@@ -1205,9 +1221,10 @@ class ResizeImages:
     """Actor-pool stage: nearest-neighbor resize, payload -> payload.
 
     Real PNGs are decoded, resized per channel and re-encoded as PNG;
-    JPEGs — and single-frame GIFs, whose palette would need
-    re-quantization to stay GIF — are decoded and re-encoded as
-    (lossless) PNG: resizing is a pipeline transform, not a format
+    JPEGs — and single-frame GIFs / lossless WebPs, whose palette /
+    entropy coding would need re-doing to stay in-format — are decoded
+    and re-encoded as (lossless) PNG: resizing is a pipeline
+    transform, not a format
     preserver, and re-encoding lossy JPEG would compound generation
     loss; RAYX raw-frame payloads are resized frame by frame.  Audio,
     MJPEG-AVI video (re-encoding every frame would compound loss and
@@ -1243,6 +1260,30 @@ class ResizeImages:
             out = img[np.ix_(yi, xi)].reshape(self.th, self.tw * ch)
             colour = {1: 0, 3: 2, 4: 6}[ch]
             return _encode_png(out, colour)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            # lossless WebP: decode, resize, re-encode as (lossless)
+            # PNG like GIF — a VP8L writer would re-do entropy search
+            pos = 12
+            chunk = None
+            while pos + 8 <= len(payload):
+                if payload[pos:pos + 4] == b"VP8L":
+                    n = int.from_bytes(payload[pos + 4:pos + 8], "little")
+                    chunk = payload[pos + 8:pos + 8 + n]
+                    break
+                n = int.from_bytes(payload[pos + 4:pos + 8], "little")
+                pos += 8 + n + (n & 1)
+            if chunk is None:
+                raise NotImplementedError("lossy/animated WebP resize")
+            w, h, alpha_hint, px = _vp8l_pixels(chunk)
+            yi = np.arange(self.th) * h // self.th
+            xi = np.arange(self.tw) * w // self.tw
+            sub = px[np.ix_(yi, xi)]  # (th, tw, 4) ARGB
+            if alpha_hint:
+                rgba = sub[..., [1, 2, 3, 0]]
+                return _encode_png(
+                    rgba.reshape(self.th, self.tw * 4), 6)
+            rgb = sub[..., 1:4]
+            return _encode_png(rgb.reshape(self.th, self.tw * 3), 2)
         if not payload.startswith(_MAGIC):
             raise NotImplementedError(
                 "resize supports PNG, JPEG and RAYX payloads")

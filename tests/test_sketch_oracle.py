@@ -245,6 +245,97 @@ def test_gif_lzw_kwkwk_and_reset():
         assert np.array_equal(fo, pal[idx])
 
 
+def test_webp_engine_matches_independent_oracle():
+    """Every WebP fixture variant (pure literals, cache+LZ77,
+    subtract-green, predictor with all 14 modes, colour transform,
+    palette at every bundling width, meta prefix groups, the combined
+    stack, VP8X+alpha) decodes bit-identically in the engine and the
+    independently-architected oracle, and BOTH invert the spec-true
+    encoder exactly — VP8L is lossless."""
+    import numpy as np
+
+    from fixtures.gen_media import _is_webp_row, _webp_payload, _webp_spec
+    from rayxt.webp import decode_webp, vp8l_pixels
+    from tests.oracle.webp_oracle import oracle_decode_webp
+
+    variants = set()
+    for i in range(648):
+        if not _is_webp_row(i):
+            continue
+        w, h, argb, alpha_hint, _opts, _ext = _webp_spec(i)
+        payload = _webp_payload(i)
+        ow, oh, ohint, opx = oracle_decode_webp(payload)
+        assert (ow, oh, ohint) == (w, h, alpha_hint)
+        assert np.array_equal(opx, argb)  # oracle inverts the encoder
+        # engine container walk agrees on dims and the pixel mean
+        dw, dh, nf, mean = decode_webp(payload)
+        assert (dw, dh, nf) == (w, h, 1)
+        chans = argb if alpha_hint else argb[..., 1:4]
+        assert mean == float(chans.astype(np.float64).mean())
+        # engine chunk decode is bit-identical to the oracle's
+        pos = 12
+        while payload[pos:pos + 4] != b"VP8L":
+            n = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            pos += 8 + n + (n & 1)
+        n = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        _, _, _, epx = vp8l_pixels(payload[pos + 8:pos + 8 + n])
+        assert np.array_equal(epx, opx)
+        variants.add((i // 24) % 9)
+    assert variants == set(range(9))  # the corpus hits every variant
+
+
+def test_webp_lossy_and_garbage_statuses():
+    """``VP8 `` (lossy) and animated payloads surface as
+    unsupported_codec; truncated/corrupt ones as errors."""
+    import struct
+
+    import pytest as _pytest
+
+    from rayxt.webp import decode_webp
+
+    lossy = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
+    with _pytest.raises(NotImplementedError):
+        decode_webp(lossy)
+    anim = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+            + b"ANIM" + struct.pack("<I", 6) + b"\x00" * 6)
+    with _pytest.raises(NotImplementedError):
+        decode_webp(anim)
+    with _pytest.raises(ValueError):
+        decode_webp(b"RIFF\x00\x00\x00\x00WEBPVP8L\x04\x00\x00\x00abcd")
+    with _pytest.raises(ValueError):
+        decode_webp(b"RIFF\x00\x00\x00\x00WAVEdata")
+
+
+def test_webp_resize_to_png():
+    """Resizing a lossless WebP re-encodes the nearest-neighbour
+    subsample of the SOURCE pixels as PNG, exactly."""
+    import numpy as np
+
+    from fixtures.gen_media import _is_webp_row, _webp_payload, _webp_spec
+    from rayxt.multimodal import ResizeImages, _decode_png_array
+
+    done = 0
+    for i in range(648):
+        if not _is_webp_row(i):
+            continue
+        w, h, argb, alpha_hint, _opts, _ext = _webp_spec(i)
+        rz = ResizeImages(8, 8)
+        out = rz._resize(_webp_payload(i))
+        recon, ow, oh, ch, colour = _decode_png_array(out)
+        assert (ow, oh) == (8, 8)
+        yi = np.arange(8) * h // 8
+        xi = np.arange(8) * w // 8
+        sub = argb[np.ix_(yi, xi)]
+        want = sub[..., [1, 2, 3, 0]] if alpha_hint else sub[..., 1:4]
+        assert np.array_equal(
+            recon.reshape(oh, ow, ch), want)
+        done += 1
+        if done >= 6:
+            break
+    assert done
+
+
 def test_png_adam7_matches_plain():
     """An Adam7-interlaced encoding of the same pixels decodes
     bit-identical to the progressive encoding — every colour type,
