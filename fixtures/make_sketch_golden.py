@@ -50,6 +50,7 @@ from tests.oracle.sketches import (
     oracle_lsh_topk,
     oracle_decontaminate,
     oracle_dup_ngram_stats,
+    oracle_remove_dup_substrings,
     oracle_minhash_pairs,
     oracle_ngram_jaccard_pairs,
     oracle_pca,
@@ -390,6 +391,15 @@ def main() -> None:
         "dup_fraction": pa.array([stats[k][2] for k in skeys], pa.float64()),
     }), os.path.join(DATA_DIR, "golden_dup_ngrams.parquet"))
 
+    # ExactSubstr span removal over the sf0.01 documents table
+    rds = oracle_remove_dup_substrings(ids, texts, n=20)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_tokens": pa.array([rds[i][0] for i in ids], pa.int64()),
+        "n_removed": pa.array([rds[i][1] for i in ids], pa.int64()),
+        "text_dedup": pa.array([rds[i][2] for i in ids], pa.string()),
+    }), os.path.join(DATA_DIR, "golden_remove_dup_substrings.parquet"))
+
     pages = pq.read_table(os.path.join(DATA_DIR, "pages_conf.parquet"),
                           columns=["html"])
     totals: dict[str, int] = {}
@@ -423,7 +433,8 @@ def main() -> None:
                  "golden_phash", "golden_phash_pairs", "golden_rule_hits",
                  "golden_ev_quantiles_sketch", "golden_ev_quantiles_global",
                  "golden_ev_hll", "golden_kmeans", "golden_pca",
-                 "golden_dup_ngrams", "golden_url_canon",
+                 "golden_dup_ngrams", "golden_remove_dup_substrings",
+                 "golden_url_canon",
                  "golden_bpe_merges", "golden_bpe_counts",
                  "golden_logreg_weights", "golden_logreg_scores",
                  "golden_decontaminate", "golden_winsorize", "golden_bloom",

@@ -45,6 +45,7 @@ __all__ = [
     "explode_paragraphs",
     "paragraph_dedup",
     "dup_ngram_stats",
+    "remove_dup_substrings",
     "decontaminate",
     "decontaminate_from_file",
 ]
@@ -1282,3 +1283,149 @@ def decontaminate(ds, eval_texts, key_cols, text_col: str = "text", *,
 
     return ds.select_columns(list(key_cols) + [text_col]).map_batches(
         flag, batch_format="pyarrow")
+
+
+def remove_dup_substrings(ds, key_cols, text_col: str = "text", *,
+                          n: int = 20, min_count: int = 2,
+                          join_partitions: int = 8,
+                          broadcast_threshold: int = 5_000_000):
+    """ExactSubstr-style span removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): delete every token
+    covered by an n-token window that occurs >= ``min_count`` times
+    ACROSS THE CORPUS (within-doc repeats count), then re-join the
+    surviving tokens with single spaces.
+
+    FROZEN spec (restated by ``tests/oracle/sketches.py::
+    oracle_remove_dup_substrings``): tokens = ``str.split()``; window
+    hashes = the same Horner/uint64 spec as :func:`dup_ngram_stats`
+    (docs shorter than ``n`` tokens contribute ONE whole-doc window, so
+    short exact-dup docs empty out entirely — all copies are removed,
+    the paper's policy); a duplicated window at token position ``i``
+    covers ``[i, i + min(n, len))``; ``text_dedup`` is ALWAYS the
+    space-join of the kept tokens (whitespace-normalized — this is a
+    tokenizer-level operator).  Zero-token docs pass through with
+    ``text_dedup = ""``.
+
+    Dataflow (the 100 TB shape, same as :func:`dup_ngram_stats`): window
+    hashes explode once as 8-byte rows; per-batch partial counts meet in
+    ONE Sum groupby; the dup-hash set broadcasts via ``ray.put`` when
+    small (vectorized searchsorted membership + a cumsum coverage mask
+    per doc), else per-doc dup-hash subsets come back through a hash
+    join packed as binary blobs — text itself crosses an exchange zero
+    times in the broadcast path and exactly once (hash-partitioned by
+    key) in the join path.
+
+    Returns one row per input row: keys + ``n_tokens`` + ``n_removed``
+    + ``text_dedup``.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+
+    src = ds.select_columns(list(key_cols) + [text_col])
+
+    def explode(t: pa.Table) -> pa.Table:
+        hashes = []
+        for txt in t[text_col].to_pylist():
+            hashes.append(_window_hashes(txt or "", n))
+        lens = np.array([len(h) for h in hashes], dtype=np.int64)
+        rep = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        out = {k: t[k].take(pa.array(rep, pa.int64())) for k in key_cols}
+        out["whash"] = pa.array(
+            np.concatenate(hashes) if hashes else
+            np.empty(0, dtype=np.int64), pa.int64())
+        return pa.table(out)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        h, cnt = np.unique(t["whash"].to_numpy(zero_copy_only=False),
+                           return_counts=True)
+        return pa.table({"whash": pa.array(h, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        t = ensure_typed(t, {"whash": pa.int64(), "cnt": pa.int64()})
+        return t.filter(
+            pc.greater_equal(t["cnt"], min_count)).select(["whash"])
+
+    w = src.map_batches(explode, batch_format="pyarrow")
+    dups = (w.map_batches(partial_counts, batch_format="pyarrow")
+            .groupby("whash").aggregate(Sum("cnt", alias_name="cnt"))
+            .map_batches(dup_only, batch_format="pyarrow")).materialize()
+    n_dups = dups.count()
+
+    def _rewrite_row(txt, dup_sorted):
+        toks = (txt or "").split()
+        wh = _window_hashes(txt or "", n)
+        if not len(wh):
+            return "", 0, 0
+        is_dup = sorted_membership(dup_sorted, wh)
+        if not is_dup.any():
+            return " ".join(toks), len(toks), 0
+        m = min(n, len(toks))
+        diff = np.zeros(len(toks) + 1, dtype=np.int64)
+        idx = np.nonzero(is_dup)[0]
+        np.add.at(diff, idx, 1)
+        np.add.at(diff, idx + m, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        kept = " ".join(tk for tk, c in zip(toks, covered) if not c)
+        return kept, len(toks), int(covered.sum())
+
+    def _out_table(t: pa.Table, rows) -> pa.Table:
+        out = t.select(list(key_cols))
+        out = out.append_column(
+            "n_tokens", pa.array([r[1] for r in rows], pa.int64()))
+        out = out.append_column(
+            "n_removed", pa.array([r[2] for r in rows], pa.int64()))
+        return out.append_column(
+            "text_dedup", pa.array([r[0] for r in rows], pa.string()))
+
+    if n_dups <= broadcast_threshold:
+        dup_ref = _ray.put(np.sort(
+            dups.to_pandas()["whash"].to_numpy(dtype=np.int64))
+            if n_dups else np.empty(0, dtype=np.int64))
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            d = _ray.get(dup_ref)
+            rows = [_rewrite_row(txt, d)
+                    for txt in t[text_col].to_pylist()]
+            return _out_table(t, rows)
+
+        return src.map_batches(rewrite, batch_format="pyarrow")
+
+    # join path: per-doc dup-hash subsets packed as binary blobs —
+    # total packed size == number of duplicated window OCCURRENCES,
+    # shuffled as 8-byte rows, never the full corpus hash stream
+    key_types = {f.name: f.type
+                 for f in src.schema().base_schema if f.name in key_cols}
+    parts_n = max(1, min(join_partitions, n_dups // 32))
+    dup_rows = w.join(dups, "inner", num_partitions=parts_n,
+                      on=("whash",))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.iloc[:1][list(key_cols)].copy()
+        out["__rxt_dupw"] = [np.unique(
+            g["whash"].to_numpy(dtype=np.int64)).tobytes()]
+        return out
+
+    packed_schema = dict(key_types)
+    packed_schema["__rxt_dupw"] = pa.binary()
+    packed = dup_rows.groupby(list(key_cols)).map_groups(
+        pack, batch_format="pandas").map_batches(
+        lambda t: ensure_typed(t, packed_schema), batch_format="pyarrow")
+    joined = src.join(packed, "left_outer",
+                      num_partitions=join_partitions,
+                      on=tuple(key_cols))
+
+    def rewrite_joined(t: pa.Table) -> pa.Table:
+        empty = np.empty(0, dtype=np.int64)
+        rows = []
+        blobs = t["__rxt_dupw"].to_pylist()
+        for txt, blob in zip(t[text_col].to_pylist(), blobs):
+            d = (np.frombuffer(blob, dtype=np.int64)
+                 if blob is not None else empty)
+            rows.append(_rewrite_row(txt, d))
+        return _out_table(t, rows)
+
+    return joined.map_batches(rewrite_joined, batch_format="pyarrow")

@@ -782,3 +782,32 @@ def oracle_pack_documents(ids, texts, *, max_tokens: int,
                 acc = 0
                 pos = 0
     return out
+
+
+def oracle_remove_dup_substrings(keys, texts, *, n: int = 20,
+                                 min_count: int = 2):
+    """ExactSubstr span-removal spec (rayxt.dedup.remove_dup_substrings):
+    every token covered by an n-token window occurring >= min_count
+    times corpus-wide (within-doc repeats included) is deleted; output
+    text is the space-join of the survivors.  Pure-Python mechanism:
+    dict counting + per-position boolean list, no numpy.
+    Returns {key: (n_tokens, n_removed, text_dedup)}."""
+    from collections import Counter
+
+    per_doc = [oracle_window_hashes(t or "", n) for t in texts]
+    counts = Counter(h for ws in per_doc for h in ws)
+    out = {}
+    for key, txt, ws in zip(keys, texts, per_doc):
+        toks = (txt or "").split()
+        if not ws:
+            out[key] = (0, 0, "")
+            continue
+        m = min(n, len(toks))
+        covered = [False] * len(toks)
+        for i, h in enumerate(ws):
+            if counts[h] >= min_count:
+                for j in range(i, i + m):
+                    covered[j] = True
+        kept = " ".join(t for t, c in zip(toks, covered) if not c)
+        out[key] = (len(toks), sum(covered), kept)
+    return out

@@ -1479,3 +1479,40 @@ def test_pack_documents_budget_and_determinism(ray_session):
     got2 = (pack_documents(ds.repartition(1), max_tokens=256)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_remove_dup_substrings(ray_session):
+    """ExactSubstr span removal == Python-int oracle on both the
+    broadcast path and the join fallback; all copies of a duplicated
+    span are removed (short exact-dup docs empty out entirely)."""
+    import ray.data as rd
+
+    from rayxt.dedup import remove_dup_substrings
+    from tests.oracle.sketches import oracle_remove_dup_substrings
+
+    docs = {
+        1: "a b c d e f",      # every window duplicated vs docs 2/5
+        2: "c d e f g h",      # cdef dup -> tokens 0..3 removed
+        3: "solo words here",  # < n tokens, unique: untouched
+        4: "",
+        5: "a b c d e f",      # exact dup of doc 1
+        6: "r r r r r r r r",  # within-doc repeats cover everything
+        7: "x y z w v u t s",  # fully unique: untouched
+    }
+    want = oracle_remove_dup_substrings(list(docs), list(docs.values()),
+                                        n=4)
+    assert want[1] == (6, 6, "") and want[5] == (6, 6, "")
+    assert want[2] == (6, 4, "g h")
+    assert want[3] == (3, 0, "solo words here")
+    assert want[4] == (0, 0, "")
+    assert want[6] == (8, 8, "")
+    assert want[7] == (8, 0, "x y z w v u t s")
+
+    ds = rd.from_items([{"doc_id": k, "text": t} for k, t in docs.items()])
+    for thr in (5_000_000, 0):
+        got = remove_dup_substrings(
+            ds, "doc_id", n=4, broadcast_threshold=thr) \
+            .to_pandas().set_index("doc_id")
+        got_map = {k: (int(r["n_tokens"]), int(r["n_removed"]),
+                       r["text_dedup"]) for k, r in got.iterrows()}
+        assert got_map == want, thr
