@@ -51,6 +51,7 @@ from tests.oracle.sketches import (
     oracle_decontaminate,
     oracle_dup_ngram_stats,
     oracle_remove_dup_substrings,
+    oracle_semdedup,
     oracle_minhash_pairs,
     oracle_ngram_jaccard_pairs,
     oracle_pca,
@@ -391,6 +392,19 @@ def main() -> None:
         "dup_fraction": pa.array([stats[k][2] for k in skeys], pa.float64()),
     }), os.path.join(DATA_DIR, "golden_dup_ngrams.parquet"))
 
+    # SemDeDup over the sf0.01 embeddings (k=8, threshold=0.4 — the
+    # synthetic embeddings are near-orthogonal, so the paper's 0.9+
+    # regime would be a no-op gate)
+    eids = emb.column("vec_id").to_pylist()
+    evecs = emb.column("embedding").to_pylist()
+    sd = oracle_semdedup(eids, evecs, k=8, threshold=0.4)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(eids, pa.int64()),
+        "cluster": pa.array([sd[i][0] for i in eids], pa.int64()),
+        "centroid_sim": pa.array([sd[i][1] for i in eids], pa.float64()),
+        "kept": pa.array([sd[i][2] for i in eids], pa.bool_()),
+    }), os.path.join(DATA_DIR, "golden_semdedup.parquet"))
+
     # ExactSubstr span removal over the sf0.01 documents table
     rds = oracle_remove_dup_substrings(ids, texts, n=20)
     pq.write_table(pa.table({
@@ -434,6 +448,7 @@ def main() -> None:
                  "golden_ev_quantiles_sketch", "golden_ev_quantiles_global",
                  "golden_ev_hll", "golden_kmeans", "golden_pca",
                  "golden_dup_ngrams", "golden_remove_dup_substrings",
+                 "golden_semdedup",
                  "golden_url_canon",
                  "golden_bpe_merges", "golden_bpe_counts",
                  "golden_logreg_weights", "golden_logreg_scores",

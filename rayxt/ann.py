@@ -397,7 +397,37 @@ def kmeans(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
     Returns the final per-vector assignment dataset ``(id_col,
     cluster)``.
     """
-    import pyarrow.compute as pc
+    import ray
+
+    centroids = _kmeans_centroids(ds, id_col=id_col, vec_col=vec_col,
+                                  k=k, iters=iters, ndigits=ndigits)
+    cref = ray.put(centroids)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        m = _as_matrix(t[vec_col])
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": pa.array(_kmeans_assign(m, cents), pa.int64()),
+        })
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def _kmeans_assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 is constant
+    # per row, so argmin over (-2 x.c + ||c||^2) suffices — but the
+    # oracle restates FULL squared distances, so compute them too
+    # (identical float64 op sequence on both sides)
+    d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1)
+
+
+def _kmeans_centroids(ds, *, id_col: str, vec_col: str, k: int,
+                      iters: int, ndigits: int) -> np.ndarray:
+    """The Lloyd iteration of :func:`kmeans`, returning the final
+    ROUNDED centroid matrix (the frozen deterministic contract lives in
+    the :func:`kmeans` docstring)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -408,13 +438,7 @@ def kmeans(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
         np.stack([np.asarray(r[vec_col], dtype=np.float64)
                   for r in seed_rows]), ndigits)
 
-    def assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
-        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 is constant
-        # per row, so argmin over (-2 x.c + ||c||^2) suffices — but the
-        # oracle restates FULL squared distances, so compute them too
-        # (identical float64 op sequence on both sides)
-        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        return d.argmin(axis=1)
+    assign = _kmeans_assign
 
     for _ in range(iters):
         cref = ray.put(centroids)
@@ -448,17 +472,93 @@ def kmeans(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
                 new[int(c)] = g["s"].to_numpy() / n
         centroids = np.round(new, ndigits)
 
-    cref = ray.put(centroids)
+    return centroids
 
-    def final_assign(t: pa.Table) -> pa.Table:
-        cents = ray.get(cref)
+
+def semdedup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
+             k: int = 8, iters: int = 5, threshold: float = 0.9,
+             ndigits: int = 9, sim_digits: int = 6,
+             max_cluster: int = 100_000):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    then inside each cluster greedily drop points whose cosine
+    similarity to an already-kept point is ``>= threshold`` — keeping
+    the points FARTHEST from the centroid first (the paper's
+    keep-the-most-novel policy).
+
+    FROZEN spec (restated by ``tests/oracle/sketches.py::
+    oracle_semdedup``): clusters = :func:`kmeans`'s frozen contract;
+    ``centroid_sim`` = cosine(vector, own rounded centroid) rounded to
+    ``sim_digits``; visit order within a cluster = (centroid_sim asc,
+    id asc); a visited point is kept iff every ROUNDED pairwise cosine
+    against the kept-so-far set is ``< threshold`` (rounding both
+    centroid and pairwise similarities to ``sim_digits`` absorbs
+    matmul-vs-per-pair summation-order ulps, the same trick as the
+    kmeans centroid rounding).  Zero vectors get similarity 0.
+
+    Dataflow: the centroid loop is aggregate-only (embeddings never
+    shuffle during clustering); the prune needs cluster-mates
+    CO-LOCATED, so the embedding table crosses exactly ONE hash
+    exchange keyed by cluster id — at corpus scale ``k`` is chosen so
+    clusters stay bounded (the paper uses 50k clusters for LAION), and
+    ``max_cluster`` fails loudly rather than letting one degenerate
+    cluster quadratically blow up a reducer.  Pairwise work is one
+    normalized matmul per cluster.
+
+    Returns one row per input row: ``id_col`` + ``cluster`` +
+    ``centroid_sim`` + ``kept``.
+    """
+    import ray
+
+    cents = _kmeans_centroids(ds, id_col=id_col, vec_col=vec_col,
+                              k=k, iters=iters, ndigits=ndigits)
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+    cref = ray.put((cents, cn))
+
+    def tag(t: pa.Table) -> pa.Table:
+        c, cnorm = ray.get(cref)
         m = _as_matrix(t[vec_col])
+        lab = _kmeans_assign(m, c)
+        mn = m / np.maximum(
+            np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        csim = np.round((mn * cnorm[lab]).sum(axis=1), sim_digits)
         return pa.table({
             id_col: t[id_col],
-            "cluster": pa.array(assign(m, cents), pa.int64()),
+            "cluster": pa.array(lab.astype(np.int64), pa.int64()),
+            "centroid_sim": pa.array(csim, pa.float64()),
+            vec_col: t[vec_col],
         })
 
-    return ds.map_batches(final_assign, batch_format="pyarrow")
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_cluster:
+            raise ValueError(
+                f"semdedup cluster of {len(g)} rows exceeds max_cluster="
+                f"{max_cluster}; raise k (more, smaller clusters) or "
+                f"max_cluster")
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, g["centroid_sim"].to_numpy()))
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in g[vec_col]])
+        mn = m / np.maximum(
+            np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        sim = np.round(mn @ mn.T, sim_digits)
+        kept = np.zeros(len(g), dtype=bool)
+        kept_idx: list[int] = []
+        for i in order:
+            if not kept_idx or (sim[i, kept_idx] < threshold).all():
+                kept[i] = True
+                kept_idx.append(i)
+        out = g[[id_col, "cluster", "centroid_sim"]].copy()
+        out["kept"] = kept
+        return out
+
+    schema = {id_col: pa.int64(), "cluster": pa.int64(),
+              "centroid_sim": pa.float64(), "kept": pa.bool_()}
+    from ._blockutil import ensure_typed
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("cluster").map_groups(prune, batch_format="pandas")
+            .map_batches(lambda t: ensure_typed(t, schema),
+                         batch_format="pyarrow"))
 
 
 def pca_project(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",

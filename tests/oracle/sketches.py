@@ -811,3 +811,55 @@ def oracle_remove_dup_substrings(keys, texts, *, n: int = 20,
         kept = " ".join(t for t, c in zip(toks, covered) if not c)
         out[key] = (len(toks), sum(covered), kept)
     return out
+
+
+def oracle_semdedup(ids, vecs, *, k: int = 8, iters: int = 5,
+                    threshold: float = 0.9, ndigits: int = 9,
+                    sim_digits: int = 6):
+    """SemDeDup spec (rayxt.ann.semdedup): clusters per the frozen
+    kmeans contract; centroid_sim = rounded cosine to own centroid;
+    visit order (centroid_sim asc, id asc); greedy keep iff every
+    ROUNDED pairwise cosine against the kept-so-far set is < threshold.
+    Per-pair np.dot in a Python loop (no matmul) — the sim_digits
+    rounding absorbs summation-order ulps on both sides.
+    Returns {id: (cluster, centroid_sim, kept)}."""
+    ids = list(ids)
+    order0 = np.argsort(np.asarray(ids), kind="stable")
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    cents = np.round(m[order0[:k]], ndigits)
+
+    def assign(mat, c):
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    for _ in range(iters):
+        lab = assign(m, cents)
+        new = cents.copy()
+        for c in range(k):
+            sel = m[lab == c]
+            if len(sel):
+                new[c] = sel.sum(axis=0) / len(sel)
+        cents = np.round(new, ndigits)
+    lab = assign(m, cents)
+
+    def norm(v):
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v * 0.0
+
+    mn = np.stack([norm(v) for v in m])
+    cn = np.stack([norm(c) for c in cents])
+    csim = [round(float(np.dot(mn[i], cn[lab[i]])), sim_digits)
+            for i in range(len(ids))]
+
+    out = {}
+    for c in sorted(set(int(x) for x in lab)):
+        members = [i for i in range(len(ids)) if lab[i] == c]
+        members.sort(key=lambda i: (csim[i], ids[i]))
+        kept_rows: list[int] = []
+        for i in members:
+            dup = any(round(float(np.dot(mn[i], mn[j])), sim_digits)
+                      >= threshold for j in kept_rows)
+            if not dup:
+                kept_rows.append(i)
+            out[int(ids[i])] = (c, csim[i], not dup)
+    return out

@@ -1516,3 +1516,36 @@ def test_remove_dup_substrings(ray_session):
         got_map = {k: (int(r["n_tokens"]), int(r["n_removed"]),
                        r["text_dedup"]) for k, r in got.iterrows()}
         assert got_map == want, thr
+
+
+def test_semdedup_matches_oracle_any_batching(ray_session):
+    """SemDeDup == naive restatement (per-pair dots, python greedy) on
+    planted exact/near duplicates, across block layouts; kmeans stays
+    byte-stable under the refactor that semdedup shares."""
+    import ray.data as rd
+
+    from rayxt.ann import semdedup
+    from tests.oracle.sketches import oracle_semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append({"vec_id": i, "embedding": [float(x) for x in v]})
+    # planted duplicates: exact copies and tiny perturbations
+    for j, src in enumerate((3, 7, 7, 12)):
+        v = base[src] + (0.0 if j < 2 else 1e-4)
+        rows.append({"vec_id": 100 + j,
+                     "embedding": [float(x) for x in v]})
+    ids = [r["vec_id"] for r in rows]
+    vecs = [r["embedding"] for r in rows]
+    want = oracle_semdedup(ids, vecs, k=4, threshold=0.9)
+    assert sum(1 for v in want.values() if not v[2]) >= 3  # dups dropped
+
+    for nblocks in (1, 5):
+        ds = rd.from_items(rows).repartition(nblocks)
+        got = semdedup(ds, k=4, threshold=0.9).to_pandas() \
+            .set_index("vec_id")
+        got_map = {int(i): (int(r["cluster"]), r["centroid_sim"],
+                            bool(r["kept"])) for i, r in got.iterrows()}
+        assert got_map == want, nblocks
