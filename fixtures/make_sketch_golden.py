@@ -52,6 +52,7 @@ from tests.oracle.sketches import (
     oracle_dup_ngram_stats,
     oracle_remove_dup_substrings,
     oracle_semdedup,
+    oracle_dsir,
     oracle_minhash_pairs,
     oracle_ngram_jaccard_pairs,
     oracle_pca,
@@ -405,6 +406,28 @@ def main() -> None:
         "kept": pa.array([sd[i][2] for i in eids], pa.bool_()),
     }), os.path.join(DATA_DIR, "golden_semdedup.parquet"))
 
+    # DSIR importance weights + gumbel-top-k sample: target = the
+    # English docs with doc_id % 5 == 0 (a lang-skewed exemplar set)
+    dtab = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"])
+    dmask = [(l == "en" and i % 5 == 0) for i, l in
+             zip(dtab.column("doc_id").to_pylist(),
+                 dtab.column("lang").to_pylist())]
+    tgt_texts = [t for t, m in
+                 zip(dtab.column("text").to_pylist(), dmask) if m]
+    dsir = oracle_dsir(ids, texts, tgt_texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_grams": pa.array([dsir[i][0] for i in ids], pa.int64()),
+        "dsir_logw": pa.array([dsir[i][1] for i in ids], pa.float64()),
+    }), os.path.join(DATA_DIR, "golden_dsir_weights.parquet"))
+    picked = sorted(dsir, key=lambda i: (-dsir[i][2], i))[:100]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(picked, pa.int64()),
+        "dsir_logw": pa.array([dsir[i][1] for i in picked], pa.float64()),
+        "gumbel_key": pa.array([dsir[i][2] for i in picked], pa.float64()),
+    }), os.path.join(DATA_DIR, "golden_dsir_sample.parquet"))
+
     # ExactSubstr span removal over the sf0.01 documents table
     rds = oracle_remove_dup_substrings(ids, texts, n=20)
     pq.write_table(pa.table({
@@ -448,7 +471,7 @@ def main() -> None:
                  "golden_ev_quantiles_sketch", "golden_ev_quantiles_global",
                  "golden_ev_hll", "golden_kmeans", "golden_pca",
                  "golden_dup_ngrams", "golden_remove_dup_substrings",
-                 "golden_semdedup",
+                 "golden_semdedup", "golden_dsir_weights", "golden_dsir_sample",
                  "golden_url_canon",
                  "golden_bpe_merges", "golden_bpe_counts",
                  "golden_logreg_weights", "golden_logreg_scores",

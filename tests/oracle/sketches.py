@@ -863,3 +863,47 @@ def oracle_semdedup(ids, vecs, *, k: int = 8, iters: int = 5,
                 kept_rows.append(i)
             out[int(ids[i])] = (c, csim[i], not dup)
     return out
+
+
+def oracle_dsir(ids, texts, target_texts, *, buckets: int = 10_000,
+                smoothing: float = 0.01, seed: int = 1,
+                ndigits: int = 6):
+    """DSIR spec (rayxt.dsir): hashed unigram+bigram buckets, smoothed
+    bucket log-ratio target-vs-raw, per-doc score = sequential Python
+    float sum over grams (rounded), gumbel key from
+    splitmix64(id + seed * golden64).
+    Returns {id: (n_grams, dsir_logw, gumbel_key)}."""
+    import math
+
+    def gram_ids(text):
+        toks = (text or "").lower().split()
+        grams = toks + [a + " " + b for a, b in zip(toks, toks[1:])]
+        return [sha1_int64(g) % buckets for g in grams]
+
+    def counts(txts):
+        c = [0] * buckets
+        for t in txts:
+            for b in gram_ids(t):
+                c[b] += 1
+        return c
+
+    t_cnt = counts(target_texts)
+    r_cnt = counts(texts)
+    t_tot, r_tot = sum(t_cnt), sum(r_cnt)
+    lr = [math.log((t_cnt[b] + smoothing) / (t_tot + smoothing * buckets))
+          - math.log((r_cnt[b] + smoothing) / (r_tot + smoothing * buckets))
+          for b in range(buckets)]
+
+    golden = 0x9E3779B97F4A7C15
+    out = {}
+    for i, txt in zip(ids, texts):
+        gs = gram_ids(txt)
+        s = 0.0
+        for b in gs:
+            s += lr[b]
+        logw = round(s, ndigits) if gs else 0.0
+        z = oracle_splitmix64((int(i) + seed * golden) & _M64)
+        u = max((z >> 11) * 2.0**-53, 2.0**-53)
+        g = -math.log(-math.log(u))
+        out[int(i)] = (len(gs), logw, round(logw + g, ndigits))
+    return out

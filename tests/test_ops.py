@@ -1549,3 +1549,46 @@ def test_semdedup_matches_oracle_any_batching(ray_session):
         got_map = {int(i): (int(r["cluster"]), r["centroid_sim"],
                             bool(r["kept"])) for i, r in got.iterrows()}
         assert got_map == want, nblocks
+
+
+def test_dsir_weights_and_resample(ray_session, tmp_path):
+    """DSIR log importance weights + Gumbel-top-k sample == naive
+    restatement; weights rank target-like docs above off-target ones;
+    resampling is deterministic in (id, seed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayxt.dsir import dsir_logweights, dsir_resample
+    from tests.oracle.sketches import oracle_dsir
+
+    target = ["the cat sat on the mat", "a cat and a dog",
+              "the dog chased the cat"]
+    tpath = str(tmp_path / "target.parquet")
+    pq.write_table(pa.table({"text": pa.array(target, pa.string())}), tpath)
+
+    corpus = {
+        1: "the cat sat on the mat all day",
+        2: "stock prices fell sharply in tokyo trading",
+        3: "a dog and a cat played",
+        4: "quantum chromodynamics lattice simulation results",
+        5: "",
+        6: "the the the the",
+    }
+    want = oracle_dsir(list(corpus), list(corpus.values()), target)
+    # target-like docs outscore off-target ones
+    assert want[1][1] > want[2][1] and want[3][1] > want[4][1]
+    assert want[5] == (0, 0.0, want[5][2])
+
+    ds = rd.from_items([{"doc_id": k, "text": t}
+                        for k, t in corpus.items()]).repartition(3)
+    got = dsir_logweights(ds, tpath, "doc_id").to_pandas() \
+        .set_index("doc_id")
+    got_map = {int(i): (int(r["n_grams"]), r["dsir_logw"])
+               for i, r in got.iterrows()}
+    assert got_map == {k: v[:2] for k, v in want.items()}
+
+    samp = dsir_resample(ds, tpath, "doc_id", 3).to_pandas()
+    want_order = sorted(want, key=lambda i: (-want[i][2], i))[:3]
+    assert list(samp["doc_id"]) == want_order
+    assert list(samp["gumbel_key"]) == [want[i][2] for i in want_order]
