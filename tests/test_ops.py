@@ -1592,3 +1592,34 @@ def test_dsir_weights_and_resample(ray_session, tmp_path):
     want_order = sorted(want, key=lambda i: (-want[i][2], i))[:3]
     assert list(samp["doc_id"]) == want_order
     assert list(samp["gumbel_key"]) == [want[i][2] for i in want_order]
+
+
+def test_remove_dup_substrings_randomized(ray_session):
+    """Engine == oracle on a seeded random small-vocab corpus (natural
+    window collisions, docs of every length class), both dataflow paths
+    and a non-default min_count."""
+    import ray.data as rd
+
+    from rayxt.dedup import remove_dup_substrings
+    from tests.oracle.sketches import oracle_remove_dup_substrings
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {}
+    for i in range(80):
+        ln = int(rng.integers(0, 14))
+        docs[i] = " ".join(rng.choice(vocab, size=ln))
+    ids, texts = list(docs), list(docs.values())
+    for n, mc in ((3, 2), (4, 2)):
+        want = oracle_remove_dup_substrings(ids, texts, n=n, min_count=mc)
+        assert any(v[1] for v in want.values())  # some spans removed
+        ds = rd.from_items(
+            [{"doc_id": k, "text": t} for k, t in docs.items()]) \
+            .repartition(7)
+        for thr in (5_000_000, 0):
+            got = remove_dup_substrings(
+                ds, "doc_id", n=n, min_count=mc,
+                broadcast_threshold=thr).to_pandas().set_index("doc_id")
+            got_map = {k: (int(r["n_tokens"]), int(r["n_removed"]),
+                           r["text_dedup"]) for k, r in got.iterrows()}
+            assert got_map == want, (n, mc, thr)
