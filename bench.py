@@ -246,7 +246,9 @@ def run_bench() -> dict:
                   "emb_ann_topk", "doc_token_counts", "ev_sessions",
                   "emb_label_centroids", "ev_value_quantiles_sketch",
                   "ev_hopping", "ev_distinct_users_hll", "doc_tfidf_top",
-                  "emb_pca", "doc_inverted_index"):
+                  "emb_pca", "doc_inverted_index",
+                  "doc_remove_dup_substrings", "emb_semdedup",
+                  "doc_dsir_weights"):
         fn = entrymod.queries()[qname]
         times = []
         for _ in range(q_trials):

@@ -369,3 +369,54 @@ def ensure_url_parquet(path: str, n_rows: int) -> str:
     pq.write_table(generate_url_table(n_rows), tmp)
     os.rename(tmp, path)
     return path
+
+
+def generate_pii_table(n_rows: int) -> pa.Table:
+    """Deterministic PII-bearing corpus for the redaction operator:
+    emails, dotted-quad IPs, long digit runs, lookalike near-misses
+    (short digit runs, trailing-dot hosts), unicode filler and nulls —
+    every shape the RE2 patterns must hit or refuse."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "contact",
+             "visit", "server", "käse", "naïve", "résumé", "东京"]
+    texts: list = []
+    for i in range(n_rows):
+        parts = list(rng.choice(words, size=int(rng.integers(2, 8))))
+        if i % 3 == 0:
+            parts.append(f"user{i}@example{i % 7}.com")
+        if i % 4 == 0:
+            parts.append(f"{rng.integers(1, 255)}.{rng.integers(0, 255)}"
+                         f".{rng.integers(0, 255)}.{rng.integers(1, 255)}")
+        if i % 5 == 0:
+            parts.append(str(10**12 + int(rng.integers(0, 10**12))))  # 13 digits
+        if i % 7 == 0:
+            parts.append(f"{rng.integers(100, 999)}-{rng.integers(1000, 9999)}")  # too short
+        if i % 11 == 0:
+            parts.append(f"v{rng.integers(1, 9)}.{rng.integers(0, 9)}.{rng.integers(0, 9)}")
+        if i % 13 == 0:
+            parts.append("reach me at first.last+tag@mail.co.uk ok")
+        rng.shuffle(parts)
+        texts.append(" ".join(parts))
+    texts[0] = ""
+    out_texts = pa.array(texts, pa.string())
+    if n_rows > 1:  # one null row
+        out_texts = pa.concat_arrays(
+            [out_texts[:1], pa.array([None], pa.string()), out_texts[2:]])
+    return pa.table({
+        "row_id": pa.array(range(n_rows), pa.int64()),
+        "text": out_texts,
+    })
+
+
+def ensure_pii_parquet(path: str, n_rows: int) -> str:
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(generate_pii_table(n_rows), tmp)
+    os.rename(tmp, path)
+    return path

@@ -21,6 +21,9 @@ from ._blockutil import crc_bucket
 
 __all__ = [
     "pack_documents",
+    "redact_text",
+    "redact_sql_expr",
+    "PII_PATTERNS",
     "add_json_int_field",
     "add_char_entropy",
     "char_entropy_of",
@@ -810,3 +813,66 @@ def pack_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return (ds.select_columns([id_col, text_col])
             .map_batches(counts, batch_format="pyarrow")
             .groupby("__b").map_groups(pack, batch_format="pandas"))
+
+
+# PII redaction: category -> (RE2 pattern, replacement token).  The
+# SAME pattern strings run in DuckDB's regexp_replace(..., 'g') for the
+# oracle — both engines are RE2, so parity is by construction.  Applied
+# SEQUENTIALLY in this order, counting each category's matches on the
+# text as already redacted by the previous categories (so digits inside
+# an address that became <EMAIL> are not double-counted).
+PII_PATTERNS: tuple = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "<IP>"),
+    ("longnum", r"\b[0-9]{13,19}\b", "<NUM>"),
+)
+
+
+def redact_text(ds, key_cols, text_col: str = "text", *,
+                patterns=PII_PATTERNS, out: str = "text_redacted"):
+    """PII redaction (the ROOTS/RedPajama-style scrub): replace every
+    email address, dotted-quad IP and 13-19-digit number run with a
+    category token, counting matches per category.
+
+    Fully vectorized RE2 (``pc.count_substring_regex`` +
+    ``pc.replace_substring_regex``) — no exchange, no Python loop; the
+    ANSI-SQL restatement is nested ``regexp_replace(..., 'g')`` over
+    the identical pattern strings, so this operator is oracle-checked
+    by REAL SQL, not a golden.
+
+    Returns one row per input row: keys + ``n_<category>`` counts +
+    ``out`` (the redacted text; null text counts as "").
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+
+    def redact(t: pa.Table) -> pa.Table:
+        cur = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        res = t.select(list(key_cols))
+        for name, pat, repl in patterns:
+            res = res.append_column(
+                f"n_{name}",
+                pc.cast(pc.count_substring_regex(cur, pat), pa.int64()))
+            cur = pc.replace_substring_regex(cur, pat, repl)
+        return res.append_column(out, cur)
+
+    return ds.select_columns(list(key_cols) + [text_col]).map_batches(
+        redact, batch_format="pyarrow")
+
+
+def redact_sql_expr(text_expr: str = "coalesce(text, '')",
+                    patterns=PII_PATTERNS) -> dict:
+    """ANSI-SQL restatement of :func:`redact_text`: returns a dict of
+    output column name -> SQL expression over ``text_expr``, applying
+    the same patterns in the same order."""
+    cur = text_expr
+    cols = {}
+    for name, pat, repl in patterns:
+        esc = pat.replace("'", "''")
+        cols[f"n_{name}"] = (
+            f"CAST(len(regexp_extract_all({cur}, '{esc}')) AS BIGINT)")
+        cur = f"regexp_replace({cur}, '{esc}', '{repl}', 'g')"
+    cols["text_redacted"] = cur
+    return cols

@@ -1623,3 +1623,29 @@ def test_remove_dup_substrings_randomized(ray_session):
             got_map = {k: (int(r["n_tokens"]), int(r["n_removed"]),
                            r["text_dedup"]) for k, r in got.iterrows()}
             assert got_map == want, (n, mc, thr)
+
+
+def test_redact_pii_matches_duckdb(ray_session):
+    """Vectorized RE2 redaction == DuckDB's regexp_replace(...,'g')
+    restatement over the same pattern strings (both engines RE2),
+    including null text, lookalike near-misses and unicode filler."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from fixtures.gen_pages import generate_pii_table
+    from rayxt.text import redact_sql_expr, redact_text
+
+    t = generate_pii_table(120)
+    path = "/tmp/rayxt_pii_unit.parquet"
+    pq.write_table(t, path)
+    got = redact_text(rd.from_arrow(t).repartition(4), "row_id") \
+        .to_pandas().sort_values("row_id").reset_index(drop=True)
+    assert got["n_email"].sum() > 0 and got["n_ip"].sum() > 0
+    cols = redact_sql_expr()
+    sql = ("SELECT row_id, "
+           + ", ".join(f"{e} AS {n}" for n, e in cols.items())
+           + f" FROM '{path}' ORDER BY row_id")
+    want = duckdb.sql(sql).df()
+    for c in want.columns:
+        assert list(got[c]) == list(want[c]), c
