@@ -420,3 +420,84 @@ def ensure_pii_parquet(path: str, n_rows: int) -> str:
     pq.write_table(generate_pii_table(n_rows), tmp)
     os.rename(tmp, path)
     return path
+
+
+def link_page_of(i: int) -> tuple[str, bytes]:
+    """(url, html) for the link-graph fixture: every href shape the
+    outlink extractor must hit or refuse — relative/absolute/protocol-
+    relative/query-only/fragment-only/empty hrefs, uppercase tags,
+    single/double/unquoted attrs, entities and trailing whitespace in
+    hrefs, ports and uppercase hosts (host extraction must strip and
+    lowercase), rel=nofollow, duplicate links, mailto/javascript/ftp
+    refusals, a <base href> rebase on some pages, links to dangling
+    sink hosts that never appear as sources, and anchors inside
+    <script> / comments that must NOT count."""
+    h = _h(i, "lg")
+    k = h % 40
+    src_host = f"lh{k}.example.org"
+    url = f"https://{src_host}/d/{i:06d}/page.html"
+    m = _h(i, "lgm") % 40
+    parts = [
+        f'<a href="/section/{h % 20}.html">sec</a>',
+        f'<a href="../other/doc{m}.html">rel</a>',
+        f'<a href="https://lh{(k + 1 + h % 7) % 40}.example.org/x/{m}">abs</a>',
+        f"<a href='/q/{m}'>sq</a>",
+        f"<a href=/u/{m}>uq</a>",
+        f'<A HREF=" /ws/{m} ">up</A>',
+        f'<a href="/search?a=1&amp;b={m}">ent</a>',
+        '<a name="anchor-only">no href</a>',
+        '<script>var s = "<a href=\\"/script-trap\\">";</script>',
+        '<!-- <a href="/comment-trap">c</a> -->',
+    ]
+    parts.append(parts[2])  # duplicate link (counts, n=2)
+    if i % 2 == 0:
+        parts.append(f'<a rel="NoFollow" href="https://lh{m}.example.org'
+                     f'/nf/{i}">nf</a>')
+    if i % 3 == 0:
+        parts.append(f'<a href="https://sink{h % 5}.example.net/void">s</a>')
+        parts.append('<a href="mailto:x@example.org">m</a>')
+        parts.append('<a href="javascript:void(0)">j</a>')
+        parts.append('<a href="ftp://files.example.org/f">f</a>')
+    if i % 4 == 0:
+        parts.append(f'<a href="//lh{(m + 3) % 40}.example.org/pp">pr</a>')
+    if i % 5 == 0:
+        parts.append('<a href="?ref=abc">q</a>')
+        parts.append('<a href="#top">frag</a>')
+    if i % 9 == 0:
+        parts.append(f'<a href="https://lh{m}.example.org:8443/ported">p</a>')
+        parts.append(f'<a href="https://LH{(m + 1) % 40}.EXAMPLE.ORG/Up">U</a>')
+    if i % 17 == 0:
+        parts.append('<a href="">self</a>')
+    head = "<head><title>links</title>"
+    if i % 6 == 3:
+        head += (f'<base href="https://lh{(k + 9) % 40}.example.org'
+                 f'/basedir/sub/">')
+    head += "</head>"
+    body = "".join(
+        f"<p>{_words(i, f'lgp{j}', 6)}</p>{parts[j]}" for j in range(len(parts))
+    )
+    html = f"<html>{head}<body>{body}</body></html>".encode()
+    return url, html
+
+
+def generate_link_table(n_rows: int) -> pa.Table:
+    rows = [link_page_of(i) for i in range(n_rows)]
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array(
+            [_EPOCH_2025_US + i * 1000000 for i in range(n_rows)],
+            pa.timestamp("us")),
+        "html": pa.array([r[1] for r in rows], pa.binary()),
+    })
+
+
+def ensure_link_parquet(path: str, n_rows: int) -> str:
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(generate_link_table(n_rows), tmp)
+    os.rename(tmp, path)
+    return path

@@ -1,0 +1,527 @@
+"""Link-graph operators: outlink extraction and host-level PageRank.
+
+The missing half of a Common-Crawl-style corpus pipeline next to text
+extraction (SURVEY §2 P-family; the north rule's "web pages at 10^12
+document scale"): every page yields its resolved outbound links, the
+links collapse to a host graph, and PageRank over that graph supplies
+the classic quality prior for corpus filtering (the original
+"importance sampling by link structure" signal).
+
+Scale shape:
+
+* ``extract_outlinks`` is a stateless-per-doc actor-pool ``map_batches``
+  stage like ``ExtractDocs``: the html bytes are dropped in-stage, the
+  explode happens before any exchange, and only (url, dst) rows leave.
+* ``pagerank`` is the connected-components pattern from
+  ``rayxt/dedup.py`` (join + aggregate rounds, every per-round table is
+  |hosts| or |edges| rows, never the corpus): the edge table is
+  degree-annotated ONCE and reused; each iteration is one hash join
+  (ranks are re-keyed to the edge source) plus one union+Sum groupby.
+  Driver state per iteration is two scalars (N, dangling mass) — no
+  driver materialization of nodes or edges.
+
+URL resolution is RFC 3986 §5.2 from scratch, matching
+``urllib.parse.urljoin`` on the http(s) surface (the independent test
+oracle resolves with ``urljoin``; parity is asserted on a vector
+matrix).  Like ``urljoin`` — and unlike a strict RFC reading — a
+reference that already carries a scheme is returned verbatim (no dot
+segment removal), which is also what the oracle does.
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import Counter
+
+import pyarrow as pa
+
+from .dom import parse_html
+
+try:  # UDFs travel by value: workers must not re-import from the filesystem
+    from ray import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
+__all__ = [
+    "resolve_url",
+    "host_of_url",
+    "page_outlinks",
+    "ExtractOutlinks",
+    "extract_outlinks",
+    "host_edges",
+    "pagerank",
+]
+
+_WS = " \t\n\r\f"
+
+
+def _split_scheme(ref: str) -> tuple[str | None, str]:
+    """(scheme, rest) if ref starts with a valid RFC 3986 scheme."""
+    for i, ch in enumerate(ref):
+        if ch == ":":
+            return (ref[:i], ref[i + 1:]) if i > 0 else (None, ref)
+        if ch.isalpha() or (i > 0 and (ch.isdigit() or ch in "+-.")):
+            continue
+        return None, ref
+    return None, ref
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4."""
+    out: list[str] = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = "/" + path[3:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = "/" + path[4:]
+            if out:
+                out.pop()
+        elif path == "/..":
+            path = "/"
+            if out:
+                out.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            i = path.find("/", 1)
+            if i < 0:
+                out.append(path)
+                path = ""
+            else:
+                out.append(path[:i])
+                path = path[i:]
+    return "".join(out)
+
+
+def _split_base(base: str) -> tuple[str, str, str]:
+    """base (no fragment) -> (scheme, authority, path+query split later)."""
+    scheme, rest = _split_scheme(base)
+    if scheme is None:
+        scheme, rest = "https", base  # defensive; page urls are absolute
+    if rest.startswith("//"):
+        j = len(rest)
+        for k in range(2, len(rest)):
+            if rest[k] in "/?#":
+                j = k
+                break
+        return scheme, rest[2:j], rest[j:]
+    return scheme, "", rest
+
+
+def resolve_url(base: str, ref: str) -> str:
+    """Resolve ``ref`` against absolute ``base`` (RFC 3986 §5.2; the
+    result carries no fragment), matching ``urljoin``'s legacy
+    behaviour on scheme-ful refs: a DIFFERENT scheme is returned
+    verbatim (no dot-segment removal, case preserved); the SAME scheme
+    (case-insensitive) is lowercased and — when the ref carries no
+    authority — resolved as a relative reference (RFC 3986 §5.2.1
+    non-strict mode, which is what ``urljoin`` implements)."""
+    ref = ref.split("#", 1)[0]
+    base = base.split("#", 1)[0]
+    scheme, rest = _split_scheme(ref)
+    b_scheme, b_auth, b_pathq = _split_base(base)
+    if scheme is not None:
+        if scheme.lower() != b_scheme.lower():
+            return ref
+        if rest.startswith("//"):
+            return f"{scheme.lower()}:{rest}"
+        ref = rest  # same scheme, no authority: non-strict relative ref
+    if not ref:
+        return base
+    if ref.startswith("//"):
+        return f"{b_scheme}:{ref}"
+    b_path = b_pathq.split("?", 1)[0]
+    if ref.startswith("?"):
+        return f"{b_scheme}://{b_auth}{b_path}{ref}"
+    if "?" in ref:
+        path, query = ref.split("?", 1)
+        query = "?" + query
+    else:
+        path, query = ref, ""
+    if path.startswith("/"):
+        path = _remove_dot_segments(path)
+    else:
+        if b_auth and not b_path:
+            merged = "/" + path
+        else:
+            merged = b_path[: b_path.rfind("/") + 1] + path
+        path = _remove_dot_segments(merged)
+    return f"{b_scheme}://{b_auth}{path}{query}"
+
+
+def host_of_url(url: str) -> str:
+    """Lowercased registered host of an absolute http(s) URL: authority
+    minus userinfo and port (mirrors ``urlsplit(...).hostname``)."""
+    scheme, rest = _split_scheme(url)
+    if not rest.startswith("//"):
+        return ""
+    auth = rest[2:]
+    for k, ch in enumerate(auth):
+        if ch in "/?#":
+            auth = auth[:k]
+            break
+    if "@" in auth:
+        auth = auth.rsplit("@", 1)[1]
+    if auth.startswith("["):  # IPv6 literal
+        end = auth.find("]")
+        return auth[: end + 1].lower() if end >= 0 else auth.lower()
+    if ":" in auth:
+        auth = auth.rsplit(":", 1)[0]
+    return auth.lower()
+
+
+def _is_http(url: str) -> bool:
+    return url.startswith("http://") or url.startswith("https://")
+
+
+def page_outlinks(url: str, html) -> Counter:
+    """Per-document kernel: Counter[(dst_url, dst_host, nofollow)] -> n.
+
+    Document-order walk over the frozen tag-soup DOM; the FIRST
+    ``<base href>`` (resolved against the page url) rebases every
+    anchor in the document, per the whole-document ``document.baseURI``
+    semantics.  href values are ASCII-whitespace-stripped (HTML URL
+    attribute rule); only http(s) targets survive; fragments drop.
+    """
+    out: Counter = Counter()
+    if html is None:
+        return out
+    try:
+        root = parse_html(html)
+    except Exception:
+        return out
+    nodes = list(root.iter())
+    base = url
+    for n in nodes:
+        if n.tag == "base" and "href" in n.attrs:
+            cand = resolve_url(url, n.attrs["href"].strip(_WS))
+            if _is_http(cand):
+                base = cand
+            break
+    for n in nodes:
+        if n.tag != "a":
+            continue
+        href = n.attrs.get("href")
+        if href is None:
+            continue
+        dst = resolve_url(base, href.strip(_WS))
+        if not _is_http(dst):
+            continue
+        nf = 1 if "nofollow" in n.attrs.get("rel", "").lower().split() else 0
+        out[(dst, host_of_url(dst), nf)] += 1
+    return out
+
+
+class ExtractOutlinks:
+    """Actor-pool stage: (url, html, ...) -> exploded outlink rows
+    ``(url, src_host, dst_url, dst_host, nofollow, n)``.
+
+    Per-document DOM work is inherently Python (the same envelope as
+    ``ExtractDocs`` / ``ExtractMainContent``); html bytes are dropped
+    in-stage so only link rows ever reach an exchange.
+    """
+
+    def __init__(self):
+        self._kernel = page_outlinks  # warm per-actor handle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        shosts: list[str] = []
+        dsts: list[str] = []
+        dhosts: list[str] = []
+        nofollow: list[int] = []
+        ns: list[int] = []
+        for url, html in zip(batch["url"].to_pylist(),
+                             batch["html"].to_pylist()):
+            links = self._kernel(url, html)
+            if not links:
+                continue
+            sh = host_of_url(url)
+            for (dst, dh, nf), n in links.items():
+                srcs.append(url)
+                shosts.append(sh)
+                dsts.append(dst)
+                dhosts.append(dh)
+                nofollow.append(nf)
+                ns.append(n)
+        return pa.table({
+            "url": pa.array(srcs, pa.string()),
+            "src_host": pa.array(shosts, pa.string()),
+            "dst_url": pa.array(dsts, pa.string()),
+            "dst_host": pa.array(dhosts, pa.string()),
+            "nofollow": pa.array(nofollow, pa.int32()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+
+def extract_outlinks(ds, *, batch_size: int = 64, concurrency=(1, 8)):
+    return ds.select_columns(["url", "html"]).map_batches(
+        ExtractOutlinks, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
+def host_edges(links, *, drop_nofollow: bool = True,
+               drop_self: bool = False):
+    """Collapse outlink rows to the DISTINCT host graph
+    ``(src_host, dst_host)`` with a link multiplicity column ``n_links``
+    (sum of per-page counts).  One groupby; the distinct-edge table is
+    what every iteration of :func:`pagerank` re-reads."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def pre(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.not_equal(t["src_host"], ""),
+                       pc.not_equal(t["dst_host"], ""))
+        if drop_nofollow:
+            mask = pc.and_(mask, pc.equal(t["nofollow"], 0))
+        if drop_self:
+            mask = pc.and_(mask, pc.not_equal(t["src_host"], t["dst_host"]))
+        t = t.filter(mask)
+        return pa.table({"src_host": t["src_host"],
+                         "dst_host": t["dst_host"], "n": t["n"]})
+
+    return (links.map_batches(pre, batch_format="pyarrow")
+            .groupby(["src_host", "dst_host"])
+            .aggregate(Sum("n", alias_name="n_links")))
+
+
+def _typed(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    if t.num_rows == 0:
+        return schema.empty_table()
+    return t.cast(schema)
+
+
+_RANK_SCHEMA = pa.schema([("host", pa.string()), ("r", pa.float64()),
+                          ("dang", pa.float64())])
+
+
+def pagerank(edges, *, src: str = "src_host", dst: str = "dst_host",
+             damping: float = 0.85, iters: int = 12,
+             join_partitions: int = 64, mode: str = "auto",
+             node_threshold: int = 4_000_000):
+    """Host-level PageRank over a directed edge table (duplicate edges
+    collapse to one).  Returns ``(host, pagerank)``; ranks sum to 1.
+
+    Fixed-iteration power method with uniform teleport and dangling-mass
+    redistribution::
+
+        r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + dangling/N)
+
+    Two execution modes, parity-tested against each other (and both
+    against the dense numpy oracle):
+
+    * ``broadcast`` (default when the host count fits
+      ``node_threshold``): the rank VECTOR travels by ``ray.put`` once
+      per iteration (the documented small-side broadcast envelope —
+      hosts, not pages; 4M hosts ~= 32 MiB of float64), edges are
+      index-encoded once and re-scanned distributed per round with a
+      per-batch ``reduceat`` partial combine, and one |hosts|-bounded
+      groupby merges partials.  One map + one small groupby per
+      iteration — no hash join.
+    * ``join``: nothing driver-side beyond two scalars — the
+      ``connected_components`` pattern (rayxt/dedup.py): the edge list
+      is deduplicated and degree-annotated ONCE; one iteration = one
+      hash join (ranks re-keyed onto edge sources) + one union+Sum
+      groupby.  The beyond-broadcast fallback when the host universe
+      itself outgrows the object-store envelope.  Partition counts are
+      bounded below 32 rows/partition — Ray's hash join builds
+      schema-less tables for partitions that get zero shards and acero
+      then rejects the join (same guard as dedup.py).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    edges_d = (edges.groupby([src, dst])
+               .aggregate(Count(alias_name="__m"))
+               .map_batches(lambda t: pa.table({"src": t[src],
+                                                "dst": t[dst]}),
+                           batch_format="pyarrow"))
+    outdeg = (edges_d.groupby("src").aggregate(Count(alias_name="deg"))
+              .map_batches(lambda t: pa.table(
+                  {"host": t["src"],
+                   "deg": t["deg"].cast(pa.float64()),
+                   "dang": pa.array([0.0] * t.num_rows, pa.float64())}),
+                  batch_format="pyarrow"))
+    # node universe = src ∪ dst, with outdegree (0 => dangling)
+    dst_nodes = edges_d.map_batches(
+        lambda t: pa.table({"host": t["dst"],
+                            "deg": pa.array([0.0] * t.num_rows),
+                            "dang": pa.array([0.0] * t.num_rows)}),
+        batch_format="pyarrow")
+    node_schema = pa.schema([("host", pa.string()), ("deg", pa.float64()),
+                             ("dang", pa.float64())])
+    nodes0 = (outdeg.union(dst_nodes)
+              .groupby("host")
+              .aggregate(Sum("deg", alias_name="deg"))
+              .map_batches(lambda t: _typed(pa.table({
+                  "host": t["host"], "deg": t["deg"],
+                  "dang": pa.compute.cast(
+                      pa.compute.equal(t["deg"], 0.0), pa.float64())}),
+                  node_schema), batch_format="pyarrow")
+              .materialize())
+    n_nodes = nodes0.count()
+    out_schema = pa.schema([("host", pa.string()),
+                            ("pagerank", pa.float64())])
+    if n_nodes == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown pagerank mode: {mode!r}")
+    if mode == "auto":
+        mode = "broadcast" if n_nodes <= node_threshold else "join"
+    if mode == "broadcast":
+        return _pagerank_broadcast(edges_d, nodes0, n_nodes,
+                                   damping=damping, iters=iters,
+                                   out_schema=out_schema)
+
+    n_edges = edges_d.count()
+    parts = max(1, min(join_partitions, n_edges // 32))
+    # degree-annotated edges, computed once, re-joined every round
+    edges_deg = (edges_d.join(
+        outdeg.map_batches(lambda t: pa.table({"src": t["host"],
+                                               "deg": t["deg"]}),
+                           batch_format="pyarrow"),
+        "inner", num_partitions=parts, on=("src",))
+        .materialize())
+
+    invn = 1.0 / n_nodes
+    ranks = nodes0.map_batches(
+        lambda t: _typed(pa.table({
+            "host": t["host"],
+            "r": pa.array([invn] * t.num_rows, pa.float64()),
+            "dang": t["dang"]}), _RANK_SCHEMA),
+        batch_format="pyarrow").materialize()
+    base = nodes0.map_batches(
+        lambda t: _typed(pa.table({
+            "host": t["host"],
+            "r": pa.array([0.0] * t.num_rows, pa.float64()),
+            "dang": t["dang"]}), _RANK_SCHEMA),
+        batch_format="pyarrow").materialize()
+
+    import pyarrow.compute as pc
+
+    for _ in range(iters):
+        dmass = ranks.map_batches(
+            lambda t: pa.table({"x": pc.multiply(t["r"], t["dang"])}),
+            batch_format="pyarrow").sum("x") or 0.0
+        teleport = (1.0 - damping) * invn + damping * dmass * invn
+        contrib = (edges_deg.join(
+            ranks.map_batches(lambda t: pa.table({"src": t["host"],
+                                                  "r": t["r"]}),
+                              batch_format="pyarrow"),
+            "inner", num_partitions=parts, on=("src",))
+            .map_batches(lambda t: _typed(pa.table({
+                "host": t["dst"],
+                "r": pc.divide(t["r"], t["deg"]),
+                "dang": pa.array([0.0] * t.num_rows, pa.float64())}),
+                _RANK_SCHEMA), batch_format="pyarrow"))
+        ranks = (contrib.union(base)
+                 .groupby("host")
+                 .aggregate(Sum("r", alias_name="r"),
+                            Sum("dang", alias_name="dang"))
+                 .map_batches(lambda t, tp=teleport: _typed(pa.table({
+                     "host": t["host"],
+                     "r": pc.add(pc.multiply(t["r"], damping), tp),
+                     "dang": t["dang"]}), _RANK_SCHEMA),
+                     batch_format="pyarrow")
+                 .materialize())
+    return ranks.map_batches(
+        lambda t: _typed(pa.table({"host": t["host"], "pagerank": t["r"]}),
+                         out_schema),
+        batch_format="pyarrow")
+
+
+def _pagerank_broadcast(edges_d, nodes0, n_nodes: int, *, damping: float,
+                        iters: int, out_schema: pa.Schema):
+    """Broadcast-mode power iteration (hosts fit the small-side
+    envelope; the corpus-scale edge table never leaves the cluster).
+
+    The host universe with outdegrees is pulled ONCE to the driver
+    (|hosts| rows — the same bounded-aggregate envelope as the dedup
+    broadcast sets), edges are index-encoded ONCE into compact
+    ``(s:int64, d:int64, w:float64)`` rows carrying the pre-divided
+    1/outdeg weight, and each iteration is: ``ray.put`` the rank
+    vector, one distributed edge scan with a per-batch sort+``reduceat``
+    partial combine, one |hosts|-bounded groupby Sum, and a bounded
+    driver pull of the merged contributions.  No hash join anywhere.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    # skip schema-less empty blocks Ray's Aggregate emits for empty
+    # sort partitions (same quirk guarded by ensure_typed in dedup.py)
+    node_tbl = pa.concat_tables(
+        [b for b in ray.get(nodes0.to_arrow_refs()) if b.num_rows > 0])
+    node_tbl = node_tbl.take(pc.sort_indices(node_tbl["host"]))
+    hosts_np = node_tbl["host"].to_numpy(zero_copy_only=False)
+    deg_np = node_tbl["deg"].to_numpy(zero_copy_only=False).astype(
+        np.float64)
+    dang_mask = deg_np == 0.0
+    hosts_ref = ray.put(hosts_np)
+    deg_ref = ray.put(deg_np)
+
+    enc_schema = pa.schema([("s", pa.int64()), ("d", pa.int64()),
+                            ("w", pa.float64())])
+
+    def _encode(t: pa.Table, hosts_ref=hosts_ref, deg_ref=deg_ref):
+        if t.num_rows == 0:
+            return enc_schema.empty_table()
+        hosts = ray.get(hosts_ref)
+        deg = ray.get(deg_ref)
+        s = np.searchsorted(hosts, t["src"].to_numpy(zero_copy_only=False))
+        d = np.searchsorted(hosts, t["dst"].to_numpy(zero_copy_only=False))
+        return pa.table({"s": pa.array(s, pa.int64()),
+                         "d": pa.array(d, pa.int64()),
+                         "w": pa.array(1.0 / deg[s], pa.float64())})
+
+    edges_enc = edges_d.map_batches(
+        _encode, batch_format="pyarrow").materialize()
+
+    part_schema = pa.schema([("i", pa.int64()), ("x", pa.float64())])
+    n = n_nodes
+    invn = 1.0 / n
+    r = np.full(n, invn)
+    for _ in range(iters):
+        dang = float(r[dang_mask].sum())
+        r_ref = ray.put(r)
+
+        def _contrib(t: pa.Table, r_ref=r_ref):
+            if t.num_rows == 0:
+                return part_schema.empty_table()
+            rv = ray.get(r_ref)
+            d = t["d"].to_numpy(zero_copy_only=False)
+            x = rv[t["s"].to_numpy(zero_copy_only=False)] * \
+                t["w"].to_numpy(zero_copy_only=False)
+            order = np.argsort(d, kind="stable")
+            ds_ = d[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], ds_[1:] != ds_[:-1])))
+            return pa.table({
+                "i": pa.array(ds_[starts], pa.int64()),
+                "x": pa.array(np.add.reduceat(x[order], starts),
+                              pa.float64())})
+
+        agg = (edges_enc.map_batches(_contrib, batch_format="pyarrow")
+               .groupby("i").aggregate(Sum("x", alias_name="x")))
+        contrib = np.zeros(n)
+        for bt in agg.iter_batches(batch_format="pyarrow"):
+            contrib[bt["i"].to_numpy(zero_copy_only=False)] += \
+                bt["x"].to_numpy(zero_copy_only=False)
+        r = (1.0 - damping) * invn + damping * (contrib + dang * invn)
+
+    out = pa.table({"host": node_tbl["host"],
+                    "pagerank": pa.array(r, pa.float64())}).cast(out_schema)
+    return rd.from_arrow(out)
