@@ -248,7 +248,7 @@ def run_bench() -> dict:
                   "ev_hopping", "ev_distinct_users_hll", "doc_tfidf_top",
                   "emb_pca", "doc_inverted_index",
                   "doc_remove_dup_substrings", "emb_semdedup",
-                  "doc_dsir_weights"):
+                  "doc_dsir_weights", "pages_host_pagerank"):
         fn = entrymod.queries()[qname]
         times = []
         for _ in range(q_trials):
