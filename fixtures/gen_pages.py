@@ -468,6 +468,20 @@ def link_page_of(i: int) -> tuple[str, bytes]:
         parts.append(f'<a href="https://LH{(m + 1) % 40}.EXAMPLE.ORG/Up">U</a>')
     if i % 17 == 0:
         parts.append('<a href="">self</a>')
+    # anchor-text stress: nested markup, entities, comments/scripts
+    # inside the anchor (contribute nothing), whitespace collapse,
+    # >200-char truncation, image-only (empty) anchors
+    parts.append(f'<a href="/rich/{m}">click <b>here</b>, or '
+                 f'<i>else<!--hidden--></i></a>')
+    if i % 7 == 0:
+        parts.append(f'<a href="/ent/{m}">A &amp; B &lt;ok&gt;</a>')
+        parts.append(f'<a href="/ws/{m}">  multi\n\t spaced\r\n text  </a>')
+    if i % 11 == 0:
+        long_words = " ".join(_words(i, "lga", 40).split()) * 3
+        parts.append(f'<a href="/long/{m}">{long_words}</a>')
+        parts.append(f'<a href="/img/{m}"><img src="/x{m}.png"></a>')
+        parts.append(f'<a href="/scr/{m}">pre<script>var x="in";</script>'
+                     f'post</a>')
     head = "<head><title>links</title>"
     if i % 6 == 3:
         head += (f'<base href="https://lh{(k + 9) % 40}.example.org'

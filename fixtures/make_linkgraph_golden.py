@@ -29,16 +29,19 @@ N_LINKS = 400
 
 def main() -> None:
     t = generate_link_table(N_LINKS)
-    srcs, shosts, dsts, dhosts, nofollow, ns = [], [], [], [], [], []
+    srcs, shosts, dsts, dhosts, nofollow, anchors, ns = \
+        [], [], [], [], [], [], []
     edges = []
     for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
         sh = urlsplit(url).hostname or ""
-        for (dst, dh, nf), n in oracle_outlinks(url, html).items():
+        links = oracle_outlinks(url, html, with_anchor=True)
+        for (dst, dh, nf, anchor), n in links.items():
             srcs.append(url)
             shosts.append(sh)
             dsts.append(dst)
             dhosts.append(dh)
             nofollow.append(nf)
+            anchors.append(anchor)
             ns.append(n)
             if nf == 0 and sh and dh:
                 edges.append((sh, dh))
@@ -48,6 +51,7 @@ def main() -> None:
         "dst_url": pa.array(dsts, pa.string()),
         "dst_host": pa.array(dhosts, pa.string()),
         "nofollow": pa.array(nofollow, pa.int32()),
+        "anchor": pa.array(anchors, pa.string()),
         "n": pa.array(ns, pa.int64()),
     })
     pq.write_table(out, os.path.join(DATA_DIR, "golden_outlinks.parquet"))

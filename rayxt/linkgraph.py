@@ -35,7 +35,7 @@ from collections import Counter
 
 import pyarrow as pa
 
-from .dom import parse_html
+from .dom import SKIP_SUBTREE, parse_html
 
 try:  # UDFs travel by value: workers must not re-import from the filesystem
     from ray import cloudpickle as _cp
@@ -47,10 +47,12 @@ except Exception:  # pragma: no cover
 __all__ = [
     "resolve_url",
     "host_of_url",
+    "anchor_text",
     "page_outlinks",
     "ExtractOutlinks",
     "extract_outlinks",
     "host_edges",
+    "top_anchors",
     "pagerank",
 ]
 
@@ -182,8 +184,40 @@ def _is_http(url: str) -> bool:
     return url.startswith("http://") or url.startswith("https://")
 
 
-def page_outlinks(url: str, html) -> Counter:
-    """Per-document kernel: Counter[(dst_url, dst_host, nofollow)] -> n.
+ANCHOR_MAX_CHARS = 200
+
+
+def anchor_text(node, max_chars: int = ANCHOR_MAX_CHARS) -> str:
+    """Whitespace-normalized text of an anchor's subtree under the
+    frozen extraction policy: ``SKIP_SUBTREE`` tags (script / style /
+    comments / ...) contribute nothing and their neighbours concatenate
+    with NO separator (matching :func:`rayxt.dom.extract_text`); the
+    normalized string is truncated to ``max_chars``."""
+    parts: list[str] = []
+    stack: list = [node]
+    while stack:
+        item = stack.pop()
+        if isinstance(item, str):
+            parts.append(item)
+            continue
+        local = item.tag
+        if local.startswith("{"):
+            local = local.rsplit("}", 1)[1]
+        if local in SKIP_SUBTREE:
+            continue
+        if item.text:
+            parts.append(item.text)
+        for c in reversed(item.children):
+            if c.tail:
+                stack.append(c.tail)
+            stack.append(c)
+    return " ".join("".join(parts).split())[:max_chars]
+
+
+def page_outlinks(url: str, html, *, with_anchor: bool = False) -> Counter:
+    """Per-document kernel: ``Counter[(dst_url, dst_host, nofollow)]``
+    -> n (or ``(dst_url, dst_host, nofollow, anchor)`` keys when
+    ``with_anchor``).
 
     Document-order walk over the frozen tag-soup DOM; the FIRST
     ``<base href>`` (resolved against the page url) rebases every
@@ -216,57 +250,98 @@ def page_outlinks(url: str, html) -> Counter:
         if not _is_http(dst):
             continue
         nf = 1 if "nofollow" in n.attrs.get("rel", "").lower().split() else 0
-        out[(dst, host_of_url(dst), nf)] += 1
+        if with_anchor:
+            out[(dst, host_of_url(dst), nf, anchor_text(n))] += 1
+        else:
+            out[(dst, host_of_url(dst), nf)] += 1
     return out
 
 
 class ExtractOutlinks:
     """Actor-pool stage: (url, html, ...) -> exploded outlink rows
-    ``(url, src_host, dst_url, dst_host, nofollow, n)``.
+    ``(url, src_host, dst_url, dst_host, nofollow, n)``, plus an
+    ``anchor`` column (normalized, ``ANCHOR_MAX_CHARS``-truncated
+    subtree text) when ``with_anchor``.
 
     Per-document DOM work is inherently Python (the same envelope as
     ``ExtractDocs`` / ``ExtractMainContent``); html bytes are dropped
     in-stage so only link rows ever reach an exchange.
     """
 
-    def __init__(self):
+    def __init__(self, with_anchor: bool = False):
         self._kernel = page_outlinks  # warm per-actor handle
+        self._with_anchor = with_anchor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        with_anchor = self._with_anchor
         srcs: list[str] = []
         shosts: list[str] = []
         dsts: list[str] = []
         dhosts: list[str] = []
         nofollow: list[int] = []
+        anchors: list[str] = []
         ns: list[int] = []
         for url, html in zip(batch["url"].to_pylist(),
                              batch["html"].to_pylist()):
-            links = self._kernel(url, html)
+            links = self._kernel(url, html, with_anchor=with_anchor)
             if not links:
                 continue
             sh = host_of_url(url)
-            for (dst, dh, nf), n in links.items():
+            for key, n in links.items():
                 srcs.append(url)
                 shosts.append(sh)
-                dsts.append(dst)
-                dhosts.append(dh)
-                nofollow.append(nf)
+                dsts.append(key[0])
+                dhosts.append(key[1])
+                nofollow.append(key[2])
+                if with_anchor:
+                    anchors.append(key[3])
                 ns.append(n)
-        return pa.table({
+        cols = {
             "url": pa.array(srcs, pa.string()),
             "src_host": pa.array(shosts, pa.string()),
             "dst_url": pa.array(dsts, pa.string()),
             "dst_host": pa.array(dhosts, pa.string()),
             "nofollow": pa.array(nofollow, pa.int32()),
-            "n": pa.array(ns, pa.int64()),
-        })
+        }
+        if with_anchor:
+            cols["anchor"] = pa.array(anchors, pa.string())
+        cols["n"] = pa.array(ns, pa.int64())
+        return pa.table(cols)
 
 
-def extract_outlinks(ds, *, batch_size: int = 64, concurrency=(1, 8)):
+def extract_outlinks(ds, *, batch_size: int = 64, concurrency=(1, 8),
+                     with_anchor: bool = False):
     return ds.select_columns(["url", "html"]).map_batches(
         ExtractOutlinks, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
+        fn_constructor_kwargs={"with_anchor": with_anchor},
     )
+
+
+def top_anchors(links, *, by: str = "dst_host", k: int = 3):
+    """Per-``by`` top-k anchor texts by total link count (the classic
+    aggregated anchor-text signal).  Empty anchors (image-only links)
+    are dropped; ties break ascending on the anchor string, so the
+    result is deterministic and partition-independent.
+
+    Scale shape: one groupby over (by, anchor) rows — the text column
+    never travels, only the already-exploded link rows — then the
+    bounded partial-top-k merge of :func:`rayxt.windows.grouped_topk`.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .windows import grouped_topk
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["anchor"], ""))
+        return pa.table({by: t[by], "anchor": t["anchor"], "n": t["n"]})
+
+    agg = (links.map_batches(pre, batch_format="pyarrow")
+           .groupby([by, "anchor"])
+           .aggregate(Sum("n", alias_name="n_links")))
+    return grouped_topk(agg, key=by, order_col="n_links", k=k,
+                        descending=True, tie_cols=("anchor",))
 
 
 def host_edges(links, *, drop_nofollow: bool = True,

@@ -47,24 +47,40 @@ def _is_http(u: str) -> bool:
     return u.startswith("http://") or u.startswith("https://")
 
 
-def oracle_outlinks(url: str, html) -> Counter:
-    """Counter[(dst_url, dst_host, nofollow)] -> count."""
+_INNER_TAG = re.compile(r"<[^>]*>")
+_CLOSE_A = re.compile(r"</a\s*>", re.I)
+ANCHOR_MAX_CHARS = 200
+
+
+def oracle_anchor_text(inner: str) -> str:
+    """Normalized anchor text from raw inner HTML: strip tags (NO
+    separator — skipped subtrees concatenate their neighbours, matching
+    the engine's frozen policy), unescape entities, collapse
+    whitespace, truncate."""
+    return " ".join(unescape(_INNER_TAG.sub("", inner)).split())[
+        :ANCHOR_MAX_CHARS]
+
+
+def oracle_outlinks(url: str, html, with_anchor: bool = False) -> Counter:
+    """Counter[(dst_url, dst_host, nofollow[, anchor])] -> count."""
     out: Counter = Counter()
     if html is None:
         return out
     text = html.decode("utf-8", "replace") if isinstance(
         html, (bytes, bytearray)) else str(html)
-    text = _SCRIPTSTYLE.sub(" ", _COMMENT.sub(" ", text))
-    tags = [(m.group(1).lower(), _attrs_of(m.group(2)))
+    # excise with NO replacement: a skipped subtree's neighbours
+    # concatenate directly (the engine's SKIP_SUBTREE concatenation)
+    text = _SCRIPTSTYLE.sub("", _COMMENT.sub("", text))
+    tags = [(m.group(1).lower(), _attrs_of(m.group(2)), m.end())
             for m in _TAG.finditer(text)]
     base = url
-    for tag, attrs in tags:
+    for tag, attrs, _ in tags:
         if tag == "base" and "href" in attrs:
             cand = urljoin(url, attrs["href"].strip(_WS)).split("#", 1)[0]
             if _is_http(cand):
                 base = cand
             break
-    for tag, attrs in tags:
+    for tag, attrs, end in tags:
         if tag != "a" or "href" not in attrs:
             continue
         dst = urljoin(base, attrs["href"].strip(_WS)).split("#", 1)[0]
@@ -72,7 +88,12 @@ def oracle_outlinks(url: str, html) -> Counter:
             continue
         nf = 1 if "nofollow" in attrs.get("rel", "").lower().split() else 0
         host = (urlsplit(dst).hostname or "")
-        out[(dst, host, nf)] += 1
+        if with_anchor:
+            close = _CLOSE_A.search(text, end)
+            inner = text[end:close.start()] if close else text[end:]
+            out[(dst, host, nf, oracle_anchor_text(inner))] += 1
+        else:
+            out[(dst, host, nf)] += 1
     return out
 
 

@@ -61,6 +61,34 @@ def test_page_outlinks_matches_oracle_on_fixture_family():
         assert page_outlinks(url, html) == oracle_outlinks(url, html), (i, url)
 
 
+def test_page_outlinks_anchor_matches_oracle_on_fixture_family():
+    for i in range(120):
+        url, html = link_page_of(i)
+        got = page_outlinks(url, html, with_anchor=True)
+        want = oracle_outlinks(url, html, with_anchor=True)
+        assert got == want, (i, url)
+
+
+def test_anchor_text_edge_cases():
+    url = "https://h.example.org/a/b.html"
+    html = (b'<a href="/x">click <b>here</b>, or '
+            b'<i>else<!--hidden--></i></a>'
+            b'<a href="/y">pre<script>var z="in";</script>post</a>'
+            b'<a href="/z"><img src="p.png"></a>'
+            b'<a href="/w">  A &amp; B \r\n\t C  </a>'
+            b'<a href="/long">' + b"ab " * 200 + b'</a>')
+    got = {k[0].rsplit("/", 1)[1]: k[3]
+           for k in page_outlinks(url, html, with_anchor=True)}
+    assert got["x"] == "click here, or else"
+    assert got["y"] == "prepost"  # skipped subtree: no separator
+    assert got["z"] == ""
+    assert got["w"] == "A & B C"
+    assert len(got["long"]) == 200
+    want = {k[0].rsplit("/", 1)[1]: k[3]
+            for k in oracle_outlinks(url, html, with_anchor=True)}
+    assert got == want
+
+
 def test_page_outlinks_edge_cases():
     url = "https://h.example.org/a/b.html"
     assert page_outlinks(url, None) == {}
@@ -163,6 +191,29 @@ def test_pagerank_rejects_unknown_mode(ray_session):
         "n": pa.array([1], pa.int64())}))
     with pytest.raises(ValueError):
         pagerank(ds, mode="nope")
+
+
+def test_top_anchors_matches_duckdb(ray_session, link_ds):
+    import duckdb
+
+    from rayxt.linkgraph import top_anchors
+
+    links = extract_outlinks(link_ds, concurrency=2, with_anchor=True)
+    flat = links.to_pandas()
+    got = (top_anchors(links, by="dst_host", k=3).to_pandas()
+           .sort_values(["dst_host", "anchor"]).reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT dst_host, anchor, n_links FROM (
+          SELECT dst_host, anchor, SUM(n) AS n_links,
+                 ROW_NUMBER() OVER (PARTITION BY dst_host
+                   ORDER BY SUM(n) DESC, anchor ASC) AS rk
+          FROM flat WHERE anchor <> ''
+          GROUP BY dst_host, anchor) WHERE rk <= 3
+        ORDER BY dst_host, anchor""").df()
+    assert got["dst_host"].tolist() == want["dst_host"].tolist()
+    assert got["anchor"].tolist() == want["anchor"].tolist()
+    assert got["n_links"].astype(int).tolist() == \
+        want["n_links"].astype(int).tolist()
 
 
 def test_host_edges_collapses_and_filters(ray_session):
