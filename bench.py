@@ -231,6 +231,41 @@ def run_bench() -> dict:
                 f"== PASS 3 (pack sink) executed plan ==\n"
                 f"{fl_summary['pack_stats']}\n")
 
+    # link graph over the SAME 600k-page corpus: outlink extraction
+    # (actor-pool DOM walk) -> host-edge groupby -> broadcast-mode
+    # PageRank power iteration.  The scale proof for the linkgraph
+    # operators (the fixture-sized pages_host_pagerank query below
+    # only covers correctness wiring).
+    lg_trials = int(os.environ.get("RAYXT_LINKGRAPH_TRIALS", "1"))
+    if lg_trials:
+        import statistics as _st
+
+        import ray.data as rd
+
+        from rayxt.linkgraph import extract_outlinks, host_edges, pagerank
+
+        lg_times, lg_counts = [], None
+        for _ in range(lg_trials):
+            t0 = time.time()
+            links = extract_outlinks(
+                rd.read_parquet(pages, columns=["url", "html"]),
+                concurrency=pool, batch_size=128).materialize()
+            edges = host_edges(links).materialize()
+            pr = pagerank(edges, iters=8)
+            n_hosts = pr.count()
+            lg_times.append(time.time() - t0)
+            lg_counts = (links.count(), edges.count(), n_hosts)
+        queries["linkgraph_pagerank"] = round(_st.median(lg_times), 3)
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "LINKGRAPH_STATS.txt"),
+                  "w") as fh:
+            fh.write(
+                f"linkgraph @ {NUM_CPUS} cpus: median "
+                f"{queries['linkgraph_pagerank']}s over {lg_trials} "
+                f"trial(s) (extract+edges+8-iter pagerank)\n"
+                f"link_rows={lg_counts[0]} host_edges={lg_counts[1]} "
+                f"hosts={lg_counts[2]}\n")
+
     # representative non-headline pipelines over the sf tables.
     # median of >= 3 in-process repeats per query: single-run numbers on
     # this VM drift +-15-30%, which made r1->r2 per-query deltas
@@ -299,6 +334,7 @@ def run_scaling() -> None:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    RAYXT_HEADLINE_TRIALS="1", RAYXT_QUERY_TRIALS="0",
                    RAYXT_MC_TRIALS="0", RAYXT_FLAGSHIP_TRIALS="0",
+                   RAYXT_LINKGRAPH_TRIALS="0",
                    RAYXT_BENCH_EXTRACT=os.environ.get("RAYXT_BENCH_EXTRACT", "1"))
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],

@@ -52,6 +52,7 @@ __all__ = [
     "ExtractOutlinks",
     "extract_outlinks",
     "host_edges",
+    "host_degrees",
     "top_anchors",
     "pagerank",
 ]
@@ -369,6 +370,45 @@ def host_edges(links, *, drop_nofollow: bool = True,
             .aggregate(Sum("n", alias_name="n_links")))
 
 
+def host_degrees(edges, *, src: str = "src_host", dst: str = "dst_host",
+                 weight: str = "n_links"):
+    """Per-host degree statistics over a distinct-edge table (the
+    :func:`host_edges` output): ``out_degree`` / ``in_degree`` count
+    distinct neighbour hosts, ``out_links`` / ``in_links`` sum the link
+    multiplicities.  One exchange — each edge row contributes a source
+    half and a destination half in-batch, merged by a single
+    four-``Sum`` groupby (the node-universe union trick, no join)."""
+    from ray.data.aggregate import Sum
+
+    schema = pa.schema([
+        ("host", pa.string()), ("out_degree", pa.int64()),
+        ("in_degree", pa.int64()), ("out_links", pa.int64()),
+        ("in_links", pa.int64())])
+
+    def halves(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ones = [1] * t.num_rows
+        zeros = [0] * t.num_rows
+        w = t[weight]
+        z = pa.array(zeros, pa.int64())
+        return pa.table({
+            "host": pa.concat_arrays(
+                [t[src].combine_chunks(), t[dst].combine_chunks()]),
+            "out_degree": pa.array(ones + zeros, pa.int64()),
+            "in_degree": pa.array(zeros + ones, pa.int64()),
+            "out_links": pa.concat_arrays([w.cast(pa.int64()).combine_chunks(), z]),
+            "in_links": pa.concat_arrays([z, w.cast(pa.int64()).combine_chunks()]),
+        })
+
+    return (edges.map_batches(halves, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Sum("out_degree", alias_name="out_degree"),
+                       Sum("in_degree", alias_name="in_degree"),
+                       Sum("out_links", alias_name="out_links"),
+                       Sum("in_links", alias_name="in_links")))
+
+
 def _typed(t: pa.Table, schema: pa.Schema) -> pa.Table:
     if t.num_rows == 0:
         return schema.empty_table()
@@ -380,14 +420,16 @@ _RANK_SCHEMA = pa.schema([("host", pa.string()), ("r", pa.float64()),
 
 
 def pagerank(edges, *, src: str = "src_host", dst: str = "dst_host",
-             damping: float = 0.85, iters: int = 12,
+             damping: float = 0.85, iters: int = 12, tol: float = 0.0,
              join_partitions: int = 64, mode: str = "auto",
              node_threshold: int = 4_000_000):
     """Host-level PageRank over a directed edge table (duplicate edges
     collapse to one).  Returns ``(host, pagerank)``; ranks sum to 1.
 
     Fixed-iteration power method with uniform teleport and dangling-mass
-    redistribution::
+    redistribution (``tol > 0`` adds an early stop in broadcast mode
+    when the per-iteration L1 delta drops below ``tol``; join mode
+    always runs ``iters`` rounds)::
 
         r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + dangling/N)
 
@@ -456,7 +498,7 @@ def pagerank(edges, *, src: str = "src_host", dst: str = "dst_host",
         mode = "broadcast" if n_nodes <= node_threshold else "join"
     if mode == "broadcast":
         return _pagerank_broadcast(edges_d, nodes0, n_nodes,
-                                   damping=damping, iters=iters,
+                                   damping=damping, iters=iters, tol=tol,
                                    out_schema=out_schema)
 
     n_edges = edges_d.count()
@@ -517,7 +559,8 @@ def pagerank(edges, *, src: str = "src_host", dst: str = "dst_host",
 
 
 def _pagerank_broadcast(edges_d, nodes0, n_nodes: int, *, damping: float,
-                        iters: int, out_schema: pa.Schema):
+                        iters: int, out_schema: pa.Schema,
+                        tol: float = 0.0):
     """Broadcast-mode power iteration (hosts fit the small-side
     envelope; the corpus-scale edge table never leaves the cluster).
 
@@ -595,7 +638,13 @@ def _pagerank_broadcast(edges_d, nodes0, n_nodes: int, *, damping: float,
         for bt in agg.iter_batches(batch_format="pyarrow"):
             contrib[bt["i"].to_numpy(zero_copy_only=False)] += \
                 bt["x"].to_numpy(zero_copy_only=False)
-        r = (1.0 - damping) * invn + damping * (contrib + dang * invn)
+        r_new = (1.0 - damping) * invn + damping * (contrib + dang * invn)
+        # tol > 0: stop once the L1 delta converges (driver-side, two
+        # length-n vectors; only available in broadcast mode)
+        if tol > 0.0 and float(np.abs(r_new - r).sum()) < tol:
+            r = r_new
+            break
+        r = r_new
 
     out = pa.table({"host": node_tbl["host"],
                     "pagerank": pa.array(r, pa.float64())}).cast(out_schema)

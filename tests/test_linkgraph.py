@@ -216,6 +216,44 @@ def test_top_anchors_matches_duckdb(ray_session, link_ds):
         want["n_links"].astype(int).tolist()
 
 
+def test_host_degrees_matches_duckdb(ray_session, link_ds):
+    import duckdb
+
+    from rayxt.linkgraph import host_degrees
+
+    edges = host_edges(extract_outlinks(link_ds, concurrency=2))
+    flat = edges.to_pandas()
+    got = (host_degrees(edges).to_pandas()
+           .sort_values("host").reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT host, SUM(od) AS out_degree, SUM(id_) AS in_degree,
+               SUM(ol) AS out_links, SUM(il) AS in_links
+        FROM (SELECT src_host AS host, 1 AS od, 0 AS id_,
+                     n_links AS ol, 0 AS il FROM flat
+              UNION ALL
+              SELECT dst_host, 0, 1, 0, n_links FROM flat)
+        GROUP BY host ORDER BY host""").df()
+    assert got["host"].tolist() == want["host"].tolist()
+    for c in ("out_degree", "in_degree", "out_links", "in_links"):
+        assert got[c].astype(int).tolist() == want[c].astype(int).tolist(), c
+
+
+def test_pagerank_tol_early_stop_matches_converged(ray_session):
+    import ray.data as rd
+
+    edges = rd.from_arrow(pa.table({
+        "src_host": pa.array(["a", "b", "c", "c"]),
+        "dst_host": pa.array(["b", "c", "a", "b"]),
+        "n": pa.array([1, 1, 1, 1], pa.int64())}))
+    full = pagerank(edges, iters=60, mode="broadcast").to_pandas()
+    early = pagerank(edges, iters=60, tol=1e-12,
+                     mode="broadcast").to_pandas()
+    f = dict(zip(full["host"], full["pagerank"]))
+    e = dict(zip(early["host"], early["pagerank"]))
+    assert f.keys() == e.keys()
+    assert all(abs(f[h] - e[h]) < 1e-9 for h in f)
+
+
 def test_host_edges_collapses_and_filters(ray_session):
     import ray.data as rd
 
