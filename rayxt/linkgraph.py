@@ -346,7 +346,7 @@ def top_anchors(links, *, by: str = "dst_host", k: int = 3):
 
 
 def host_edges(links, *, drop_nofollow: bool = True,
-               drop_self: bool = False):
+               drop_self: bool = False, coalesce_blocks=True):
     """Collapse outlink rows to the DISTINCT host graph
     ``(src_host, dst_host)`` with a link multiplicity column ``n_links``
     (sum of per-page counts).  One groupby; the distinct-edge table is
@@ -361,12 +361,29 @@ def host_edges(links, *, drop_nofollow: bool = True,
             mask = pc.and_(mask, pc.equal(t["nofollow"], 0))
         if drop_self:
             mask = pc.and_(mask, pc.not_equal(t["src_host"], t["dst_host"]))
-        t = t.filter(mask)
-        return pa.table({"src_host": t["src_host"],
-                         "dst_host": t["dst_host"], "n": t["n"]})
+        t = t.filter(mask).select(["src_host", "dst_host", "n"])
+        # in-batch partial combine before the exchange: pages link to
+        # the same host pair repeatedly, so this collapses most rows
+        # map-side (the P9 pre-aggregation pattern)
+        part = t.group_by(["src_host", "dst_host"]).aggregate([("n", "sum")])
+        return pa.table({"src_host": part["src_host"],
+                         "dst_host": part["dst_host"],
+                         "n": part["n_sum"]})
 
-    return (links.map_batches(pre, batch_format="pyarrow")
-            .groupby(["src_host", "dst_host"])
+    pre_ds = links.map_batches(pre, batch_format="pyarrow")
+    if coalesce_blocks:
+        # the extract pool hands over hundreds of small blocks and the
+        # sort exchange pays per input block; a split/merge repartition
+        # (no shuffle) collapses them first.  The partial-combined link
+        # rows are tiny, so cpu-count blocks stay small even when the
+        # page corpus is huge; pass coalesce_blocks=None to disable for
+        # edge tables beyond memory-per-block comfort.
+        import ray
+
+        b = coalesce_blocks if coalesce_blocks is not True else max(
+            2, int(ray.cluster_resources().get("CPU", 8)))
+        pre_ds = pre_ds.repartition(b, shuffle=False)
+    return (pre_ds.groupby(["src_host", "dst_host"])
             .aggregate(Sum("n", alias_name="n_links")))
 
 
@@ -456,11 +473,25 @@ def pagerank(edges, *, src: str = "src_host", dst: str = "dst_host",
     """
     from ray.data.aggregate import Count, Sum
 
+    # collapse the input's block count before the groupby cascade: an
+    # upstream aggregate hands over ~200 near-empty blocks (its reduce
+    # partition count), and every exchange below would inherit that
+    # 200x200 tiny-task matrix (measured: ~30s of fixed overhead on a
+    # 901-edge graph).  One repartition sized by row count, done once.
+    edges = edges.materialize()
+    n_edges_in = edges.count()
+    blocks_target = max(1, min(256, n_edges_in // 250_000 + 1))
+    if edges.num_blocks() > 4 * blocks_target:
+        edges = edges.repartition(blocks_target).materialize()
+    # the distinct edge table is re-read by outdeg / node-universe /
+    # encode (and join mode) — materialize it ONCE instead of
+    # re-executing the dedup groupby per consumer
     edges_d = (edges.groupby([src, dst])
                .aggregate(Count(alias_name="__m"))
                .map_batches(lambda t: pa.table({"src": t[src],
                                                 "dst": t[dst]}),
-                           batch_format="pyarrow"))
+                           batch_format="pyarrow")
+               .materialize())
     outdeg = (edges_d.groupby("src").aggregate(Count(alias_name="deg"))
               .map_batches(lambda t: pa.table(
                   {"host": t["src"],
@@ -558,6 +589,36 @@ def pagerank(edges, *, src: str = "src_host", dst: str = "dst_host",
         batch_format="pyarrow")
 
 
+_MAX_EDGE_BLOCKS = 64
+
+
+def _lazy_remotes():
+    """Build the iteration's remote functions on first use (keeps the
+    module importable without Ray side effects)."""
+    global _contrib_block, _vec_sum
+    if _contrib_block is not None:
+        return
+    import numpy as np
+    import ray
+
+    @ray.remote
+    def contrib_block(tbl, rv, n):
+        s = tbl["s"].to_numpy(zero_copy_only=False)
+        d = tbl["d"].to_numpy(zero_copy_only=False)
+        w = tbl["w"].to_numpy(zero_copy_only=False)
+        return np.bincount(d, weights=rv[s] * w, minlength=n)
+
+    @ray.remote
+    def vec_sum(*vs):
+        return np.sum(vs, axis=0)
+
+    _contrib_block, _vec_sum = contrib_block, vec_sum
+
+
+_contrib_block = None
+_vec_sum = None
+
+
 def _pagerank_broadcast(edges_d, nodes0, n_nodes: int, *, damping: float,
                         iters: int, out_schema: pa.Schema,
                         tol: float = 0.0):
@@ -577,8 +638,8 @@ def _pagerank_broadcast(edges_d, nodes0, n_nodes: int, *, damping: float,
     import pyarrow.compute as pc
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
+    _lazy_remotes()
     # skip schema-less empty blocks Ray's Aggregate emits for empty
     # sort partitions (same quirk guarded by ensure_typed in dedup.py)
     node_tbl = pa.concat_tables(
@@ -607,37 +668,32 @@ def _pagerank_broadcast(edges_d, nodes0, n_nodes: int, *, damping: float,
 
     edges_enc = edges_d.map_batches(
         _encode, batch_format="pyarrow").materialize()
+    # bound the dense-partial footprint: <= _MAX_EDGE_BLOCKS concurrent
+    # length-n float64 vectors in flight (32 MiB each at the 4M-host
+    # threshold); one repartition, done once
+    if edges_enc.num_blocks() > _MAX_EDGE_BLOCKS:
+        edges_enc = edges_enc.repartition(_MAX_EDGE_BLOCKS).materialize()
+    blocks = [b for b in edges_enc.to_arrow_refs()]
 
-    part_schema = pa.schema([("i", pa.int64()), ("x", pa.float64())])
+    # per-iteration work is raw Ray tasks, not a Dataset exchange: the
+    # Dataset groupby's sort shuffle costs seconds of fixed overhead
+    # PER ITERATION, while a dense np.bincount partial per pinned edge
+    # block + an 8-ary tree reduce is one task wave (measured 57s -> ~4s
+    # for 8 iterations on the 600k-page bench corpus).  This is the
+    # documented "raw tasks where the Dataset API can't express it"
+    # case: an iterative numeric kernel with driver-side convergence
+    # control over immutable, already-materialized blocks.
     n = n_nodes
     invn = 1.0 / n
     r = np.full(n, invn)
     for _ in range(iters):
         dang = float(r[dang_mask].sum())
         r_ref = ray.put(r)
-
-        def _contrib(t: pa.Table, r_ref=r_ref):
-            if t.num_rows == 0:
-                return part_schema.empty_table()
-            rv = ray.get(r_ref)
-            d = t["d"].to_numpy(zero_copy_only=False)
-            x = rv[t["s"].to_numpy(zero_copy_only=False)] * \
-                t["w"].to_numpy(zero_copy_only=False)
-            order = np.argsort(d, kind="stable")
-            ds_ = d[order]
-            starts = np.flatnonzero(
-                np.concatenate(([True], ds_[1:] != ds_[:-1])))
-            return pa.table({
-                "i": pa.array(ds_[starts], pa.int64()),
-                "x": pa.array(np.add.reduceat(x[order], starts),
-                              pa.float64())})
-
-        agg = (edges_enc.map_batches(_contrib, batch_format="pyarrow")
-               .groupby("i").aggregate(Sum("x", alias_name="x")))
-        contrib = np.zeros(n)
-        for bt in agg.iter_batches(batch_format="pyarrow"):
-            contrib[bt["i"].to_numpy(zero_copy_only=False)] += \
-                bt["x"].to_numpy(zero_copy_only=False)
+        refs = [_contrib_block.remote(b, r_ref, n) for b in blocks]
+        while len(refs) > 1:
+            refs = [_vec_sum.remote(*refs[i:i + 8])
+                    for i in range(0, len(refs), 8)]
+        contrib = ray.get(refs[0]) if refs else np.zeros(n)
         r_new = (1.0 - damping) * invn + damping * (contrib + dang * invn)
         # tol > 0: stop once the L1 delta converges (driver-side, two
         # length-n vectors; only available in broadcast mode)
