@@ -461,6 +461,14 @@ def pagerank(edges, *, src: str = "src_host", dst: str = "dst_host",
       per-batch ``reduceat`` partial combine, and one |hosts|-bounded
       groupby merges partials.  One map + one small groupby per
       iteration — no hash join.
+    Both modes first pin the (deduplicated) edge table in the object
+    store and coalesce its block count by row count — the edge table is
+    the HOST graph, orders of magnitude smaller than the page corpus,
+    and it is re-read by every downstream stage (and per round in join
+    mode), so one materialization replaces N re-executions and stops
+    near-empty upstream reduce partitions from cascading into every
+    exchange below.
+
     * ``join``: nothing driver-side beyond two scalars — the
       ``connected_components`` pattern (rayxt/dedup.py): the edge list
       is deduplicated and degree-annotated ONCE; one iteration = one
