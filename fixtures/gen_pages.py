@@ -515,3 +515,121 @@ def ensure_link_parquet(path: str, n_rows: int) -> str:
     pq.write_table(generate_link_table(n_rows), tmp)
     os.rename(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# metadata fixture family (pages_metadata)
+# ---------------------------------------------------------------------------
+
+
+def meta_page_of(i: int) -> tuple[str, bytes]:
+    """(url, html) for the head-metadata fixture: every shape the
+    metadata extractor's frozen policy must hit — uppercase tags /
+    attrs, single-quoted / unquoted values, entities in content,
+    duplicate tags (first wins), <meta> without content= (must NOT
+    claim the slot), empty content (claims the slot, stores null),
+    nested markup + comments inside <title>, multi-token rel lists,
+    relative / protocol-relative / non-http canonical and og:image,
+    <base href> rebase, property= vs name= OpenGraph spellings, metas
+    in <body>, html[lang] variants, and rows with no head at all."""
+    h = _h(i, "meta")
+    k = h % 30
+    host = f"mh{k}.example.org"
+    url = f"https://{host}/m/{i:06d}/page.html"
+    m = _h(i, "metam") % 30
+    head_parts = []
+    if i % 10 != 7:  # 10% of rows have no <title>
+        t = _words(i, "mt", 5)
+        if i % 6 == 0:
+            t = f"{t} <b>bold<!--x--></b> &amp; tail"
+        if i % 13 == 0:
+            t = " ".join(_words(i, "mtl", 50).split()) * 2  # >300 chars
+        head_parts.append(f"<title> {t} </title>")
+    if i % 9 == 4:
+        head_parts.append(f"<title>dup-title-{i}</title>")  # dup: ignored
+    if i % 4 != 3:
+        d = _words(i, "md", 12)
+        if i % 8 == 1:
+            d = f"A &quot;{d}&quot; &lt;desc&gt;"
+        head_parts.append(f'<meta name="description" content="{d}">')
+    if i % 5 == 0:
+        head_parts.append('<META NAME="Description" CONTENT="dup desc">')
+    if i % 7 == 2:
+        head_parts.append('<meta name="keywords">')  # no content: no claim
+    if i % 3 != 2:
+        head_parts.append(
+            f"<meta name='keywords' content='{_words(i, 'mk', 4)},web,{m}'>")
+    if i % 6 == 1:
+        head_parts.append('<meta name="ROBOTS" content=" noindex, follow ">')
+    if i % 5 == 2:
+        head_parts.append('<meta name="robots" content="">')  # claims, null
+    if i % 3 == 0:
+        head_parts.append(
+            f'<meta property="og:title" content="OG {_words(i, "mot", 3)}">')
+    if i % 4 == 1:
+        head_parts.append(
+            f'<meta property="OG:Description" '
+            f'content="{_words(i, "mod", 8)}">')
+    if i % 4 == 2:  # name= spelling of og (fallback accepted)
+        head_parts.append(
+            f'<meta name="og:title" content="NameOG {_words(i, "mon", 2)}">')
+    if i % 5 != 4:
+        img = [f"/img/{m}.png", f"https://cdn{m % 4}.example.net/i/{m}.jpg",
+               f"//mh{(m + 2) % 30}.example.org/pp.gif",
+               f"img-rel-{m}.webp", "data:image/png;base64,AAAA"][i % 5]
+        head_parts.append(f'<meta property="og:image" content=" {img} ">')
+    if i % 6 == 3:
+        head_parts.append(
+            f'<base href="https://mh{(k + 5) % 30}.example.org/bd/sub/">')
+    if i % 3 != 1:
+        can = [f"/canon/{m}.html", f"https://mh{m}.example.org/abs/{m}",
+               f"../up/{m}", f"?page={m}", "mailto:x@example.org"][i % 5]
+        rel = ["canonical", "Canonical", "alternate canonical",
+               "CANONICAL alternate", "canonical"][i % 5]
+        href = f' href="{can}"' if i % 11 != 6 else ""  # no href: no claim
+        head_parts.append(f'<link rel="{rel}"{href}>')
+    if i % 7 == 5:
+        head_parts.append(f'<link rel="canonical" href="/dup/{m}">')  # dup
+    lang = ["en", " EN ", "en-US", "", "fr"][i % 5]
+    lang_attr = f' lang="{lang}"' if i % 8 != 6 else ""
+    body_meta = ""
+    if i % 12 == 9:  # metas in body still count (document-order walk)
+        body_meta = '<meta name="robots" content="body-robots">'
+    if i % 10 == 8:  # headless page: tags at top level
+        html = (f"<html{lang_attr}><body>{body_meta}"
+                f"{''.join(head_parts)}<p>{_words(i, 'mb', 20)}</p>"
+                f"</body></html>")
+    else:
+        html = (f"<html{lang_attr}><head>{''.join(head_parts)}</head>"
+                f"<body>{body_meta}<p>{_words(i, 'mb', 20)}</p>"
+                f"</body></html>")
+    return url, html.encode()
+
+
+def generate_meta_table(n_rows: int) -> pa.Table:
+    rows = [meta_page_of(i) for i in range(n_rows)]
+    urls = [r[0] for r in rows]
+    htmls: list = [r[1] for r in rows]
+    if n_rows > 3:
+        htmls[3] = None  # poison: null html -> status=empty
+    if n_rows > 11:
+        htmls[11] = b""  # zero-byte html -> status=empty
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(
+            [_EPOCH_2025_US + i * 1000000 for i in range(n_rows)],
+            pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+    })
+
+
+def ensure_meta_parquet(path: str, n_rows: int) -> str:
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(generate_meta_table(n_rows), tmp)
+    os.rename(tmp, path)
+    return path
