@@ -633,3 +633,136 @@ def ensure_meta_parquet(path: str, n_rows: int) -> str:
     pq.write_table(generate_meta_table(n_rows), tmp)
     os.rename(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# robots fixture family (pages_robots_check)
+# ---------------------------------------------------------------------------
+
+AGENT = "rayxtbot/1.0"
+
+
+def robots_of_host(k: int) -> bytes | None:
+    """Deterministic robots.txt for host index k: every RFC 9309 shape
+    the matcher must hit — wildcard and $-anchored patterns, allow
+    overrides, specific-agent groups that shadow *, multi-UA headers,
+    grouped vs split groups, empty disallow (allow-all), Disallow: /
+    (block-all), comments, CRLF, BOM, rules before any UA (ignored),
+    unknown directives, and hosts with no robots at all."""
+    h = _h(k, "rb")
+    style = h % 12
+    if style == 0:
+        return None  # no robots.txt: everything allowed
+    if style == 1:
+        return b"# comments only\n# nothing to see\n"
+    if style == 2:
+        return b"User-agent: *\r\nDisallow:\r\nCrawl-delay: 3\r\n"
+    if style == 3:
+        return b"User-agent: *\nDisallow: /\nAllow: /public/\n"
+    if style == 4:  # wildcard + anchor shapes
+        return (b"User-agent: *\n"
+                b"Disallow: /private/\n"
+                b"Disallow: /tmp/*.html$\n"
+                b"Disallow: /a/*/secret\n"
+                b"Allow: /private/pub/\n"
+                b"Sitemap: https://example.org/sitemap.xml\n")
+    if style == 5:  # specific agent group shadows *
+        return (b"User-agent: rayxtbot\n"
+                b"Disallow: /bot-only/\n"
+                b"\n"
+                b"User-agent: *\n"
+                b"Disallow: /\n")
+    if style == 6:  # multi-UA header run + rules before any UA
+        return (b"Disallow: /ignored-orphan/\n"
+                b"User-agent: otherbot\n"
+                b"User-agent: rayxtbot\n"
+                b"Disallow: /shared/\n"
+                b"Allow: /shared/ok$\n")
+    if style == 7:  # two * groups merge; query-string rule
+        return (b"User-Agent: *\n"
+                b"Disallow: /*?session=\n"
+                b"User-Agent: *\n"
+                b"Disallow: /cart/\n")
+    if style == 8:  # longer specific token wins over shorter
+        return (b"User-agent: ray\n"
+                b"Disallow: /ray-prefix/\n"
+                b"User-agent: rayxtbot\n"
+                b"Disallow: /exact/\n"
+                b"User-agent: *\n"
+                b"Disallow: /star/\n")
+    if style == 9:  # BOM + mixed case + tie allow-vs-disallow
+        return ("﻿USER-AGENT: *\n"
+                "DISALLOW: /ties/\n"
+                "ALLOW: /ties*\n"
+                "disallow: /deep/path/\n").encode()
+    if style == 10:  # $-anchored allow, bare * disallow
+        return (b"User-agent: *\n"
+                b"Disallow: /downloads/*\n"
+                b"Allow: /downloads/free$\n")
+    return (b"User-agent: unrelatedbot\n"
+            b"Disallow: /\n")  # style 11: no group applies to us or *
+
+
+_RB_HOSTS = 36
+
+
+def crawl_url_of(i: int) -> str:
+    k = _h(i, "rbu") % _RB_HOSTS
+    host = f"rb{k}.example.org"
+    m = _h(i, "rbp")
+    paths = [
+        "/", "/index.html", "/public/page.html", "/private/x.html",
+        "/private/pub/y.html", f"/tmp/{m % 50}.html", f"/tmp/{m % 50}.html5",
+        f"/a/{m % 9}/secret", f"/a/{m % 9}/secret-not",  # prefix still hits
+        "/bot-only/z", "/shared/ok", "/shared/ok-more", "/shared/deep/q",
+        f"/item/{m % 100}?session=abc{m % 7}", f"/cart/{m % 10}",
+        "/ray-prefix/a", "/exact/b", "/star/c",
+        "/ties/x", "/deep/path/y", "/downloads/free", "/downloads/freeware",
+        f"/docs/{m % 20}/guide", "/UPPER/Case",
+    ]
+    return f"https://{host}{paths[_h(i, 'rbpp') % len(paths)]}"
+
+
+def generate_robots_table(n_hosts: int = _RB_HOSTS) -> pa.Table:
+    hosts, bodies = [], []
+    for k in range(n_hosts):
+        body = robots_of_host(k)
+        if body is None:
+            continue  # absent file: host simply missing from the table
+        hosts.append(f"rb{k}.example.org")
+        bodies.append(body)
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "robots_txt": pa.array(bodies, pa.binary()),
+    })
+
+
+def generate_crawl_table(n_rows: int) -> pa.Table:
+    return pa.table({
+        "url": pa.array([crawl_url_of(i) for i in range(n_rows)],
+                        pa.string()),
+    })
+
+
+def ensure_robots_parquet(path: str, n_hosts: int = _RB_HOSTS) -> str:
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(generate_robots_table(n_hosts), tmp)
+    os.rename(tmp, path)
+    return path
+
+
+def ensure_crawl_parquet(path: str, n_rows: int) -> str:
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(generate_crawl_table(n_rows), tmp)
+    os.rename(tmp, path)
+    return path
