@@ -766,3 +766,193 @@ def ensure_crawl_parquet(path: str, n_rows: int) -> str:
     pq.write_table(generate_crawl_table(n_rows), tmp)
     os.rename(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# sitemap fixture family (pages_sitemaps / pages_robots_directives)
+# ---------------------------------------------------------------------------
+
+_SM_HOSTS = 24
+_SM_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+_FREQS = ["always", "hourly", "daily", "weekly", "monthly", "yearly",
+          "never", "DAILY", "  weekly  ", ""]
+
+
+def _sm_entry(k: int, j: int) -> str:
+    """One <url> entry (possibly degenerate) for host k, entry j."""
+    h = _h(k * 1000 + j, "sme")
+    shape = h % 10
+    loc = f"https://sm{k}.example.org/p/{h % 500}"
+    if shape == 0:  # missing loc entirely
+        return "<url><lastmod>2025-01-01</lastmod></url>"
+    if shape == 1:  # empty / whitespace loc
+        return "<url><loc>  </loc></url>"
+    if shape == 2:  # non-http scheme
+        return f"<url><loc>ftp://sm{k}.example.org/f</loc></url>"
+    if shape == 3:  # entity-encoded query, priority garbage
+        return (f"<url><loc>{loc}?a=1&amp;b=2</loc>"
+                "<priority>high</priority></url>")
+    if shape == 4:  # full fields
+        return (f"<url><loc> {loc} </loc>"
+                f"<lastmod>2025-0{h % 9 + 1}-15T10:30:00+00:00</lastmod>"
+                f"<changefreq>{_FREQS[h % len(_FREQS)]}</changefreq>"
+                f"<priority>0.{h % 10}</priority></url>")
+    if shape == 5:  # lastmod only, date-only form
+        return f"<url><loc>{loc}</loc><lastmod>2024-1{h % 3}-01</lastmod></url>"
+    if shape == 6:  # unknown extra children ignored
+        return (f"<url><loc>{loc}</loc><video>x</video>"
+                f"<priority>1.0</priority></url>")
+    if shape == 7:  # duplicate loc children: first wins
+        return (f"<url><loc>{loc}</loc>"
+                f"<loc>https://other.example.org/dup</loc></url>")
+    if shape == 8:  # uppercase-scheme loc (kept)
+        return f"<url><loc>HTTPS://sm{k}.example.org/UP/{h % 50}</loc></url>"
+    return f"<url><loc>{loc}</loc></url>"
+
+
+def sitemap_docs_of_host(k: int) -> list:
+    """``[(sitemap_url, body_bytes), ...]`` for host index k — every
+    policy shape: plain/gzipped urlset, sitemapindex, invalid XML,
+    empty urlset, namespace-prefixed, no-xmlns + BOM + CRLF."""
+    import gzip as _gzip
+
+    host = f"sm{k}.example.org"
+    base = f"https://{host}"
+    style = _h(k, "sms") % 8
+    n = 3 + _h(k, "smn") % 12
+    entries = "".join(_sm_entry(k, j) for j in range(n))
+    if style == 0 or style == 1:
+        body = (f'<?xml version="1.0" encoding="UTF-8"?>'
+                f'<urlset xmlns="{_SM_NS}">{entries}</urlset>').encode()
+        if style == 1:
+            return [(f"{base}/sitemap.xml.gz",
+                     _gzip.compress(body, mtime=0))]
+        return [(f"{base}/sitemap.xml", body)]
+    if style == 2:  # index + two children (one gzipped)
+        idx = (f'<sitemapindex xmlns="{_SM_NS}">'
+               f"<sitemap><loc>{base}/sm-a.xml</loc>"
+               f"<lastmod>2025-03-01</lastmod></sitemap>"
+               f"<sitemap><loc>{base}/sm-b.xml.gz</loc></sitemap>"
+               f"<sitemap><loc>relative/sm-c.xml</loc></sitemap>"
+               f"</sitemapindex>").encode()
+        child_a = (f'<urlset xmlns="{_SM_NS}">{entries}</urlset>').encode()
+        child_b = _gzip.compress(
+            f"<urlset>{_sm_entry(k, 99)}</urlset>".encode(), mtime=0)
+        return [(f"{base}/sitemap_index.xml", idx),
+                (f"{base}/sm-a.xml", child_a),
+                (f"{base}/sm-b.xml.gz", child_b)]
+    if style == 3:  # invalid: truncated XML
+        return [(f"{base}/sitemap.xml",
+                 f'<urlset xmlns="{_SM_NS}"><url><loc>{base}/x'.encode())]
+    if style == 4:  # empty urlset
+        return [(f"{base}/sitemap.xml",
+                 f'<urlset xmlns="{_SM_NS}"></urlset>'.encode())]
+    if style == 5:  # namespace-prefixed elements
+        body = (f'<sm:urlset xmlns:sm="{_SM_NS}">'
+                + "".join(
+                    e.replace("<url>", "<sm:url>")
+                     .replace("</url>", "</sm:url>")
+                     .replace("<loc>", "<sm:loc>")
+                     .replace("</loc>", "</sm:loc>")
+                    for e in (_sm_entry(k, j) for j in range(n)))
+                + "</sm:urlset>").encode()
+        return [(f"{base}/sitemap.xml", body)]
+    if style == 6:  # no xmlns, BOM, CRLF line breaks
+        body = ("﻿<urlset>\r\n"
+                + "\r\n".join(_sm_entry(k, j) for j in range(n))
+                + "\r\n</urlset>").encode()
+        return [(f"{base}/sitemap.xml", body)]
+    # style 7: wrong root element -> invalid
+    return [(f"{base}/sitemap.xml",
+             f"<feed><entry><loc>{base}/x</loc></entry></feed>".encode())]
+
+
+def robots_sm_of_host(k: int) -> bytes | None:
+    """robots.txt bodies for the directive-extraction fixture: varying
+    Sitemap lines (incl. duplicates, relative, empty) and crawl-delay
+    placements (star group, specific group shadowing star, unparseable,
+    negative, after-rules grouping)."""
+    host = f"sm{k}.example.org"
+    base = f"https://{host}"
+    style = _h(k, "smr") % 8
+    if style == 0:
+        return None  # host missing from the robots table
+    if style == 1:  # no directives at all
+        return b"User-agent: *\nDisallow: /private/\n"
+    if style == 2:  # one sitemap, star crawl-delay
+        return (f"User-agent: *\nCrawl-delay: 2.5\nDisallow: /x/\n"
+                f"Sitemap: {base}/sitemap.xml\n").encode()
+    if style == 3:  # duplicate + relative + empty sitemap lines
+        return (f"Sitemap: {base}/sitemap.xml\n"
+                f"Sitemap: {base}/sitemap.xml\n"
+                f"Sitemap: /relative/sitemap.xml\n"
+                f"Sitemap:\n"
+                f"User-agent: *\nDisallow:\n").encode()
+    if style == 4:  # specific group shadows star's delay
+        return (f"User-agent: rayxtbot\nCrawl-delay: 1\n"
+                f"User-agent: *\nCrawl-delay: 30\n"
+                f"Sitemap: {base}/sm-a.xml\n"
+                f"Sitemap: {base}/sm-b.xml.gz\n").encode()
+    if style == 5:  # unparseable then parseable delay in same group
+        return (b"User-agent: *\n"
+                b"Crawl-delay: soon\n"
+                b"Crawl-delay: -4\n"
+                b"Crawl-delay: 7\n")
+    if style == 6:  # delay in a group that does not apply to us
+        return (f"User-agent: otherbot\nCrawl-delay: 9\n"
+                f"User-agent: *\nDisallow: /y/\n"
+                f"Sitemap: {base}/sitemap_index.xml\n").encode()
+    # style 7: sitemap between groups; delay after rules (same group)
+    return (f"User-agent: *\nDisallow: /z/\nCrawl-delay: 4\n"
+            f"Sitemap: {base}/sitemap.xml\n"
+            f"User-agent: rayxtbot\nDisallow: /w/\n").encode()
+
+
+def generate_sitemap_table() -> pa.Table:
+    urls, bodies = [], []
+    for k in range(_SM_HOSTS):
+        for url, body in sitemap_docs_of_host(k):
+            urls.append(url)
+            bodies.append(body)
+    return pa.table({
+        "sitemap_url": pa.array(urls, pa.string()),
+        "body": pa.array(bodies, pa.binary()),
+    })
+
+
+def generate_robots_sm_table() -> pa.Table:
+    hosts, bodies = [], []
+    for k in range(_SM_HOSTS):
+        body = robots_sm_of_host(k)
+        if body is None:
+            continue
+        hosts.append(f"sm{k}.example.org")
+        bodies.append(body)
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "robots_txt": pa.array(bodies, pa.binary()),
+    })
+
+
+def ensure_sitemap_parquet(path: str) -> str:
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(generate_sitemap_table(), tmp)
+    os.rename(tmp, path)
+    return path
+
+
+def ensure_robots_sm_parquet(path: str) -> str:
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(generate_robots_sm_table(), tmp)
+    os.rename(tmp, path)
+    return path

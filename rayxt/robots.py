@@ -43,6 +43,20 @@ Rule matching (per URL)
     (octet length, wildcards counted); ties go to ``allow``.  No
     matching rule -> allowed.  No robots.txt for the host -> allowed.
 
+Directive extraction (``robots_directives``) — frozen policy
+  * ``sitemap`` values are FILE-WIDE (independent of groups, per RFC
+    9309 §2.3's treatment of other records): collected in file order,
+    ASCII-stripped, empties dropped, case-sensitive duplicates
+    removed, and only absolute http(s) URLs kept.
+  * ``crawl-delay`` lines belong to the current group and close its
+    header run exactly like allow/disallow rules do; the effective
+    delay for an agent is the FIRST ``float()``-parseable value among
+    the groups group-selection picks (same longest-UA-prefix rule as
+    permissions), scanning groups in file order; none -> null.
+    Negative or non-finite values are unparseable.
+  * permission checking (:func:`parse_robots`) is untouched by
+    directive lines — the two walks are independent by design.
+
 Scale shape: two dataset modes.  ``broadcast`` compiles the per-host
 matcher table ONCE on the driver (robots tables are per-HOST — orders
 of magnitude smaller than the page corpus) under an explicit row-count
@@ -51,6 +65,8 @@ guard and ships it via ``ray.put``; pages stream through a stateless
 universes) hash-joins the narrow ``(url, host)`` projection against
 the robots table and evaluates per batch with a per-actor compiled-
 rules cache — the page corpus' wide columns never enter the exchange.
+``robots_directives`` is a stateless per-row map over the robots table
+itself (already host-granular) — zero exchanges.
 """
 
 from __future__ import annotations
@@ -71,6 +87,8 @@ __all__ = [
     "RobotsMatcher",
     "robots_check",
     "robots_filter",
+    "parse_directives",
+    "robots_directives",
 ]
 
 
@@ -330,6 +348,102 @@ def robots_check(pages, robots, *, agent: str = "*",
     return joined.map_batches(
         _CheckJoined, batch_format="pyarrow", concurrency=(1, 8),
         fn_constructor_args=(agent, body_col), num_cpus=1)
+
+
+def parse_directives(body, agent: str):
+    """``(crawl_delay, sitemaps)`` for one robots.txt body under the
+    frozen directive policy (module docstring)."""
+    if body is None:
+        return None, []
+    sitemaps: list[str] = []
+    seen_sitemaps: set[str] = set()
+    groups: list = []           # (uas, delays) with rule-like grouping
+    cur_uas: list[str] = []
+    cur_body: list | None = None  # delays; None = header run open
+    for raw in _decode(body).replace("\r\n", "\n").replace("\r", "\n") \
+                            .split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "sitemap":
+            if (value and value not in seen_sitemaps
+                    and value.lower().startswith(("http://", "https://"))):
+                seen_sitemaps.add(value)
+                sitemaps.append(value)
+            continue
+        if key == "user-agent":
+            if cur_body is not None:
+                groups.append((tuple(cur_uas), cur_body))
+                cur_uas, cur_body = [], None
+            cur_uas.append(value.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            if not cur_uas:
+                continue
+            if cur_body is None:
+                cur_body = []
+            if key == "crawl-delay" and value:
+                cur_body.append(value)
+    if cur_uas:
+        groups.append((tuple(cur_uas), cur_body or []))
+
+    token = agent.lower()
+    best_len = -1
+    for uas, _ in groups:
+        for ua in uas:
+            if ua != "*" and token.startswith(ua) and len(ua) > best_len:
+                best_len = len(ua)
+    delay = None
+    for uas, delays in groups:
+        if best_len >= 0:
+            picked = any(ua != "*" and len(ua) == best_len
+                         and token.startswith(ua) for ua in uas)
+        else:
+            picked = "*" in uas
+        if not picked:
+            continue
+        for v in delays:
+            # float() allows 1_000 and -0; the policy does not
+            if "_" in v or v.startswith("-"):
+                continue
+            try:
+                d = float(v)
+            except ValueError:
+                continue
+            if d >= 0 and d == d and d != float("inf"):
+                delay = d
+                break
+        if delay is not None:
+            break
+    return delay, sitemaps
+
+
+def robots_directives(robots, *, agent: str = "*",
+                      host_col: str = "host",
+                      body_col: str = "robots_txt"):
+    """One row per (host, sitemap URL): ``(host, crawl_delay,
+    sitemap_url)``; a host with no sitemap directives emits one row
+    with a null ``sitemap_url``.  Stateless map over the host-granular
+    robots table — zero exchanges."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        hosts, delays, maps = [], [], []
+        for host, body in zip(batch[host_col].to_pylist(),
+                              batch[body_col].to_pylist()):
+            delay, sitemaps = parse_directives(body, agent)
+            for sm in sitemaps or [None]:
+                hosts.append(host)
+                delays.append(delay)
+                maps.append(sm)
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "crawl_delay": pa.array(delays, pa.float64()),
+            "sitemap_url": pa.array(maps, pa.string()),
+        })
+
+    return robots.map_batches(extract, batch_format="pyarrow")
 
 
 def robots_filter(pages, robots, *, agent: str = "*",
