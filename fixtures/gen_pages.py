@@ -956,3 +956,74 @@ def ensure_robots_sm_parquet(path: str) -> str:
     pq.write_table(generate_robots_sm_table(), tmp)
     os.rename(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# mojibake fixture family (doc_fix_mojibake)
+# ---------------------------------------------------------------------------
+
+_MOJI_ACCENTS = ["café", "naïve", "Zürich", "jalapeño", "œuvre",
+                 "résumé", "Señor", "Å kôd"]
+_MOJI_SPECIALS = ["’", "“quoted”", "—dash",
+                  "…", "€99"]
+
+
+def _sloppy_1252_decode(bs: bytes) -> str:
+    """Mangle helper: decode bytes as windows-1252 with latin-1
+    passthrough on the five holes (how lenient web decoders behave)."""
+    out = []
+    for b in bs:
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+def mojibake_text_of(i: int) -> str:
+    """Deterministic input text for row i: clean ASCII, clean accented,
+    single- and double-mangled, cp1252-special mangled, 4-byte emoji
+    mangled, and unreparable (CJK chars outside the table)."""
+    h = _h(i, "moji")
+    base = _words(i, "mojiw", 6 + h % 10)
+    shape = i % 10
+    if shape <= 2:
+        return base  # pure ASCII, untouched
+    if shape == 3:  # clean accented text: must stay untouched
+        return f"{base} {_MOJI_ACCENTS[h % len(_MOJI_ACCENTS)]}"
+    if shape in (4, 5):  # one round of mangling
+        clean = f"{base} {_MOJI_ACCENTS[h % len(_MOJI_ACCENTS)]} end"
+        return _sloppy_1252_decode(clean.encode("utf-8"))
+    if shape == 6:  # two rounds
+        clean = f"{_MOJI_ACCENTS[h % len(_MOJI_ACCENTS)]} {base}"
+        once = _sloppy_1252_decode(clean.encode("utf-8"))
+        return _sloppy_1252_decode(once.encode("utf-8"))
+    if shape == 7:  # cp1252 specials (0x80-0x9F row) mangled once
+        clean = f"{base}{_MOJI_SPECIALS[h % len(_MOJI_SPECIALS)]}"
+        return _sloppy_1252_decode(clean.encode("utf-8"))
+    if shape == 8:  # 4-byte sequence (emoji) mangled once
+        return _sloppy_1252_decode(f"{base} \U0001f600!".encode("utf-8"))
+    # shape 9: mangled fragment next to a char outside the table ->
+    # the round is inapplicable, text must pass through unchanged
+    frag = _sloppy_1252_decode("é".encode("utf-8"))
+    return f"{base} {frag} 漢字"
+
+
+def generate_mojibake_table(n_rows: int) -> pa.Table:
+    return pa.table({
+        "doc_id": pa.array(range(n_rows), pa.int64()),
+        "text": pa.array([mojibake_text_of(i) for i in range(n_rows)],
+                         pa.string()),
+    })
+
+
+def ensure_mojibake_parquet(path: str, n_rows: int) -> str:
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(generate_mojibake_table(n_rows), tmp)
+    os.rename(tmp, path)
+    return path
