@@ -1027,3 +1027,71 @@ def ensure_mojibake_parquet(path: str, n_rows: int) -> str:
     pq.write_table(generate_mojibake_table(n_rows), tmp)
     os.rename(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# CDXJ index fixture family (pages_cdx_read / pages_surt)
+# ---------------------------------------------------------------------------
+
+_CDX_MIMES = ["text/html", "application/pdf", "image/png", "warc/revisit"]
+
+
+def cdxj_line_of(i: int) -> str:
+    """Deterministic CDXJ line for row i; every 9th-ish line is
+    malformed in a distinct way (bad field count, bad/overflow
+    timestamp, truncated JSON, non-flat JSON, non-string value)."""
+    h = _h(i, "cdx")
+    bad = i % 9 == 7
+    host = f"h{h % 40}.example.org"
+    urlkey = ",".join(reversed(host.split("."))) + f")/p/{h % 500}"
+    ts = (f"2025{h % 12 + 1:02d}{h % 28 + 1:02d}"
+          f"{h % 24:02d}{h % 60:02d}{(h >> 8) % 60:02d}")
+    fields = {
+        "url": f"https://{host}/p/{h % 500}",
+        "mime": _CDX_MIMES[h % len(_CDX_MIMES)],
+        "status": str(200 if h % 5 else 404),
+        "digest": f"sha1:{_h(i, 'cdxd'):040X}"[:45],
+        "length": str(h % 100000),
+        "offset": str(h % 10**9),
+        "filename": f"crawl-data/seg-{h % 100}/warc/file-{h % 10}.warc.gz",
+    }
+    drop = _h(i, "cdxdrop") % 10
+    if drop < len(fields) and i % 4 == 1:  # some lines miss a field
+        del fields[list(fields)[drop % len(fields)]]
+    blob = "{" + ", ".join(f'"{k}": "{v}"' for k, v in fields.items()) + "}"
+    if not bad:
+        return f"{urlkey} {ts} {blob}"
+    kind = h % 5
+    if kind == 0:
+        return f"{urlkey} {ts}"                        # missing json
+    if kind == 1:
+        return f"{urlkey} 20251341000000 {blob}"       # month 13
+    if kind == 2:
+        return f"{urlkey} {ts} " + blob[:-5]           # truncated json
+    if kind == 3:
+        return f'{urlkey} {ts} {{"a": {{"b": "c"}}}}'  # nested json
+    return f'{urlkey} {ts} {{"status": 200}}'          # non-string value
+
+
+def ensure_cdxj_files(dir_path: str, n_rows: int) -> list:
+    """Stage the fixture index as one plain .cdxj and one .cdxj.gz
+    (half the rows each) — both layouts must parse identically."""
+    import gzip as _gzip
+
+    os.makedirs(dir_path, exist_ok=True)
+    plain = os.path.join(dir_path, "part-0.cdxj")
+    gz = os.path.join(dir_path, "part-1.cdxj.gz")
+    if not os.path.exists(plain):
+        body = "\n".join(cdxj_line_of(i) for i in range(n_rows // 2))
+        tmp = plain + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(body + "\n")
+        os.rename(tmp, plain)
+    if not os.path.exists(gz):
+        body = "\n".join(cdxj_line_of(i)
+                         for i in range(n_rows // 2, n_rows))
+        tmp = gz + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(_gzip.compress((body + "\n").encode(), mtime=0))
+        os.rename(tmp, gz)
+    return [plain, gz]

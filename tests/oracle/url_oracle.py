@@ -57,3 +57,40 @@ def oracle_canonicalize_url(url: str) -> str:
     ]
     query = ("?" + "&".join(params)) if params else ""
     return f"{scheme}://{netloc_out}{path}{query}"
+
+
+def oracle_surt(url):
+    """Independent SURT restatement (urlsplit mechanism) of the frozen
+    policy in ``rayxt/cdx.py``'s module docstring."""
+    if not url:
+        return None
+    try:
+        sp = urlsplit(url)
+    except ValueError:
+        return None
+    if sp.scheme.lower() not in ("http", "https") or "://" not in url:
+        return None
+    netloc = sp.netloc
+    if "@" in netloc or "[" in netloc or "]" in netloc:
+        return None
+    host, sep, port_text = netloc.partition(":")
+    if not host:
+        return None
+    if port_text and not _PORT_RE.fullmatch(port_text):
+        return None
+    host = host.lower()
+    default = 80 if sp.scheme.lower() == "http" else 443
+    port = int(port_text) if port_text else None
+    if port == default:
+        port = None
+    labels = host.split(".")
+    if len(labels) > 1 and re.fullmatch(r"www\d*", labels[0]):
+        labels = labels[1:]
+    key = ",".join(reversed(labels))
+    if port is not None:
+        key += ":" + str(port)
+    path = (sp.path or "/").lower()
+    segs = sorted(s for s in sp.query.lower().split("&") if s)
+    if segs:
+        return key + ")" + path + "?" + "&".join(segs)
+    return key + ")" + path
