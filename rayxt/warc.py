@@ -42,7 +42,9 @@ from datetime import datetime, timezone
 
 import pyarrow as pa
 
-__all__ = ["read_warc", "parse_warc_records", "write_warc", "WARC_SCHEMA"]
+__all__ = ["read_warc", "parse_warc_records", "write_warc",
+           "WARC_SCHEMA", "write_wet", "read_wet", "export_wet",
+           "WET_SCHEMA"]
 
 WARC_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -127,9 +129,13 @@ def _dechunk(body: bytes) -> bytes:
         pos = end + 2  # skip the chunk-data CRLF
 
 
-def parse_warc_records(f, *, dechunk: bool = False):
-    """Stream (url, warc_ts, body bytes) tuples for every response
-    record of one (decompressed) WARC stream."""
+def parse_warc_records(f, *, dechunk: bool = False,
+                       record_types: tuple = (b"response",)):
+    """Stream (url, warc_ts, body bytes) tuples for every record of
+    one (decompressed) WARC stream whose WARC-Type is in
+    ``record_types``.  ``response`` payloads are HTTP messages (body
+    after the first CRLF CRLF); any other type's payload IS the body
+    (``conversion`` — the WET layout)."""
     while True:
         head = _read_header_block(f)
         if head is None:
@@ -137,18 +143,22 @@ def parse_warc_records(f, *, dechunk: bool = False):
         _version, headers = head
         length = int(headers.get(b"content-length", b"0"))
         payload = _read_exact(f, length)
-        if headers.get(b"warc-type", b"").lower() != b"response":
+        rtype = headers.get(b"warc-type", b"").lower()
+        if rtype not in record_types:
             continue
         url = headers.get(b"warc-target-uri", b"").decode(
             "utf-8", "replace")
         ts = _parse_warc_date(headers.get(b"warc-date", b""))
-        # HTTP message: body starts after the first CRLF CRLF
-        sep = payload.find(b"\r\n\r\n")
-        body = payload[sep + 4:] if sep >= 0 else payload
-        if (dechunk and sep >= 0
-                and b"chunked" in payload[:sep].lower()
-                and _http_declares_chunked(payload[:sep])):
-            body = _dechunk(body)
+        if rtype == b"response":
+            # HTTP message: body starts after the first CRLF CRLF
+            sep = payload.find(b"\r\n\r\n")
+            body = payload[sep + 4:] if sep >= 0 else payload
+            if (dechunk and sep >= 0
+                    and b"chunked" in payload[:sep].lower()
+                    and _http_declares_chunked(payload[:sep])):
+                body = _dechunk(body)
+        else:
+            body = payload
         yield url, ts, body
 
 
@@ -293,3 +303,129 @@ def write_warc(rows, path: str, *, gzip_members: bool | None = None,
                  b"Content-Type: application/http;msgtype=response"],
                 http, version))
     return path
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records) — CC's derived text format
+# ---------------------------------------------------------------------------
+
+WET_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("text", pa.string()),
+])
+
+
+def write_wet(rows, path: str, *, gzip_members: bool | None = None,
+              warcinfo: bytes = b"software: rayxt\r\n") -> str:
+    """WET writer: one warcinfo record + one ``conversion`` record per
+    (url, warc_ts, text) row — the payload is the raw UTF-8 text, no
+    HTTP wrapper (the Common-Crawl WET layout).  ``.gz`` paths write
+    one gzip member per record for seekability."""
+    if gzip_members is None:
+        gzip_members = path.endswith(".gz")
+
+    def record(rtype: bytes, headers: list, payload: bytes,
+               version: bytes = b"WARC/1.0") -> bytes:
+        head = [version,
+                b"WARC-Type: " + rtype,
+                *headers,
+                b"Content-Length: " + str(len(payload)).encode()]
+        return (_CRLF.join(head) + _CRLF + _CRLF + payload
+                + _CRLF + _CRLF)
+
+    def emit(out, blob: bytes):
+        if gzip_members:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(blob)
+            out.write(buf.getvalue())
+        else:
+            out.write(blob)
+
+    with open(path, "wb") as out:
+        emit(out, record(b"warcinfo",
+                         [b"Content-Type: application/warc-fields"],
+                         warcinfo))
+        for r in rows:
+            date, version = _warc_date(r["warc_ts"])
+            payload = (r["text"] or "").encode("utf-8")
+            emit(out, record(
+                b"conversion",
+                [b"WARC-Target-URI: " + r["url"].encode(),
+                 b"WARC-Date: " + date.encode(),
+                 b"Content-Type: text/plain"],
+                payload, version))
+    return path
+
+
+def read_wet(paths, *, batch_rows: int = 256, **kwargs):
+    """WET/WET-gz files -> Dataset(url, warc_ts, text): one row per
+    ``conversion`` record, payload decoded as UTF-8."""
+    import ray.data as rd
+    from ray.data.datasource import FileBasedDatasource
+
+    class WetDatasource(FileBasedDatasource):
+        _FILE_EXTENSIONS = ["wet", "warc", "gz"]
+
+        def _read_stream(self, f, path: str):
+            stream = io.BufferedReader(_NativeWrapper(f))
+            if stream.peek(2)[:2] == b"\x1f\x8b":
+                stream = io.BufferedReader(gzip.GzipFile(fileobj=stream))
+            urls, tss, texts = [], [], []
+            for url, ts, body in parse_warc_records(
+                    stream, record_types=(b"conversion",)):
+                urls.append(url)
+                tss.append(ts)
+                texts.append(body.decode("utf-8", "replace"))
+                if len(urls) >= batch_rows:
+                    yield _wet_table(urls, tss, texts)
+                    urls, tss, texts = [], [], []
+            if urls:
+                yield _wet_table(urls, tss, texts)
+
+    return rd.read_datasource(WetDatasource(paths, **kwargs))
+
+
+def _wet_table(urls, tss, texts) -> pa.Table:
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "text": pa.array(texts, pa.string()),
+    }, schema=WET_SCHEMA)
+
+
+def export_wet(ds, out_dir: str, num_partitions: int = 64, *,
+               text_col: str = "text"):
+    """Distributed WET export: url-hash-partitioned ``conversion``
+    records, one ``part-NNNN.warc.wet.gz`` per partition written
+    atomically (tmp+rename; an existing file is SKIPPED, so a re-run
+    resumes).  The only exchange carries the already-extracted text
+    rows.  Returns the per-partition summary ``(part_id, rows)``."""
+    import os
+
+    import pandas as pd
+
+    from .pipeline import add_part_id
+
+    os.makedirs(out_dir, exist_ok=True)
+    if "part_id" not in ds.columns():
+        ds = add_part_id(ds, num_partitions)
+
+    def write_group(group: pd.DataFrame) -> pd.DataFrame:
+        pid = int(group["part_id"].iloc[0])
+        path = os.path.join(out_dir, f"part-{pid:04d}.warc.wet.gz")
+        if not os.path.exists(path):
+            rows = group.sort_values("url")
+            tmp = path + f".tmp{os.getpid()}"
+            # the tmp suffix hides the .gz extension: say so explicitly
+            write_wet(
+                ({"url": u, "warc_ts": ts.to_pydatetime(), "text": tx}
+                 for u, ts, tx in zip(rows["url"], rows["warc_ts"],
+                                      rows[text_col])), tmp,
+                gzip_members=True)
+            os.rename(tmp, path)
+        return pd.DataFrame({"part_id": [pid], "rows": [len(group)]})
+
+    return ds.select_columns(["url", "warc_ts", text_col, "part_id"]) \
+        .groupby("part_id").map_groups(write_group).to_pandas()
