@@ -58,7 +58,8 @@ import pyarrow.compute as pc
 # outside the repo (see ExtractDocs note in rayxt/kernel.py)
 from .warc import _NativeWrapper
 
-__all__ = ["surt", "surt_key", "parse_cdxj_line", "read_cdxj"]
+__all__ = ["surt", "surt_key", "parse_cdxj_line", "read_cdxj",
+           "latest_capture"]
 
 _URL_RE = re.compile(
     r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?")
@@ -213,3 +214,48 @@ def read_cdxj(paths, *, batch_rows: int = 4096, **kwargs):
                 yield _cdx_table(rows)
 
     return rd.read_datasource(CdxjDatasource(paths, **kwargs))
+
+
+def latest_capture(ds, *, key_col: str = "urlkey", ts_col: str = "ts"):
+    """One row per ``key_col`` — the max-``ts_col`` capture, ties
+    broken by the greatest ``url`` (nulls compare lowest).  The same
+    argmax-``AggregateFn`` shape as
+    :func:`rayxt.pipeline.dedup_latest_by_url`, but null-safe: CDX
+    rows legitimately carry null fields, so the comparison key is only
+    ``(ts, url-or-empty)`` and never touches the payload columns."""
+    from ray.data.aggregate import AggregateFn
+
+    def row_key(row: dict):
+        return (row[ts_col], row.get("url") or "")
+
+    def accumulate_block(acc, block):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0:
+            return acc
+        mx = pc.max(block[ts_col])
+        sub = block.filter(pc.equal(block[ts_col], mx))
+        if sub.num_rows > 1:
+            sub = sub.sort_by([("url", "descending")])
+        row = sub.slice(0, 1).to_pylist()[0]
+        if acc is None or row_key(row) > row_key(acc):
+            return row
+        return acc
+
+    def merge(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a if row_key(a) >= row_key(b) else b
+
+    latest = ds.groupby(key_col).aggregate(
+        AggregateFn(init=lambda k: None, merge=merge, name="latest_row",
+                    accumulate_block=accumulate_block))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        col = t["latest_row"].combine_chunks()
+        fields = {f.name: pc.struct_field(col, f.name) for f in col.type}
+        return pa.table(fields)
+
+    return latest.map_batches(unpack, batch_format="pyarrow")

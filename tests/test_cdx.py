@@ -104,3 +104,46 @@ def test_surt_key_stage(ray_session):
     assert out["urlkey"][0] == "com,a)/p?a=2&b=1"
     assert out["urlkey"][1] is None or out["urlkey"].isna()[1]
     assert out["urlkey"].isna()[2]
+
+
+def test_latest_capture_null_safe_argmax(ray_session):
+    import ray.data as rd
+    from datetime import datetime
+
+    from rayxt.cdx import latest_capture
+
+    t = pa.table({
+        "urlkey": ["a)/", "a)/", "a)/", "b)/"],
+        "ts": pa.array([datetime(2025, 1, 1), datetime(2025, 1, 2),
+                        datetime(2025, 1, 2), datetime(2024, 1, 1)],
+                       pa.timestamp("us")),
+        "url": ["https://a/1", None, "https://a/3", None],
+        "digest": [None, "d2", None, None],  # nulls in payload columns
+    })
+    got = latest_capture(rd.from_arrow(t)).to_pandas() \
+        .sort_values("urlkey").reset_index(drop=True)
+    assert list(got["urlkey"]) == ["a)/", "b)/"]
+    # ts tie at 2025-01-02: the greater url wins (None sorts lowest)
+    assert got["url"][0] == "https://a/3"
+    assert got["url"][1] is None or got["url"].isna()[1]
+
+
+def test_latest_capture_partition_independent(ray_session):
+    import ray.data as rd
+    from datetime import datetime
+
+    from rayxt.cdx import latest_capture
+
+    rows = {
+        "urlkey": [f"k{i % 5})/" for i in range(60)],
+        "ts": pa.array([datetime(2025, 1, 1 + i % 27) for i in range(60)],
+                       pa.timestamp("us")),
+        "url": [f"https://u/{i}" for i in range(60)],
+    }
+    t = pa.table(rows)
+    one = latest_capture(rd.from_arrow(t)).to_pandas() \
+        .sort_values("urlkey").reset_index(drop=True)
+    many = latest_capture(
+        rd.from_arrow(t).repartition(13)).to_pandas() \
+        .sort_values("urlkey").reset_index(drop=True)
+    assert one.equals(many)
