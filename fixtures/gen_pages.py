@@ -1042,8 +1042,14 @@ def cdxj_line_of(i: int) -> str:
     timestamp, truncated JSON, non-flat JSON, non-string value)."""
     h = _h(i, "cdx")
     bad = i % 9 == 7
-    host = f"h{h % 40}.example.org"
-    urlkey = ",".join(reversed(host.split("."))) + f")/p/{h % 500}"
+    if i % 5 == 2:
+        # overlap the outlink fixture's destination universe so the
+        # frontier anti-join (pages_frontier) actually excludes keys
+        host = f"lh{h % 40}.example.org"
+        urlkey = ",".join(reversed(host.split("."))) + f")/x/{h % 6 + 1}"
+    else:
+        host = f"h{h % 40}.example.org"
+        urlkey = ",".join(reversed(host.split("."))) + f")/p/{h % 500}"
     ts = (f"2025{h % 12 + 1:02d}{h % 28 + 1:02d}"
           f"{h % 24:02d}{h % 60:02d}{(h >> 8) % 60:02d}")
     fields = {
