@@ -1101,3 +1101,68 @@ def ensure_cdxj_files(dir_path: str, n_rows: int) -> list:
             f.write(_gzip.compress((body + "\n").encode(), mtime=0))
         os.rename(tmp, gz)
     return [plain, gz]
+
+
+# ---------------------------------------------------------------------------
+# WARC HTTP-metadata fixture family (pages_warc_http)
+# ---------------------------------------------------------------------------
+
+_HTTP_STATUSES = [200, 200, 200, 301, 302, 404, 500, 203]
+_HTTP_CTYPES = ["text/html", "text/html; charset=UTF-8",
+                "Application/PDF", "image/png", " TEXT/HTML ", None]
+
+
+def generate_warc_http_table(n_rows: int) -> pa.Table:
+    """(url, warc_ts, html, status, content_type) rows for the HTTP
+    round-trip family; content_type None -> the writer's default."""
+    import datetime as _dt
+
+    urls, tss, htmls, sts, cts = [], [], [], [], []
+    for i in range(n_rows):
+        h = _h(i, "wh")
+        urls.append(f"https://wh{h % 30}.example.org/p/{i}")
+        tss.append(_dt.datetime(2025, 1 + h % 12, 1 + h % 28,
+                                h % 24, h % 60, (h >> 8) % 60,
+                                h % 1000000 if h % 3 else 0))
+        htmls.append(f"<html><body>doc {i} é</body></html>".encode())
+        sts.append(_HTTP_STATUSES[h % len(_HTTP_STATUSES)])
+        cts.append(_HTTP_CTYPES[h % len(_HTTP_CTYPES)])
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "status": pa.array(sts, pa.int32()),
+        "content_type": pa.array(cts, pa.string()),
+    })
+
+
+def stage_warc_http(dir_path: str, n_rows: int) -> list:
+    """Write the family as one plain + one gzip WARC; also persist the
+    expected table (the writer's normalization applied) for the gate's
+    SQL oracle."""
+    import pyarrow.parquet as pq
+
+    from rayxt.warc import write_warc
+
+    os.makedirs(dir_path, exist_ok=True)
+    done = os.path.join(dir_path, ".done")
+    paths = [os.path.join(dir_path, "a.warc"),
+             os.path.join(dir_path, "b.warc.gz")]
+    expected = os.path.join(dir_path, "expected.parquet")
+    if os.path.exists(done):
+        return paths
+    t = generate_warc_http_table(n_rows)
+    rows = t.to_pylist()
+    half = n_rows // 2
+    write_warc(rows[:half], paths[0])
+    write_warc(rows[half:], paths[1])
+    # frozen read policy applied: content_type strip+lowercase, None
+    # becomes the writer default
+    exp = t.set_column(
+        t.column_names.index("content_type"), "content_type",
+        pa.array([(c or "text/html").strip().lower()
+                  for c in t["content_type"].to_pylist()], pa.string()))
+    pq.write_table(exp, expected)
+    with open(done, "w") as f:
+        f.write("ok")
+    return paths

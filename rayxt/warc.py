@@ -130,12 +130,21 @@ def _dechunk(body: bytes) -> bytes:
 
 
 def parse_warc_records(f, *, dechunk: bool = False,
-                       record_types: tuple = (b"response",)):
+                       record_types: tuple = (b"response",),
+                       with_http: bool = False):
     """Stream (url, warc_ts, body bytes) tuples for every record of
     one (decompressed) WARC stream whose WARC-Type is in
     ``record_types``.  ``response`` payloads are HTTP messages (body
     after the first CRLF CRLF); any other type's payload IS the body
-    (``conversion`` — the WET layout)."""
+    (``conversion`` — the WET layout).
+
+    ``with_http=True`` yields 5-tuples ``(url, ts, body, status,
+    content_type)`` instead: frozen policy — ``status`` is the second
+    whitespace token of the HTTP status line, only if the first token
+    starts with ``HTTP/`` and the second is all digits, else null;
+    ``content_type`` is the first ``Content-Type`` header value,
+    ASCII-stripped and lowercased, null if absent.  Records without an
+    HTTP head (no CRLF CRLF, or non-response types) carry nulls."""
     while True:
         head = _read_header_block(f)
         if head is None:
@@ -149,17 +158,40 @@ def parse_warc_records(f, *, dechunk: bool = False,
         url = headers.get(b"warc-target-uri", b"").decode(
             "utf-8", "replace")
         ts = _parse_warc_date(headers.get(b"warc-date", b""))
+        status = ctype = None
         if rtype == b"response":
             # HTTP message: body starts after the first CRLF CRLF
             sep = payload.find(b"\r\n\r\n")
             body = payload[sep + 4:] if sep >= 0 else payload
+            if with_http and sep >= 0:
+                status, ctype = _parse_http_head(payload[:sep])
             if (dechunk and sep >= 0
                     and b"chunked" in payload[:sep].lower()
                     and _http_declares_chunked(payload[:sep])):
                 body = _dechunk(body)
         else:
             body = payload
-        yield url, ts, body
+        if with_http:
+            yield url, ts, body, status, ctype
+        else:
+            yield url, ts, body
+
+
+def _parse_http_head(head: bytes):
+    """(status int | None, content-type str | None) of one HTTP head."""
+    lines = head.split(b"\r\n")
+    status = None
+    toks = lines[0].split()
+    if len(toks) >= 2 and toks[0].startswith(b"HTTP/") \
+            and toks[1].isdigit():
+        status = int(toks[1])
+    ctype = None
+    for line in lines[1:]:
+        name, _, val = line.partition(b":")
+        if name.strip().lower() == b"content-type":
+            ctype = val.strip().lower().decode("utf-8", "replace")
+            break
+    return status, ctype
 
 
 def _http_declares_chunked(head: bytes) -> bool:
@@ -172,9 +204,13 @@ def _http_declares_chunked(head: bytes) -> bool:
 
 
 def read_warc(paths, *, batch_rows: int = 256, dechunk: bool = False,
-              **kwargs):
+              with_http: bool = False, **kwargs):
     """WARC/WARC-gz/WARC-zst files -> Dataset(url, warc_ts, html,
-    lang).  ``dechunk=True`` re-assembles chunked HTTP bodies."""
+    lang).  ``dechunk=True`` re-assembles chunked HTTP bodies;
+    ``with_http=True`` appends ``http_status`` int32 and
+    ``content_type`` string columns parsed from the capture's HTTP
+    head (the pre-filter columns a CC pipeline uses when it has no
+    index)."""
     import ray.data as rd
     from ray.data.datasource import FileBasedDatasource
 
@@ -195,17 +231,15 @@ def read_warc(paths, *, batch_rows: int = 256, dechunk: bool = False,
             elif magic[:2] == b"\x1f\x8b":
                 stream = io.BufferedReader(
                     gzip.GzipFile(fileobj=stream))
-            urls, tss, bodies = [], [], []
-            for url, ts, body in parse_warc_records(
-                    stream, dechunk=dechunk):
-                urls.append(url)
-                tss.append(ts)
-                bodies.append(body)
-                if len(urls) >= batch_rows:
-                    yield _warc_table(urls, tss, bodies)
-                    urls, tss, bodies = [], [], []
-            if urls:
-                yield _warc_table(urls, tss, bodies)
+            rows = []
+            for rec in parse_warc_records(
+                    stream, dechunk=dechunk, with_http=with_http):
+                rows.append(rec)
+                if len(rows) >= batch_rows:
+                    yield _warc_table(rows, with_http)
+                    rows = []
+            if rows:
+                yield _warc_table(rows, with_http)
 
     return rd.read_datasource(WarcDatasource(paths, **kwargs))
 
@@ -226,13 +260,17 @@ class _NativeWrapper(io.RawIOBase):
         return n
 
 
-def _warc_table(urls, tss, bodies) -> pa.Table:
-    return pa.table({
-        "url": pa.array(urls, pa.string()),
-        "warc_ts": pa.array(tss, pa.timestamp("us")),
-        "html": pa.array(bodies, pa.binary()),
-        "lang": pa.array([None] * len(urls), pa.string()),
-    })
+def _warc_table(rows, with_http: bool = False) -> pa.Table:
+    cols = {
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "html": pa.array([r[2] for r in rows], pa.binary()),
+        "lang": pa.array([None] * len(rows), pa.string()),
+    }
+    if with_http:
+        cols["http_status"] = pa.array([r[3] for r in rows], pa.int32())
+        cols["content_type"] = pa.array([r[4] for r in rows], pa.string())
+    return pa.table(cols)
 
 
 def _warc_date(ts) -> tuple[str, bytes]:
@@ -293,7 +331,10 @@ def write_warc(rows, path: str, *, gzip_members: bool | None = None,
                          warcinfo))
         for r in rows:
             date, version = _warc_date(r["warc_ts"])
-            http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            status = int(r.get("status", 200))
+            ctype = str(r.get("content_type") or "text/html")
+            http = (b"HTTP/1.1 " + str(status).encode() + b" OK\r\n"
+                    b"Content-Type: " + ctype.encode() + b"\r\n"
                     b"Content-Length: " + str(len(r["html"])).encode()
                     + b"\r\n\r\n" + r["html"])
             emit(out, record(

@@ -164,3 +164,42 @@ def test_warc_feeds_extraction(ray_session, pages_rows, tmp_path):
                  .select_columns(["url", "text", "status"]).to_pandas()
                  .sort_values("url").reset_index(drop=True))
     assert from_warc.equals(from_rows)
+
+
+def test_http_metadata_parse_policy():
+    import io
+
+    from rayxt.warc import _parse_http_head, parse_warc_records, write_warc
+
+    assert _parse_http_head(b"HTTP/1.1 301 Moved\r\nContent-Type:  Text/HTML ; x=1 \r\n") \
+        == (301, "text/html ; x=1")
+    assert _parse_http_head(b"HTTP/1.1 abc\r\n") == (None, None)
+    assert _parse_http_head(b"ICY 200 OK\r\nContent-Type: audio/mpeg\r\n") \
+        == (None, "audio/mpeg")
+    assert _parse_http_head(b"HTTP/1.0 404") == (404, None)
+
+
+def test_read_warc_with_http_roundtrip(ray_session, tmp_path):
+    from fixtures.gen_pages import generate_warc_http_table, stage_warc_http
+    from rayxt.warc import read_warc
+
+    paths = stage_warc_http(str(tmp_path / "wh"), 80)
+    got = read_warc(paths, with_http=True).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    src = generate_warc_http_table(80).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert list(got["http_status"]) == list(src["status"])
+    want_ct = [(c or "text/html").strip().lower()
+               for c in src["content_type"]]
+    assert list(got["content_type"]) == want_ct
+    assert [bytes(b) for b in got["html"]] == \
+        [bytes(b) for b in src["html"]]
+
+
+def test_read_warc_without_http_schema_unchanged(ray_session, tmp_path):
+    from fixtures.gen_pages import stage_warc_http
+    from rayxt.warc import read_warc
+
+    paths = stage_warc_http(str(tmp_path / "wh2"), 20)
+    cols = read_warc(paths).to_pandas().columns.tolist()
+    assert cols == ["url", "warc_ts", "html", "lang"]
