@@ -590,11 +590,27 @@ def meta_page_of(i: int) -> tuple[str, bytes]:
         head_parts.append(f'<link rel="{rel}"{href}>')
     if i % 7 == 5:
         head_parts.append(f'<link rel="canonical" href="/dup/{m}">')  # dup
+    if i % 5 == 1:  # article:published_time property spelling
+        head_parts.append(
+            f'<meta property="article:published_time" '
+            f'content=" 2025-0{m % 9 + 1}-1{m % 3}T0{m % 10}:30:00Z ">')
+    if i % 7 == 3:  # name= spelling (fallback accepted)
+        head_parts.append(
+            f'<meta name="Article:Published_Time" '
+            f'content="2024-1{m % 3}-0{m % 9 + 1}">')
+    if i % 11 == 4:  # empty content claims the slot, stores null
+        head_parts.append(
+            '<meta property="article:published_time" content="">')
     lang = ["en", " EN ", "en-US", "", "fr"][i % 5]
     lang_attr = f' lang="{lang}"' if i % 8 != 6 else ""
     body_meta = ""
     if i % 12 == 9:  # metas in body still count (document-order walk)
         body_meta = '<meta name="robots" content="body-robots">'
+    if i % 6 == 2:  # <time datetime> in body (first-wins vs head meta)
+        body_meta += (f'<time datetime=" 2023-0{m % 9 + 1}-02 ">'
+                      f"posted</time>")
+    if i % 9 == 5:  # <time> without datetime: never claims
+        body_meta += "<time>yesterday</time>"
     if i % 10 == 8:  # headless page: tags at top level
         html = (f"<html{lang_attr}><body>{body_meta}"
                 f"{''.join(head_parts)}<p>{_words(i, 'mb', 20)}</p>"

@@ -36,6 +36,13 @@ below — never from this code):
   the document base, http(s)-only else null (slot claimed).
 * ``html_lang``: the ``lang`` attribute of the first ``html`` element,
   stripped and lowercased; empty -> null.
+* ``published_time``: document-order first of (a) a ``<meta>`` whose
+  ``property`` — or, same fallback rule as og:, ``name`` when no
+  ``property`` attribute exists — equals ``article:published_time``
+  AND that carries ``content``, or (b) a ``<time>`` element carrying a
+  ``datetime`` attribute.  The value is whitespace-normalized and
+  truncated like the other meta fields; normalizes-to-empty -> null
+  (slot claimed).  The raw string is data — no date parsing.
 * Document base: the first ``<base href>`` (resolved against the page
   url, http(s)-only) rebases canonical and og:image wherever they
   appear — whole-document ``document.baseURI`` semantics, identical to
@@ -79,6 +86,7 @@ METADATA_FIELDS = (
     "og_image",
     "canonical",
     "html_lang",
+    "published_time",
 )
 
 _NAME_KEYS = {
@@ -90,6 +98,7 @@ _OG_KEYS = {
     "og:title": "og_title",
     "og:description": "og_description",
     "og:image": "og_image",
+    "article:published_time": "published_time",
 }
 
 
@@ -147,6 +156,11 @@ def page_metadata(url: str, html) -> dict:
                 out[field] = cand if _is_http(cand) else None
             else:
                 out[field] = _norm(content, META_MAX_CHARS) or None
+        elif tag == "time" and "published_time" not in claimed \
+                and "datetime" in n.attrs:
+            claimed.add("published_time")
+            out["published_time"] = \
+                _norm(n.attrs["datetime"], META_MAX_CHARS) or None
         elif tag == "link" and "canonical" not in claimed:
             rel = n.attrs.get("rel", "").lower().split()
             href = n.attrs.get("href")

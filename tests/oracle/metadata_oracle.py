@@ -18,7 +18,7 @@ from urllib.parse import urljoin
 
 _WS = " \t\n\r\f"
 _COMMENT = re.compile(r"<!--.*?-->", re.S)
-_HEADTAG = re.compile(r"<(title|meta|link|base|html)\b([^>]*)>", re.I)
+_HEADTAG = re.compile(r"<(title|meta|link|base|html|time)\b([^>]*)>", re.I)
 _CLOSE_TITLE = re.compile(r"</title\s*>", re.I)
 _INNER_TAG = re.compile(r"<[^>]*>")
 _ATTR = re.compile(
@@ -31,12 +31,14 @@ META_MAX_CHARS = 500
 FIELDS = (
     "title", "meta_description", "meta_keywords", "meta_robots",
     "og_title", "og_description", "og_image", "canonical", "html_lang",
+    "published_time",
 )
 
 _NAME_KEYS = {"description": "meta_description",
               "keywords": "meta_keywords", "robots": "meta_robots"}
 _OG_KEYS = {"og:title": "og_title", "og:description": "og_description",
-            "og:image": "og_image"}
+            "og:image": "og_image",
+            "article:published_time": "published_time"}
 
 
 def _attrs_of(raw: str) -> dict:
@@ -121,6 +123,13 @@ def oracle_metadata(url: str, html) -> dict:
                 out[field] = cand if _is_http(cand) else None
             else:
                 out[field] = _norm(content, META_MAX_CHARS) or None
+        elif tag == "time" and "published_time" not in claimed:
+            if not _has_attr(raw, "datetime"):
+                continue
+            claimed.add("published_time")
+            a = _attrs_of(raw)
+            out["published_time"] = \
+                _norm(a.get("datetime", ""), META_MAX_CHARS) or None
         elif tag == "link" and "canonical" not in claimed:
             a = _attrs_of(raw)
             rel = a.get("rel", "").lower().split()

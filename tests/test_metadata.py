@@ -129,3 +129,30 @@ def test_extract_metadata_stage_matches_kernel(ray_session):
         for f in list(METADATA_FIELDS) + ["status"]:
             got_v = None if row[f] is None or row[f] != row[f] else row[f]
             assert got_v == w[f], (row["url"], f)
+
+
+def test_published_time_policy():
+    from rayxt.metadata import page_metadata
+
+    def _pt(html):
+        return page_metadata("https://h/p", html.encode())["published_time"]
+
+    # property spelling, normalized
+    assert _pt('<head><meta property="article:published_time" '
+               'content=" 2025-01-02T03:04:05Z "></head>') \
+        == "2025-01-02T03:04:05Z"
+    # name fallback only when no property attr
+    assert _pt('<meta name="article:published_time" content="2024-01-01">') \
+        == "2024-01-01"
+    assert _pt('<meta property="x" name="article:published_time" '
+               'content="2024-01-01">') is None
+    # empty content claims the slot: a later <time> never overrides
+    assert _pt('<meta property="article:published_time" content="">'
+               '<time datetime="2020-01-01">x</time>') is None
+    # first in document order wins
+    assert _pt('<time datetime="2023-05-06">x</time>'
+               '<meta property="article:published_time" '
+               'content="2024-01-01">') == "2023-05-06"
+    # <time> without datetime never claims
+    assert _pt('<time>yesterday</time>'
+               '<time datetime="2022-02-02">y</time>') == "2022-02-02"
