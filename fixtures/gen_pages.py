@@ -1182,3 +1182,69 @@ def stage_warc_http(dir_path: str, n_rows: int) -> list:
     with open(done, "w") as f:
         f.write("ok")
     return paths
+
+
+# ---------------------------------------------------------------------------
+# script-profile fixture family (doc_script_profile)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_SNIPPETS = {
+    "latin": "étude naïve Zürich grande",
+    "greek": "αλφα βητα γαμμα δελτα",
+    "cyrillic": "привет мир данные текст",
+    "hebrew": "שלום עולם טקסט",
+    "arabic": "مرحبا بالعالم نص",
+    "devanagari": "नमस्ते दुनिया पाठ",
+    "thai": "สวัสดีโลกข้อความ",
+    "kana": "こんにちは カタカナ ひらがな",
+    "hangul": "안녕하세요 세계 텍스트",
+    "han": "你好世界文本数据处理",
+}
+_SCRIPT_NAMES = sorted(_SCRIPT_SNIPPETS)
+
+
+def script_text_of(i: int):
+    """Deterministic mixed-script text for row i; every shape: single
+    script, two-script mixes (incl. near-ties), digits/punct-only,
+    empty, null, CJK han+kana mixes."""
+    h = _h(i, "scr")
+    shape = i % 12
+    a = _SCRIPT_SNIPPETS[_SCRIPT_NAMES[h % 10]]
+    b = _SCRIPT_SNIPPETS[_SCRIPT_NAMES[(h // 10) % 10]]
+    base = _words(i, "scrw", 4)
+    if shape == 0:
+        return None
+    if shape == 1:
+        return ""
+    if shape == 2:
+        return "12345 !?@# 67890 ..."  # nothing classifies
+    if shape <= 5:
+        return f"{base} {a} {a}"       # latin words + one script
+    if shape <= 8:
+        return f"{a} | {b}"            # two-script mix
+    if shape == 9:                      # exact tie candidates
+        return (_SCRIPT_SNIPPETS["kana"][:5]
+                + _SCRIPT_SNIPPETS["han"][:5])
+    if shape == 10:
+        return f"{base} {base} {a[:3]}"  # latin-dominant
+    return f"{a} {b} {base} {a}"
+
+
+def generate_script_table(n_rows: int) -> pa.Table:
+    return pa.table({
+        "doc_id": pa.array(range(n_rows), pa.int64()),
+        "text": pa.array([script_text_of(i) for i in range(n_rows)],
+                         pa.string()),
+    })
+
+
+def ensure_script_parquet(path: str, n_rows: int) -> str:
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(generate_script_table(n_rows), tmp)
+    os.rename(tmp, path)
+    return path
