@@ -1248,3 +1248,40 @@ def ensure_script_parquet(path: str, n_rows: int) -> str:
     pq.write_table(generate_script_table(n_rows), tmp)
     os.rename(tmp, path)
     return path
+
+
+def cdxj_line_of_v2(i: int):
+    """Snapshot B of the CDXJ family: ~1/7 of A's lines disappear,
+    ~1/6 re-crawl with a new digest and a later timestamp, the rest
+    carry over unchanged; plus a fresh-capture tail (see
+    ensure_cdxj_files_v2).  Returns None for dropped lines."""
+    if i % 7 == 0:
+        return None  # removed in the new snapshot
+    line = cdxj_line_of(i)
+    if i % 6 == 2 and i % 9 != 7:  # changed: new digest, ts + 1 hour
+        parts = line.split(" ", 2)
+        ts = str(int(parts[1]) + 10000)  # +1 hour in ts14 arithmetic
+        if ts[8:10] < "24":  # stay a valid hour
+            parts[1] = ts
+        blob = parts[2].replace('"sha1:', '"sha1:R', 1)
+        return " ".join([parts[0], parts[1], blob])
+    return line
+
+
+def ensure_cdxj_files_v2(dir_path: str, n_rows: int) -> list:
+    """Snapshot B staged like snapshot A, plus n_rows//10 brand-new
+    captures (indices n_rows..n_rows*1.1 of the base generator)."""
+    import gzip as _gzip
+
+    os.makedirs(dir_path, exist_ok=True)
+    plain = os.path.join(dir_path, "part-0.cdxj")
+    if not os.path.exists(plain):
+        lines = [ln for ln in (cdxj_line_of_v2(i) for i in range(n_rows))
+                 if ln is not None]
+        lines += [cdxj_line_of(i)
+                  for i in range(n_rows, n_rows + n_rows // 10)]
+        tmp = plain + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.rename(tmp, plain)
+    return [plain]

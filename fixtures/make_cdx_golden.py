@@ -59,5 +59,34 @@ def main() -> None:
           f"({N_CDX - cdx_tbl.num_rows} lines skipped)")
 
 
+
+
+def snapshot_b() -> None:
+    """Also commit snapshot B's golden (same oracle, v2 lines + the
+    fresh tail) for the pages_cdx_diff real-SQL oracle."""
+    from fixtures.gen_pages import cdxj_line_of_v2
+
+    lines = [ln for ln in (cdxj_line_of_v2(i) for i in range(N_CDX))
+             if ln is not None]
+    lines += [cdxj_line_of(i) for i in range(N_CDX, N_CDX + N_CDX // 10)]
+    rows = [r for r in (oracle_cdxj_line(ln) for ln in lines)
+            if r is not None]
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    tbl = pa.table({
+        "urlkey": pa.array(cols["urlkey"], pa.string()),
+        "ts": pa.array(cols["ts"], pa.timestamp("us")),
+        "url": pa.array(cols["url"], pa.string()),
+        "mime": pa.array(cols["mime"], pa.string()),
+        "status": pa.array(cols["status"], pa.int32()),
+        "digest": pa.array(cols["digest"], pa.string()),
+        "length": pa.array(cols["length"], pa.int64()),
+        "offset": pa.array(cols["offset"], pa.int64()),
+        "filename": pa.array(cols["filename"], pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(DATA_DIR, "golden_cdx_b.parquet"))
+    print(f"golden_cdx_b.parquet: {tbl.num_rows} rows")
+
+
 if __name__ == "__main__":
     main()
+    snapshot_b()

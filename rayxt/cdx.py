@@ -59,7 +59,7 @@ import pyarrow.compute as pc
 from .warc import _NativeWrapper
 
 __all__ = ["surt", "surt_key", "parse_cdxj_line", "read_cdxj",
-           "latest_capture"]
+           "latest_capture", "cdx_diff"]
 
 _URL_RE = re.compile(
     r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?")
@@ -259,3 +259,49 @@ def latest_capture(ds, *, key_col: str = "urlkey", ts_col: str = "ts"):
         return pa.table(fields)
 
     return latest.map_batches(unpack, batch_format="pyarrow")
+
+
+def cdx_diff(old, new, *, num_partitions: int = 8):
+    """Per-urlkey change classification between two index snapshots —
+    the recrawl planner's delta.  Each side reduces to its latest
+    capture, the skinny ``(urlkey, ts, digest)`` projections meet in
+    ONE full-outer hash join, and each key classifies as ``added``
+    (new side only), ``removed`` (old side only), ``changed``
+    (digests differ, null-safe: both-null compares equal) or
+    ``unchanged``.  The wide index columns never enter the exchange."""
+
+    def skinny(ds, prefix: str):
+        def ren(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "urlkey": t["urlkey"],
+                f"{prefix}_ts": t["ts"],
+                f"{prefix}_digest": t["digest"],
+            })
+
+        return latest_capture(ds).map_batches(ren, batch_format="pyarrow")
+
+    joined = skinny(old, "old").join(
+        skinny(new, "new"), "full_outer", num_partitions=num_partitions,
+        on=("urlkey",))
+
+    def classify(t: pa.Table) -> pa.Table:
+        old_there = pc.is_valid(t["old_ts"])
+        new_there = pc.is_valid(t["new_ts"])
+        od = pc.fill_null(t["old_digest"], "\x00none")
+        nd = pc.fill_null(t["new_digest"], "\x00none")
+        change = pc.if_else(
+            pc.invert(old_there), pa.scalar("added"),
+            pc.if_else(
+                pc.invert(new_there), pa.scalar("removed"),
+                pc.if_else(pc.not_equal(od, nd),
+                           pa.scalar("changed"), pa.scalar("unchanged"))))
+        return pa.table({
+            "urlkey": t["urlkey"],
+            "change": change,
+            "old_ts": t["old_ts"],
+            "new_ts": t["new_ts"],
+            "old_digest": t["old_digest"],
+            "new_digest": t["new_digest"],
+        })
+
+    return joined.map_batches(classify, batch_format="pyarrow")

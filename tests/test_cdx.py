@@ -147,3 +147,35 @@ def test_latest_capture_partition_independent(ray_session):
         rd.from_arrow(t).repartition(13)).to_pandas() \
         .sort_values("urlkey").reset_index(drop=True)
     assert one.equals(many)
+
+
+def test_cdx_diff_classification(ray_session):
+    import ray.data as rd
+    from datetime import datetime
+
+    from rayxt.cdx import cdx_diff
+
+    def snap(rows):
+        return rd.from_arrow(pa.table({
+            "urlkey": [r[0] for r in rows],
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "url": [r[2] for r in rows],
+            "digest": [r[3] for r in rows],
+        }))
+
+    t1, t2 = datetime(2025, 1, 1), datetime(2025, 2, 1)
+    old = snap([("a)/", t1, "https://a/", "d1"),
+                ("b)/", t1, "https://b/", "d2"),
+                ("c)/", t1, "https://c/", "d3"),
+                ("c)/", t2, "https://c/", "d3x"),   # latest wins
+                ("n)/", t1, "https://n/", None)])
+    new = snap([("a)/", t2, "https://a/", "d1"),     # unchanged
+                ("c)/", t2, "https://c/", "d9"),     # changed vs d3x
+                ("d)/", t2, "https://d/", "d4"),     # added
+                ("n)/", t2, "https://n/", None)])    # null==null: unchanged
+    got = cdx_diff(old, new).to_pandas().set_index("urlkey")["change"]
+    assert got["a)/"] == "unchanged"
+    assert got["b)/"] == "removed"
+    assert got["c)/"] == "changed"
+    assert got["d)/"] == "added"
+    assert got["n)/"] == "unchanged"
