@@ -454,6 +454,8 @@ def export_wet(ds, out_dir: str, num_partitions: int = 64, *,
         ds = add_part_id(ds, num_partitions)
 
     def write_group(group: pd.DataFrame) -> pd.DataFrame:
+        import json
+
         pid = int(group["part_id"].iloc[0])
         path = os.path.join(out_dir, f"part-{pid:04d}.warc.wet.gz")
         if not os.path.exists(path):
@@ -466,6 +468,22 @@ def export_wet(ds, out_dir: str, num_partitions: int = 64, *,
                                       rows[text_col])), tmp,
                 gzip_members=True)
             os.rename(tmp, path)
+            # P12 lineage sidecar, written AFTER the shard lands
+            ldir = os.path.join(out_dir, "lineage")
+            os.makedirs(ldir, exist_ok=True)
+            from . import __version__
+
+            ltmp = os.path.join(ldir, f"part-{pid:04d}.json.tmp")
+            with open(ltmp, "w") as lf:
+                json.dump({
+                    "part_id": pid,
+                    "rows": int(len(group)),
+                    "bytes_out": int(os.path.getsize(path)),
+                    "text_chars": int(
+                        rows[text_col].str.len().fillna(0).sum()),
+                    "engine_version": __version__,
+                }, lf)
+            os.rename(ltmp, os.path.join(ldir, f"part-{pid:04d}.json"))
         return pd.DataFrame({"part_id": [pid], "rows": [len(group)]})
 
     return ds.select_columns(["url", "warc_ts", text_col, "part_id"]) \

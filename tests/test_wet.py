@@ -77,3 +77,27 @@ def test_export_wet_roundtrip_and_resume(ray_session, tmp_path):
     export_wet(rd.from_arrow(src), out, num_partitions=8)
     for f in files:
         assert open(f, "rb").read() == before[f]
+
+
+def test_export_wet_lineage_sidecars(ray_session, tmp_path):
+    import json
+
+    import ray.data as rd
+    from datetime import datetime
+
+    src = pa.table({
+        "url": [f"https://h{i % 3}.org/{i}" for i in range(30)],
+        "warc_ts": pa.array([datetime(2025, 1, 1)] * 30,
+                            pa.timestamp("us")),
+        "text": [f"t{i}" for i in range(30)],
+    })
+    out = str(tmp_path / "wet")
+    summary = export_wet(rd.from_arrow(src), out, num_partitions=4)
+    sidecars = sorted(glob.glob(os.path.join(out, "lineage", "*.json")))
+    assert len(sidecars) == len(summary)
+    total = 0
+    for f in sidecars:
+        rec = json.load(open(f))
+        assert rec["bytes_out"] > 0 and rec["engine_version"]
+        total += rec["rows"]
+    assert total == 30
