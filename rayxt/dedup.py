@@ -816,9 +816,13 @@ def connected_components(pairs_ds, *, max_rounds: int = 10,
 
     Convergence is detected with a DISTRIBUTED scalar, not by pulling
     the label set to the driver: min-propagation is monotone (every
-    node's label can only decrease), so ``Sum(cluster_id)`` strictly
+    node's label can only decrease), so the label-sum strictly
     decreases until the fixed point and the driver compares one number
-    per round — O(1) driver memory at any corpus size.
+    per round — O(1) driver memory at any corpus size.  Labels are
+    63-bit ids, so their plain int64 Sum OVERFLOWS (Ray then falls
+    back to pickled-object blocks); the checksum instead sums the high
+    and low 32-bit halves separately (each int64-safe to ~2^31 rows —
+    documented envelope) and recombines exactly in driver Python.
 
     Returns a Dataset (id, cluster_id) where cluster_id is the min
     member id of the component.  Singleton documents (no pairs) are not
@@ -862,7 +866,24 @@ def connected_components(pairs_ds, *, max_rounds: int = 10,
         .map_batches(_typed_labels, batch_format="pyarrow")
         .materialize()
     )
-    prev_sum = labels.sum("cluster_id")  # None on an empty edge set
+    def _checksum(lbls):
+        """Exact sum of all labels as a driver-side Python int: per-row
+        hi/lo 32-bit halves summed as int64 (no overflow to ~2^31
+        rows), recombined with arbitrary-precision driver arithmetic."""
+        def halves(t: pa.Table) -> pa.Table:
+            cid = t["cluster_id"]
+            return pa.table({
+                "hi": pc.shift_right(cid, 32),
+                "lo": pc.bit_wise_and(cid, 0xFFFFFFFF),
+            })
+
+        s = lbls.map_batches(halves, batch_format="pyarrow") \
+            .sum(["hi", "lo"])
+        if s is None:
+            return None
+        return int(s["sum(hi)"]) * (1 << 32) + int(s["sum(lo)"])
+
+    prev_sum = _checksum(labels)  # None on an empty edge set
     if prev_sum is None:
         return labels  # no edges: nothing to propagate
     # Ray's hash join builds a SCHEMA-LESS table for any partition that
@@ -889,7 +910,7 @@ def connected_components(pairs_ds, *, max_rounds: int = 10,
             .map_batches(_typed_labels, batch_format="pyarrow")
             .materialize()
         )
-        new_sum = labels.sum("cluster_id")
+        new_sum = _checksum(labels)
         if new_sum == prev_sum:  # monotone fixed point reached
             break
         prev_sum = new_sum
