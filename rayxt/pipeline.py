@@ -59,6 +59,7 @@ from .state import key_digests
 from .dom import parse_html, parse_xml
 from .xpath import parse_css, parse_xpath
 from .kernel import DEFAULT_HARD_CAP, extract_one
+from .linkgraph import host_of_url
 from .manifest import (
     clean_partial_shards,
     partition_dir,
@@ -149,7 +150,8 @@ class ExtractDocs:
 
     def __init__(self, program: str = "main_content",
                  hard_cap: int = DEFAULT_HARD_CAP,
-                 timeout_s: float | None = None):
+                 timeout_s: float | None = None,
+                 program_overrides: dict | None = None):
         # NOTE: get_program_factory is a module-level import captured in
         # the by-value pickle payload — do NOT re-import rayxt here: a
         # filesystem re-import would create a second copy of the class
@@ -158,6 +160,16 @@ class ExtractDocs:
         self.program = get_program_factory(program)()
         self.hard_cap = hard_cap
         self.timeout_s = timeout_s
+        # P10a per-domain rule overrides: {host -> program name} ships
+        # by value (small state); each DISTINCT program compiles once
+        # per actor, hosts share the compiled object
+        self._host_programs = {}
+        if program_overrides:
+            compiled: dict = {}
+            for host, name in program_overrides.items():
+                if name not in compiled:
+                    compiled[name] = get_program_factory(name)()
+                self._host_programs[host.lower()] = compiled[name]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -171,12 +183,15 @@ class ExtractDocs:
         rule_hits = [None] * n
         spans = [None] * n
         program = self.program
+        host_programs = self._host_programs
         cap = self.hard_cap
         timeout_s = self.timeout_s
         for k in range(n):
             html = htmls[k]
             html_len[k] = len(html) if html is not None else 0
-            r = extract_one(html, program, cap, timeout_s)
+            prog = host_programs.get(host_of_url(urls[k]), program) \
+                if host_programs else program
+            r = extract_one(html, prog, cap, timeout_s)
             texts[k] = r["text"]
             n_chars[k] = r["n_chars"]
             status[k] = r["status"]
@@ -217,6 +232,7 @@ def extract_pages(
     two_tier: bool = False,
     size_threshold: int = 256 * 1024,
     timeout_s: float | None = None,
+    program_overrides: dict | None = None,
 ):
     """P3 + P15: run the extraction actor pool over a pages Dataset.
 
@@ -226,10 +242,16 @@ def extract_pages(
     stays bounded.  The input is materialized once before the fork —
     both tiers then filter shared object-store blocks instead of
     re-running the read (see module docstring for the tradeoff).
+
+    ``program_overrides`` maps hosts to program names (P10a per-domain
+    rule overrides): the small dict broadcasts by value, each actor
+    compiles every distinct program once, and rows route by
+    ``host_of_url``.
     """
     kwargs = dict(
         fn_constructor_kwargs={"program": program, "hard_cap": hard_cap,
-                               "timeout_s": timeout_s},
+                               "timeout_s": timeout_s,
+                               "program_overrides": program_overrides},
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,

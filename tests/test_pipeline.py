@@ -339,3 +339,40 @@ print("SHIP_OK")
         text=True, timeout=240, env=env, cwd=str(tmp_path))
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "SHIP_OK" in proc.stdout
+
+
+def test_program_overrides_route_by_host(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayxt.pipeline import extract_pages
+
+    html = (b"<html><body><nav>menu</nav>"
+            b"<article><p>real content words here for density scoring "
+            b"and more real content words here</p></article>"
+            b"<footer>f</footer></body></html>")
+    from datetime import datetime
+
+    src = pa.table({
+        "url": ["https://a.example.com/1", "https://b.example.com/2"],
+        "warc_ts": pa.array([datetime(2025, 1, 1)] * 2,
+                            pa.timestamp("us")),
+        "html": [html, html],
+        "lang": [None, None],
+    })
+    plain = extract_pages(rd.from_arrow(src), concurrency=1) \
+        .to_pandas().set_index("url")
+    mixed = extract_pages(
+        rd.from_arrow(src), concurrency=1,
+        program_overrides={"b.example.com": "heuristic_content"},
+    ).to_pandas().set_index("url")
+    # non-override host identical to the plain run
+    assert mixed.loc["https://a.example.com/1", "text"] == \
+        plain.loc["https://a.example.com/1", "text"]
+    # override host ran the heuristic program
+    from rayxt.boilerplate import main_content_from_root
+    from rayxt.dom import parse_html
+
+    want, _, _ = main_content_from_root(parse_html(html))
+    assert mixed.loc["https://b.example.com/2", "text"] == want
+    assert (mixed["status"] == "ok").all()
