@@ -1285,3 +1285,112 @@ def ensure_cdxj_files_v2(dir_path: str, n_rows: int) -> list:
             f.write("\n".join(lines) + "\n")
         os.rename(tmp, plain)
     return [plain]
+
+
+# ---------------------------------------------------------------------------
+# markdown fixture family (pages_markdown)
+# ---------------------------------------------------------------------------
+
+def markdown_page_of(i: int) -> tuple[str, bytes]:
+    """Structural-HTML page ``i``: cycles headings, lists (nested /
+    ordered / ragged), code fences, blockquotes, pipe tables, inline
+    markup, images, skip-subtrees and tag-soup stress so every branch
+    of the frozen markdown policy appears in the corpus."""
+    url = f"https://md{i % 37}.example.org/page/{i}"
+    parts = []
+    lvl = i % 6 + 1
+    parts.append(f"<h{lvl}>Title <em>{_words(i, 'mdh', 2)}</em> "
+                 f"&amp; <code>run()</code></h{lvl}>")
+    parts.append(f"<p>{_words(i, 'mdp', 14)} <b>bold {i}</b> and "
+                 f"<i>ital</i> plus <a href=' /rel/{i} '>a link</a> "
+                 f"text<br>after break.</p>")
+    m = i % 12
+    if m == 0:  # nested unordered list with a paragraph inside an item
+        parts.append(
+            "<ul><li>first item</li>"
+            f"<li><p>para {_words(i, 'mdl', 3)}</p>"
+            "<ul><li>inner one</li><li></li><li>inner two</li></ul></li>"
+            "<li>last</li></ul>")
+    elif m == 1:  # ordered list long enough for 2-digit markers
+        items = "".join(f"<li>step {k} {_words(i + k, 'mdo', 2)}</li>"
+                        for k in range(11))
+        parts.append(f"<ol>{items}</ol>")
+    elif m == 2:  # pre with backticks and blank interior lines
+        parts.append("<pre>\ndef f(x):\n    return `x`\n\n"
+                     f"# row {i}\n```\n</pre>")
+    elif m == 3:  # blockquote: two paragraphs + nested list
+        parts.append(f"<blockquote><p>{_words(i, 'mdq', 6)}</p>"
+                     "<p>second</p><ul><li>quoted item</li></ul>"
+                     "</blockquote>")
+    elif m == 4:  # table with thead/tbody, pipes + markup in cells
+        parts.append(
+            "<table><thead><tr><th>Name</th><th>Val|ue</th></tr></thead>"
+            f"<tbody><tr><td><b>{_words(i, 'mdt', 1)}</b></td>"
+            f"<td>{i}</td></tr>"
+            "<tr><td>ragged</td></tr></tbody></table>")
+    elif m == 5:  # bare-tr table, th mid-body, empty cell
+        parts.append(f"<table><tr><td>a{i}</td><td></td><th>h</th></tr>"
+                     "<tr><td>x</td><td>y</td><td>z</td></tr></table>")
+    elif m == 6:  # hr + image variants + linked image
+        parts.append("<hr>")
+        parts.append(f'<p><img src="/img/{i}.png" alt=" pic  {i} ">'
+                     '<img alt="no src"><img src="">'
+                     f'<a href="/big/{i}"><img src="/t/{i}.jpg" alt="thumb">'
+                     "</a></p>")
+    elif m == 7:  # skip subtrees + comments; tails survive
+        parts.append("<p>before<script>var x=1;</script> tail "
+                     "<style>p{}</style>kept<!-- gone -->.</p>")
+    elif m == 8:  # tag soup: unclosed li / implied p close / stray end
+        parts.append(f"<ul><li>soup one<li>soup two {i}</ul></div>"
+                     f"<p>open para<p>next para {_words(i, 'mds', 3)}")
+    elif m == 9:  # code spans: backtick inside, nested markup inside
+        parts.append(f"<p>use <code>a ` b_{i}</code> or "
+                     "<code><b>rm</b> -rf</code> now</p>")
+    elif m == 10:  # link edge cases: empty href, empty text, nested em
+        parts.append(f'<p><a href="">bare {i}</a> then '
+                     '<a href="/x"></a><a href="/y"> <em>em link</em> '
+                     "</a></p>")
+    else:  # nested blockquote + pre inside quote
+        parts.append("<blockquote><blockquote><p>deep</p></blockquote>"
+                     f"<pre>code {i}</pre></blockquote>")
+    if i % 7 == 3:  # headless: top-level nodes, dl/dt/dd containers
+        body = "".join(parts)
+        html = (f"<h6>stray</h6><dl><dt>term {i}</dt>"
+                f"<dd>{_words(i, 'mdd', 4)}</dd></dl>{body}")
+    else:
+        html = (f"<html><head><title>t{i}</title></head>"
+                f"<body>{''.join(parts)}</body></html>")
+    return url, html.encode()
+
+
+def generate_markdown_table(n_rows: int) -> "pa.Table":
+    rows = [markdown_page_of(i) for i in range(n_rows)]
+    urls = [r[0] for r in rows]
+    htmls: list = [r[1] for r in rows]
+    if n_rows > 5:
+        htmls[5] = None  # poison: null html -> status=empty
+    if n_rows > 13:
+        htmls[13] = b""  # zero-byte html -> status=empty
+    if n_rows > 21:  # pathological nesting -> status=error in any
+        htmls[21] = (b"<div>" * 10000) + b"deep" + (b"</div>" * 10000)
+    if n_rows > 29:  # undecodable bytes take the latin-1 fallback (ok)
+        htmls[29] = b"<p>caf\xe9 \xff\xfe raw</p>"
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(
+            [_EPOCH_2025_US + i * 1000000 for i in range(n_rows)],
+            pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+    })
+
+
+def ensure_markdown_parquet(path: str, n_rows: int) -> str:
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(generate_markdown_table(n_rows), tmp)
+    os.rename(tmp, path)
+    return path
