@@ -42,6 +42,12 @@ from datetime import datetime, timezone
 
 import pyarrow as pa
 
+# module-level so the by-value pickle captures the value: a runtime
+# relative import inside a worker-side UDF (export_wet's write_group)
+# dies when the driver runs from outside the repo (see the ExtractDocs
+# NOTE)
+from . import __version__
+
 __all__ = ["read_warc", "parse_warc_records", "write_warc",
            "WARC_SCHEMA", "write_wet", "read_wet", "export_wet",
            "WET_SCHEMA"]
@@ -471,8 +477,6 @@ def export_wet(ds, out_dir: str, num_partitions: int = 64, *,
             # P12 lineage sidecar, written AFTER the shard lands
             ldir = os.path.join(out_dir, "lineage")
             os.makedirs(ldir, exist_ok=True)
-            from . import __version__
-
             ltmp = os.path.join(ldir, f"part-{pid:04d}.json.tmp")
             with open(ltmp, "w") as lf:
                 json.dump({
