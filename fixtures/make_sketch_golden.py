@@ -40,7 +40,9 @@ from tests.oracle.sketches import (
     oracle_bpe_token_counts,
     oracle_bpe_train,
     oracle_components,
+    oracle_compression,
     oracle_fingerprint,
+    oracle_temperature_mix,
     oracle_hll_distinct,
     oracle_kmeans,
     oracle_logreg,
@@ -74,6 +76,8 @@ BLOOM_K = 5
 LM_VOCAB = 500   # keep in sync with __ray_entry__._q_doc_lm_ppl
 LM_ALPHA = 0.1
 PACK_MAX = 256   # keep in sync with __ray_entry__._q_doc_pack
+MIX_ALPHA = 0.5  # keep in sync with __ray_entry__._q_doc_mix_sample
+MIX_TARGET = 200
 
 
 def main() -> None:
@@ -121,6 +125,23 @@ def main() -> None:
         "fingerprint": pa.array([oracle_fingerprint(t or "") for t in texts],
                                 pa.string()),
     }), os.path.join(DATA_DIR, "golden_fingerprint.parquet"))
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "compression_ratio": pa.array(
+            [oracle_compression(t or "") for t in texts], pa.float64()),
+    }), os.path.join(DATA_DIR, "golden_compression.parquet"))
+
+    langs = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                          columns=["doc_id", "lang"])
+    mix = oracle_temperature_mix(
+        langs.column("doc_id").to_pylist(),
+        langs.column("lang").to_pylist(),
+        alpha=MIX_ALPHA, target_rows=MIX_TARGET)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([m[0] for m in mix], pa.int64()),
+        "lang": pa.array([m[1] for m in mix], pa.string()),
+    }), os.path.join(DATA_DIR, "golden_mix_sample.parquet"))
 
     reps = [oracle_repetition(t or "") for t in texts]
     pq.write_table(pa.table({

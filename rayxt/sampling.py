@@ -20,7 +20,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["MERSENNE31", "hash_sample_int", "sample_sql_predicate",
-           "stratified_hash_sample", "stratified_sample_sql_predicate"]
+           "stratified_hash_sample", "stratified_sample_sql_predicate",
+           "temperature_mix_rates", "temperature_mix_sample"]
 
 MERSENNE31 = (1 << 31) - 1
 _DEFAULT_A = 1103515245  # glibc LCG multiplier; any odd a < 2^31 works
@@ -98,3 +99,50 @@ def stratified_sample_sql_predicate(id_col: str, stratum_col: str,
     return (f"(({id_col} % {MERSENNE31}) * {a} + {b}) % {MERSENNE31}"
             f" < CASE {stratum_col} {cases}"
             f" ELSE {int(default_rate * MERSENNE31)} END")
+
+
+# ---------------------------------------------------------------------------
+# temperature-based domain mixing (training-data curation: flatten the
+# head-heavy domain distribution toward uniform before sampling)
+# ---------------------------------------------------------------------------
+
+def temperature_mix_rates(counts: dict, *, alpha: float,
+                          target_rows: int) -> dict:
+    """FROZEN per-domain keep rates for temperature-``alpha`` mixing
+    (independently restated in ``tests/oracle/sketches.py``):
+
+    ``p_d = c_d**alpha / sum(c**alpha)`` over domains sorted by name,
+    ``rate_d = min(1.0, target_rows * p_d / c_d)``.
+
+    ``alpha=1`` keeps the corpus mix (uniform row sampling), ``alpha=0``
+    equalizes domains, values between flatten the head (the usual
+    multilingual-training temperature trick).  All arithmetic is plain
+    Python floats (libm ``pow``), summation in sorted-domain order —
+    both sides compute the identical float sequence, so the derived
+    integer thresholds are bit-stable."""
+    weights = {d: float(counts[d]) ** alpha for d in sorted(counts)}
+    total = 0.0
+    for d in sorted(weights):
+        total += weights[d]
+    return {d: min(1.0, target_rows * (weights[d] / total) / counts[d])
+            for d in sorted(weights)}
+
+
+def temperature_mix_sample(ds, id_col: str, domain_col: str, *,
+                           alpha: float = 0.5, target_rows: int,
+                           a: int = _DEFAULT_A, b: int = _DEFAULT_B):
+    """Deterministic temperature-mixed downsample: one small
+    ``groupby(domain).count()`` exchange (partial counts combine per
+    block; the materialized table is |domains| rows — a documented
+    bounded-aggregate driver materialization), rates derived on the
+    driver via :func:`temperature_mix_rates`, then the stateless
+    per-row :func:`stratified_hash_sample` filter — membership stays a
+    pure function of ``(id, domain)``, so resumes and repartitions
+    sample identically."""
+    cdf = ds.groupby(domain_col).count().to_pandas()
+    counts = {d: int(n) for d, n in
+              zip(cdf[domain_col], cdf["count()"]) if d is not None}
+    rates = temperature_mix_rates(counts, alpha=alpha,
+                                  target_rows=target_rows)
+    return stratified_hash_sample(ds, id_col, domain_col, rates,
+                                  default_rate=0.0, a=a, b=b)

@@ -44,6 +44,8 @@ __all__ = [
     "top_ngrams",
     "repetition_profile",
     "add_repetition_signals",
+    "compression_ratio_of",
+    "add_compression_ratio",
     "normalize_text",
     "inverted_index",
     "canonicalize_url",
@@ -205,6 +207,35 @@ def add_fingerprint(ds, col: str = "text", out: str = "fingerprint"):
         return t.append_column(out, pa.array(fps, pa.string()))
 
     return ds.map_batches(batch_fp, batch_format="pyarrow")
+
+
+def compression_ratio_of(text: str):
+    """FROZEN compression-ratio quality signal (Gopher-style: highly
+    compressible text is repetitive boilerplate, near-incompressible
+    text is noise): ``len(zlib.compress(utf8, level=6)) / len(utf8)``,
+    ``round(..., 6)``; empty text -> ``None``.  zlib level-6 DEFLATE
+    output is fully determined by the input (both sides run the same
+    bundled zlib), so goldens are bit-stable."""
+    import zlib
+
+    raw = text.encode("utf-8")
+    if not raw:
+        return None
+    return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+
+def add_compression_ratio(ds, col: str = "text",
+                          out: str = "compression_ratio"):
+    """Append the float64 compression-ratio column.  DEFLATE is
+    inherently per-document (like fingerprinting); the stage is
+    stateless, embarrassingly parallel, O(bytes) per document with a
+    bounded 256 KiB zlib window."""
+
+    def batch_cr(t: pa.Table) -> pa.Table:
+        crs = [compression_ratio_of(x or "") for x in t[col].to_pylist()]
+        return t.append_column(out, pa.array(crs, pa.float64()))
+
+    return ds.map_batches(batch_cr, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -242,6 +242,49 @@ def oracle_repetition(text: str) -> tuple:
     return max_word, top2, dup3
 
 
+def oracle_compression(text: str):
+    """DEFLATE ratio restated via the incremental compressobj API:
+    compressed-byte count over utf-8 byte count at zlib level 6,
+    rounded to 6 places; empty -> None."""
+    import zlib
+
+    raw = text.encode("utf-8")
+    if not raw:
+        return None
+    co = zlib.compressobj(6)
+    n = len(co.compress(raw)) + len(co.flush())
+    return round(n / len(raw), 6)
+
+
+def oracle_temperature_mix(ids, domains, *, alpha: float,
+                           target_rows: int, a: int = 1103515245,
+                           b: int = 12345):
+    """Temperature-mix sampling restated with Counter + math.pow +
+    pure-python-int hashing: p_d = c^alpha / sum (sorted-domain
+    summation order), rate_d = min(1, target*p/c), keep when
+    ((id %% p)*a+b) %% p < int(rate*p), p = 2^31-1; null domains are
+    dropped.  Returns kept (id, domain) pairs in input order."""
+    import math
+    from collections import Counter
+
+    p = (1 << 31) - 1
+    counts = Counter(d for d in domains if d is not None)
+    weights = {d: math.pow(counts[d], alpha) for d in sorted(counts)}
+    total = 0.0
+    for d in sorted(weights):
+        total += weights[d]
+    thr = {d: int(min(1.0, target_rows * (weights[d] / total) / counts[d])
+                  * p)
+           for d in weights}
+    out = []
+    for i, d in zip(ids, domains):
+        if d is None:
+            continue
+        if ((int(i) % p) * a + b) % p < thr[d]:
+            out.append((int(i), d))
+    return out
+
+
 def oracle_fingerprint(text: str) -> str:
     """FNV-1a over token bytes with a 0x20 separator step, hex-formatted."""
     h = 14695981039346656037

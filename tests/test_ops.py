@@ -36,6 +36,36 @@ def test_hash_sample_int_partition_independent_and_sql_exact(ray_session, docs):
     assert 0.05 * n_total <= len(got) <= 0.15 * n_total
 
 
+def test_temperature_mix_sample(ray_session, docs):
+    """Temperature mixing: oracle parity, partition independence, and
+    the flattening semantics (alpha=0 equalizes expected per-domain
+    rows, alpha=1 preserves the corpus mix)."""
+    from rayxt.sampling import temperature_mix_rates, temperature_mix_sample
+    from tests.oracle.sketches import oracle_temperature_mix
+
+    got = sorted(map(tuple, temperature_mix_sample(
+        docs, "doc_id", "lang", alpha=0.5, target_rows=200)
+        .select_columns(["doc_id", "lang"]).to_pandas().values))
+    re_part = sorted(map(tuple, temperature_mix_sample(
+        docs.repartition(7), "doc_id", "lang", alpha=0.5, target_rows=200)
+        .select_columns(["doc_id", "lang"]).to_pandas().values))
+    assert got == re_part
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    want = sorted(oracle_temperature_mix(
+        t["doc_id"].to_pylist(), t["lang"].to_pylist(),
+        alpha=0.5, target_rows=200))
+    assert got == want
+    # semantics on a skewed synthetic mix
+    counts = {"big": 9000, "small": 100}
+    r0 = temperature_mix_rates(counts, alpha=0.0, target_rows=200)
+    assert abs(counts["big"] * r0["big"] - 100) < 1e-6   # equalized
+    assert r0["small"] == 1.0                            # capped at 1
+    r1 = temperature_mix_rates(counts, alpha=1.0, target_rows=200)
+    assert abs(r1["big"] - r1["small"]) < 1e-12          # corpus mix
+
+
 # -- text analysis ----------------------------------------------------------
 
 def test_token_count_matches_split(ray_session, docs):
@@ -98,6 +128,23 @@ def test_fingerprint_deterministic(ray_session, docs):
     # same text -> same fp; different text -> different fp (w.h.p.)
     assert fingerprint_of("a b c") == fingerprint_of("a b c")
     assert fingerprint_of("a b c") != fingerprint_of("a b d")
+
+
+def test_compression_ratio(ray_session, docs):
+    from rayxt.text import add_compression_ratio, compression_ratio_of
+    from tests.oracle.sketches import oracle_compression
+
+    df = add_compression_ratio(docs).select_columns(
+        ["text", "compression_ratio"]).to_pandas().head(20)
+    for _, r in df.iterrows():
+        assert r["compression_ratio"] == oracle_compression(r["text"])
+    # repetitive text compresses harder than high-entropy text
+    assert compression_ratio_of("spam " * 500) \
+        < compression_ratio_of("the quick brown fox says something new")
+    assert compression_ratio_of("") is None
+    for s in ("a", "héllo wörld", "x" * 10, "\n".join(str(i) for i in
+                                                      range(100))):
+        assert compression_ratio_of(s) == oracle_compression(s)
 
 
 # -- dedup ------------------------------------------------------------------
