@@ -199,3 +199,28 @@ def extract_metadata(ds, *, batch_size: int = 64, concurrency=(1, 8)):
         ExtractMetadata, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
     )
+
+
+# FROZEN robots-meta exclusion policy: a page is non-indexable when its
+# (ASCII-lowercased) meta_robots directive list contains the token
+# ``noindex`` or ``none`` — token = comma-delimited, surrounding
+# ASCII whitespace ignored.  One RE2 pattern expresses exactly that;
+# the DuckDB oracle runs the SAME pattern (both engines are RE2), so
+# the gate pins the policy without a golden.
+NOINDEX_RE = r"(^|,)[ \t\r\n\f]*(noindex|none)[ \t\r\n\f]*(,|$)"
+
+
+def filter_noindex(ds, *, col: str = "meta_robots",
+                   status_col: str = "status"):
+    """Keep indexable metadata rows: ``status == 'ok'`` and no
+    noindex/none robots-meta token (null directives are indexable).
+    Vectorized — two Arrow kernels per batch, no shuffle."""
+    import pyarrow.compute as pc
+
+    def keep(t: pa.Table) -> pa.Table:
+        ok = pc.equal(t[status_col], "ok")
+        hit = pc.match_substring_regex(
+            pc.utf8_lower(pc.fill_null(t[col], "")), NOINDEX_RE)
+        return t.filter(pc.and_(ok, pc.invert(hit)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

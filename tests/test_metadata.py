@@ -156,3 +156,29 @@ def test_published_time_policy():
     # <time> without datetime never claims
     assert _pt('<time>yesterday</time>'
                '<time datetime="2022-02-02">y</time>') == "2022-02-02"
+
+
+def test_filter_noindex(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayxt.metadata import filter_noindex
+
+    rows = [
+        ("a", None, "ok", True),            # null directive: indexable
+        ("b", "index, follow", "ok", True),
+        ("c", "noindex", "ok", False),
+        ("d", "NOINDEX, follow", "ok", False),   # case-insensitive
+        ("e", " none ", "ok", False),            # token ws ignored
+        ("f", "nonetheless", "ok", True),        # substring != token
+        ("g", "prenoindex", "ok", True),
+        ("h", "follow,\tnoindex", "ok", False),
+        ("i", "index", "error", False),          # non-ok dropped
+    ]
+    t = pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "meta_robots": pa.array([r[1] for r in rows], pa.string()),
+        "status": pa.array([r[2] for r in rows], pa.string()),
+    })
+    got = set(filter_noindex(rd.from_arrow(t)).to_pandas()["url"])
+    assert got == {r[0] for r in rows if r[3]}
