@@ -1312,8 +1312,57 @@ class ResizeImages:
         )
 
 
+def _gif_sample(payload: bytes, stride: int) -> bytes:
+    """Container-level GIF frame sampling: keep every ``stride``-th
+    image descriptor's bytes VERBATIM (no LZW re-encode, no generation
+    loss — the MJPEG demux-only policy applied to GIF).  Extension
+    blocks travel with the image that follows them (so a dropped
+    frame's graphic-control extension drops with it; the NETSCAPE loop
+    extension before frame 0 survives, frame 0 always kept);
+    extensions after the last image are kept.  Frame disposal chains
+    are broken for dropped frames — inherent to any frame dropping,
+    same as the AVI path.  Single-frame GIFs round-trip byte-identical.
+    """
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    out = [payload[:pos]]
+    pending_start = pos  # start of extensions awaiting their image
+    k = 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer: keep trailing extensions
+            out.append(payload[pending_start:pos + 1])
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks (spanned over)
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor + local table + LZW data
+            ipk = payload[pos + 9]
+            pos += 10
+            if ipk & 0x80:
+                pos += 3 * (2 << (ipk & 0x07))
+            pos += 1  # LZW minimum code size
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            if k % stride == 0:
+                out.append(payload[pending_start:pos])
+            k += 1
+            pending_start = pos
+        else:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+    return b"".join(out)
+
+
 class SampleFrames:
-    """Actor-pool stage: keep every ``stride``-th frame of video payloads."""
+    """Actor-pool stage: keep every ``stride``-th frame of video
+    payloads and multi-frame (animated) GIF images."""
 
     def __init__(self, stride: int = 2):
         self.stride = stride
@@ -1322,6 +1371,13 @@ class SampleFrames:
         payloads = []
         for payload, kind in zip(batch["payload"].to_pylist(),
                                  batch["kind"].to_pylist()):
+            if kind == "image" and payload is not None \
+                    and payload[:6] in (b"GIF87a", b"GIF89a"):
+                try:
+                    payloads.append(_gif_sample(payload, self.stride))
+                except (ValueError, IndexError):
+                    payloads.append(payload)
+                continue
             if kind != "video":
                 payloads.append(payload)
                 continue

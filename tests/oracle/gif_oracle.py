@@ -166,3 +166,63 @@ def oracle_decode_gif(payload: bytes):
             idx = dest
         frames.append(pal[idx])
     return w, h, frames
+
+
+def oracle_gif_sample(payload: bytes, stride: int) -> bytes:
+    """Container-level frame-sampling restatement (the engine policy in
+    ``rayxt/multimodal.py::_gif_sample``, restated from the spec text
+    with a different mechanism): first pass records every block's
+    (kind, start, end) span via the cursor, a second pass groups each
+    image with the extension run before it and keeps every
+    ``stride``-th group plus the header prefix, trailing extensions and
+    the trailer, concatenating the original byte spans verbatim."""
+    c = _Cur(payload)
+    if c.take(6) not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad signature")
+    c.take(4)
+    packed = c.u8()
+    c.take(2)
+    if packed & 0x80:
+        c.take(3 * (2 << (packed & 7)))
+    prefix_end = c.p
+    spans = []  # (kind, start, end): kind in {"ext", "img", "trailer"}
+    while True:
+        start = c.p
+        blk = c.u8()
+        if blk == 0x3B:
+            spans.append(("trailer", start, c.p))
+            break
+        if blk == 0x21:
+            c.u8()
+            c.subblocks()
+            spans.append(("ext", start, c.p))
+        elif blk == 0x2C:
+            c.take(8)
+            ipk = c.u8()
+            if ipk & 0x80:
+                c.take(3 * (2 << (ipk & 7)))
+            c.u8()
+            c.subblocks()
+            spans.append(("img", start, c.p))
+        else:
+            raise ValueError(f"unexpected block 0x{blk:02x}")
+    groups = []  # each: (has_image, [spans])
+    run = []
+    for s in spans:
+        if s[0] == "ext":
+            run.append(s)
+        elif s[0] == "img":
+            groups.append((True, run + [s]))
+            run = []
+        else:
+            groups.append((False, run + [s]))  # trailing exts + trailer
+    out = [payload[:prefix_end]]
+    k = 0
+    for has_image, members in groups:
+        if has_image:
+            if k % stride == 0:
+                out.extend(payload[a:b] for _, a, b in members)
+            k += 1
+        else:
+            out.extend(payload[a:b] for _, a, b in members)
+    return b"".join(out)

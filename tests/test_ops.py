@@ -450,6 +450,52 @@ def test_media_decode_and_stages(ray_session, tmp_path):
         assert r["n_frames"] == (orig.loc[r["media_id"], "n_frames"] + 1) // 2
 
 
+def test_media_gif_frame_sample(ray_session):
+    """Animated-GIF frame sampling: container-level remux (no LZW
+    re-encode) — engine == independent span-grouping oracle on every
+    GIF fixture row at strides 1..3, single-frame GIFs byte-identical,
+    and the sampled decode equals every stride-th source frame."""
+    import numpy as np
+    import ray.data as rd
+
+    from fixtures.gen_media import _gif_spec, _is_gif_row, media_row
+    from rayxt.multimodal import (_gif_frames, _gif_sample, decode_media,
+                                  sample_frames)
+    from tests.oracle.gif_oracle import oracle_gif_sample
+
+    gif_ids = [i for i in range(120) if _is_gif_row(i)]
+    assert len(gif_ids) >= 8
+    rows = [media_row(i) for i in gif_ids]
+    multi = 0
+    for i, row in zip(gif_ids, rows):
+        payload = row["payload"]
+        for stride in (1, 2, 3):
+            got = _gif_sample(payload, stride)
+            assert got == oracle_gif_sample(payload, stride), (i, stride)
+        n = _gif_spec(i)[2]
+        if n == 1:
+            assert _gif_sample(payload, 2) == payload  # verbatim
+        else:
+            multi += 1
+            w, h, src = _gif_frames(payload)
+            w2, h2, kept = _gif_frames(_gif_sample(payload, 2))
+            assert (w2, h2) == (w, h)
+            assert len(kept) == (n + 1) // 2
+            for a, b in zip(kept, src[::2]):
+                assert np.array_equal(a, b)
+    assert multi >= 3  # the family actually exercises animations
+
+    # through the distributed stage: animated rows halve, stills keep 1
+    ds = rd.from_items(rows)
+    before = decode_media(ds, concurrency=1).to_pandas() \
+        .set_index("media_id")
+    after = decode_media(sample_frames(ds, stride=2, concurrency=1),
+                         concurrency=1).to_pandas().set_index("media_id")
+    for i in gif_ids:
+        assert after.loc[i, "n_frames"] == \
+            (before.loc[i, "n_frames"] + 1) // 2
+
+
 def test_media_avi_mjpeg_decode_and_sample(ray_session):
     """MJPEG-AVI: engine demux+decode == independent oracle == generator
     ground truth on fixture rows; frame sampling demuxes/re-muxes the
