@@ -231,6 +231,33 @@ def run_bench() -> dict:
                 f"== PASS 3 (pack sink) executed plan ==\n"
                 f"{fl_summary['pack_stats']}\n")
 
+    # HTML -> Markdown conversion over the SAME corpus (the third
+    # extraction path: structure-preserving export; consumed by an
+    # aggregate, no sink)
+    md_trials = int(os.environ.get("RAYXT_MD_TRIALS", "1"))
+    if md_trials:
+        import statistics as _st
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import ray.data as rd
+
+        from rayxt.markdown import extract_markdown
+
+        def _md_len(t):
+            return _pa.table({"n_chars": _pc.utf8_length(
+                _pc.fill_null(t["markdown"], ""))})
+
+        md_times = []
+        for _ in range(md_trials):
+            t0 = time.time()
+            md = extract_markdown(
+                rd.read_parquet(pages, columns=["url", "html"]),
+                concurrency=pool, batch_size=64)
+            md.map_batches(_md_len, batch_format="pyarrow").sum("n_chars")
+            md_times.append(time.time() - t0)
+        queries["markdown"] = round(_st.median(md_times), 3)
+
     # link graph over the SAME 600k-page corpus: outlink extraction
     # (actor-pool DOM walk) -> host-edge groupby -> broadcast-mode
     # PageRank power iteration.  The scale proof for the linkgraph
@@ -334,7 +361,7 @@ def run_scaling() -> None:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    RAYXT_HEADLINE_TRIALS="1", RAYXT_QUERY_TRIALS="0",
                    RAYXT_MC_TRIALS="0", RAYXT_FLAGSHIP_TRIALS="0",
-                   RAYXT_LINKGRAPH_TRIALS="0",
+                   RAYXT_LINKGRAPH_TRIALS="0", RAYXT_MD_TRIALS="0",
                    RAYXT_BENCH_EXTRACT=os.environ.get("RAYXT_BENCH_EXTRACT", "1"))
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],

@@ -879,7 +879,9 @@ def connected_components(pairs_ds, *, max_rounds: int = 10,
 
         s = lbls.map_batches(halves, batch_format="pyarrow") \
             .sum(["hi", "lo"])
-        if s is None:
+        # empty label set: Ray returns None for a single aggregate but
+        # a None-valued dict for multi-column sums — treat both as None
+        if s is None or s.get("sum(hi)") is None:
             return None
         return int(s["sum(hi)"]) * (1 << 32) + int(s["sum(lo)"])
 

@@ -140,8 +140,11 @@ def temperature_mix_sample(ds, id_col: str, domain_col: str, *,
     pure function of ``(id, domain)``, so resumes and repartitions
     sample identically."""
     cdf = ds.groupby(domain_col).count().to_pandas()
-    counts = {d: int(n) for d, n in
-              zip(cdf[domain_col], cdf["count()"]) if d is not None}
+    if domain_col not in cdf.columns:  # empty aggregate, schema-less
+        counts = {}
+    else:
+        counts = {d: int(n) for d, n in
+                  zip(cdf[domain_col], cdf["count()"]) if d is not None}
     rates = temperature_mix_rates(counts, alpha=alpha,
                                   target_rows=target_rows)
     return stratified_hash_sample(ds, id_col, domain_col, rates,

@@ -46,6 +46,9 @@ __all__ = [
     "add_repetition_signals",
     "compression_ratio_of",
     "add_compression_ratio",
+    "keyword_pattern",
+    "add_keyword_flag",
+    "filter_keywords",
     "normalize_text",
     "inverted_index",
     "canonicalize_url",
@@ -207,6 +210,55 @@ def add_fingerprint(ds, col: str = "text", out: str = "fingerprint"):
         return t.append_column(out, pa.array(fps, pa.string()))
 
     return ds.map_batches(batch_fp, batch_format="pyarrow")
+
+
+def keyword_pattern(phrases) -> str:
+    """FROZEN wordlist-match policy (C4-style blocklist filtering):
+    case-insensitive whole-word match of any phrase — one RE2
+    alternation ``(?i)\\b(p1|p2|...)\\b`` over the lowercased, deduped,
+    sorted, ``re.escape``d phrase list.  The SAME pattern string runs
+    in the DuckDB oracle (both engines are RE2), so the gate pins the
+    policy without a golden."""
+    import re as _re
+
+    toks = sorted({p.strip().lower() for p in phrases if p.strip()})
+    if not toks:
+        raise ValueError("empty phrase list")
+    return r"(?i)\b(" + "|".join(_re.escape(p) for p in toks) + r")\b"
+
+
+def add_keyword_flag(ds, phrases, col: str = "text",
+                     out: str = "keyword_hit"):
+    """Append a bool column: does the text contain any listed phrase
+    as whole words?  The pattern compiles once per pickled UDF; the
+    per-batch work is one vectorized RE2 kernel, zero exchanges."""
+    import pyarrow.compute as pc
+
+    pattern = keyword_pattern(phrases)
+
+    def flag(t: pa.Table) -> pa.Table:
+        # cast first: an all-null block arrives null-typed
+        vals = pc.fill_null(t[col].cast(pa.string()), "")
+        return t.append_column(out, pc.match_substring_regex(vals, pattern))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def filter_keywords(ds, phrases, col: str = "text", *,
+                    negate: bool = True):
+    """Blocklist filter: with ``negate=True`` (the C4 use) keep rows
+    WITHOUT any listed phrase; ``negate=False`` keeps the hits."""
+    import pyarrow.compute as pc
+
+    pattern = keyword_pattern(phrases)
+
+    def keep(t: pa.Table) -> pa.Table:
+        # cast first: an all-null block arrives null-typed
+        vals = pc.fill_null(t[col].cast(pa.string()), "")
+        hit = pc.match_substring_regex(vals, pattern)
+        return t.filter(pc.invert(hit) if negate else hit)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def compression_ratio_of(text: str):

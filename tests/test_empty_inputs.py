@@ -213,3 +213,34 @@ def test_session2_ops_on_empty(ray_session):
         assert pca_project(emb, k=2).count() == 0
     except ZeroDivisionError:
         pytest.fail("pca_project must survive an empty input")
+
+
+def test_connected_components_on_empty(ray_session):
+    """Regression: the hi/lo checksum split returned a None-valued
+    dict (not None) on an empty edge set and crashed int(None)."""
+    from rayxt.dedup import connected_components
+
+    pairs = _empty({"id_a": pa.int64(), "id_b": pa.int64()})
+    out = connected_components(pairs)
+    assert out.count() == 0
+
+
+def test_session3_ops_on_empty(ray_session):
+    from rayxt.markdown import extract_markdown
+    from rayxt.metadata import filter_noindex
+    from rayxt.sampling import temperature_mix_sample
+    from rayxt.text import add_compression_ratio, filter_keywords
+    from rayxt.wat import build_wat
+
+    pages = _empty({"url": pa.string(), "warc_ts": pa.timestamp("us"),
+                    "html": pa.binary()})
+    assert extract_markdown(pages).count() == 0
+    assert build_wat(pages).count() == 0
+    meta = _empty({"url": pa.string(), "meta_robots": pa.string(),
+                   "status": pa.string()})
+    assert filter_noindex(meta).count() == 0
+    docs = _empty(DOC)
+    assert add_compression_ratio(docs).count() == 0
+    assert filter_keywords(docs, ["x"]).count() == 0
+    assert temperature_mix_sample(docs, "doc_id", "lang",
+                                  target_rows=10).count() == 0

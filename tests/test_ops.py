@@ -1742,3 +1742,39 @@ def test_redact_pii_matches_duckdb(ray_session):
     want = duckdb.sql(sql).df()
     for c in want.columns:
         assert list(got[c]) == list(want[c]), c
+
+
+def test_keyword_filter(ray_session):
+    import ray.data as rd
+
+    from rayxt.text import add_keyword_flag, filter_keywords, keyword_pattern
+
+    assert keyword_pattern(["B", "a", "b "]) == r"(?i)\b(a|b)\b"
+    rows = [
+        ("hit one", "the Spark engine"),        # case-insensitive
+        ("miss sub", "sparkle and dupes"),      # substrings don't count
+        ("hit phrase", "a hash  join here"),    # ws-exact phrase? no
+        ("hit exact", "one hash join here"),
+        ("miss", "clean text"),
+        ("null", None),
+    ]
+    ds = rd.from_items([{"k": k, "text": t} for k, t in rows])
+    phrases = ["spark", "dup", "hash join"]
+    flags = {r["k"]: r["hit"] for r in
+             add_keyword_flag(ds, phrases, out="hit").take_all()}
+    assert flags == {"hit one": True, "miss sub": False,
+                     "hit phrase": False,  # double space: not the phrase
+                     "hit exact": True, "miss": False, "null": False}
+    kept = {r["k"] for r in filter_keywords(ds, phrases).take_all()}
+    assert kept == {"miss sub", "hit phrase", "miss", "null"}
+    # DuckDB parity on the same pattern (both RE2)
+    import duckdb
+
+    pat = keyword_pattern(phrases)
+    for _, t in rows:
+        if t is None:
+            continue
+        want = duckdb.sql(
+            "SELECT regexp_matches(?, ?)", params=[t, pat]).fetchone()[0]
+        got = flags[[k for k, tt in rows if tt == t][0]]
+        assert got == want, t
