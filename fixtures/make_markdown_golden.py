@@ -80,6 +80,23 @@ def main() -> None:
           f"golden_markdown_links.parquet: {lt.num_rows} rows, "
           f"{sum(lk_ns)} links")
 
+    # markdown golden over the 5000-page CONFORMANCE corpus (the
+    # committed pages_conf.parquet) — the oracle for the end-to-end
+    # WARC -> markdown -> JSONL chain (pages_warc_markdown)
+    conf = pq.read_table(os.path.join(DATA_DIR, "pages_conf.parquet"),
+                         columns=["url", "html"])
+    crows = [oracle_markdown(h) for h in conf.column("html").to_pylist()]
+    ct = pa.table({
+        "url": pa.array(conf.column("url").to_pylist(), pa.string()),
+        "markdown": pa.array([r["markdown"] for r in crows], pa.string()),
+        "status": pa.array([r["status"] for r in crows], pa.string()),
+    })
+    pq.write_table(ct, os.path.join(DATA_DIR,
+                                    "golden_markdown_conf.parquet"))
+    cstat = Counter(ct["status"].to_pylist())
+    print(f"golden_markdown_conf.parquet: {ct.num_rows} rows, "
+          f"statuses={dict(cstat)}")
+
 
 if __name__ == "__main__":
     main()
