@@ -50,6 +50,9 @@ __all__ = [
     "add_keyword_flag",
     "filter_keywords",
     "normalize_text",
+    "clean_lines",
+    "clean_lines_sql_exprs",
+    "CLEAN_LINE_MIN_WORDS",
     "inverted_index",
     "canonicalize_url",
     "chunk_documents",
@@ -959,3 +962,105 @@ def redact_sql_expr(text_expr: str = "coalesce(text, '')",
         cur = f"regexp_replace({cur}, '{esc}', '{repl}', 'g')"
     cols["text_redacted"] = cur
     return cols
+
+
+# C4-style line-level cleaning (Raffel et al. 2020 §2.2, frozen subset).
+# A document's text splits on "\n"; a line is KEPT iff it has at least
+# CLEAN_LINE_MIN_WORDS whitespace-delimited words, ends in terminal
+# punctuation (ignoring trailing blanks), and does not mention
+# "javascript" as a word.  The pattern strings below run VERBATIM in
+# both Arrow and DuckDB — both are RE2, so the oracle is REAL SQL.
+# Policy details that matter for parity:
+#   - null text -> null n_lines / n_kept / text_clean
+#   - zero kept lines -> text_clean is NULL (DuckDB's array_to_string
+#     over an empty list yields NULL, not '')
+#   - kept lines re-join with "\n" keeping their original bytes
+#     (trailing blanks on a kept line survive)
+CLEAN_LINE_MIN_WORDS = 3
+CLEAN_LINE_WORD_RE = r"[^ \t\r]+"
+CLEAN_LINE_END_RE = r'[.!?"][ \t\r]*$'
+CLEAN_LINE_DROP_RE = r"(?i)\bjavascript\b"
+
+
+def _clean_lines_table(t: pa.Table, key_cols, text_col: str,
+                       min_words: int, out: str) -> pa.Table:
+    col = t[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    lines = pc.split_pattern(col, "\n")
+    flat = pc.list_flatten(lines)
+    parents = pc.list_parent_indices(lines)
+    words = pc.count_substring_regex(flat, CLEAN_LINE_WORD_RE)
+    keep = pc.and_kleene(
+        pc.greater_equal(words, min_words),
+        pc.match_substring_regex(flat, CLEAN_LINE_END_RE))
+    keep = pc.and_kleene(
+        keep, pc.invert(pc.match_substring_regex(flat, CLEAN_LINE_DROP_RE)))
+    kept_parent = parents.filter(keep).to_numpy(zero_copy_only=False)
+    kept_vals = flat.filter(keep)
+    counts = np.bincount(kept_parent, minlength=n) if n else \
+        np.zeros(0, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    joined = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                      pc.cast(kept_vals, pa.large_string())),
+        pa.scalar("\n", pa.large_string()))
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    null_s = pa.nulls(n, pa.large_string())
+    text_clean = pc.cast(
+        pc.if_else(pa.array((counts > 0) & valid), joined, null_s),
+        pa.string())
+    null_i = pa.nulls(n, pa.int64())
+    vmask = pa.array(valid)
+    n_lines = pc.if_else(vmask, pc.cast(pc.list_value_length(lines),
+                                        pa.int64()), null_i)
+    n_kept = pc.if_else(vmask, pa.array(counts, pa.int64()), null_i)
+    res = t.select(list(key_cols))
+    return (res.append_column("n_lines", n_lines)
+               .append_column("n_kept", n_kept)
+               .append_column(out, text_clean))
+
+
+def clean_lines(ds, key_cols, text_col: str = "text", *,
+                min_words: int = CLEAN_LINE_MIN_WORDS,
+                out: str = "text_clean"):
+    """C4-style line cleaning: drop lines that are too short, lack
+    terminal punctuation, or mention "javascript"; re-join survivors.
+
+    Fully vectorized — split/flatten/regex/re-join are Arrow kernels
+    over the flattened line array, zero exchanges, no Python loop.
+    Returns one row per input row: keys + ``n_lines`` + ``n_kept`` +
+    ``out`` (null when no line survives, mirroring DuckDB's
+    ``array_to_string`` on an empty list).  Oracle-checked by REAL SQL
+    via :func:`clean_lines_sql_exprs` (shared RE2 pattern strings).
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+
+    def clean(t: pa.Table) -> pa.Table:
+        return _clean_lines_table(t, key_cols, text_col, min_words, out)
+
+    return ds.select_columns(list(key_cols) + [text_col]).map_batches(
+        clean, batch_format="pyarrow")
+
+
+def clean_lines_sql_exprs(text_expr: str = "text",
+                          min_words: int = CLEAN_LINE_MIN_WORDS) -> dict:
+    """ANSI-SQL (DuckDB) restatement of :func:`clean_lines` over the
+    IDENTICAL RE2 pattern strings: output column -> SQL expression."""
+    def esc(p):
+        return p.replace("'", "''")
+
+    keep = (f"len(regexp_extract_all(l, '{esc(CLEAN_LINE_WORD_RE)}')) "
+            f">= {min_words} "
+            f"AND regexp_matches(l, '{esc(CLEAN_LINE_END_RE)}') "
+            f"AND NOT regexp_matches(l, '{esc(CLEAN_LINE_DROP_RE)}')")
+    split = f"string_split({text_expr}, chr(10))"
+    filt = f"list_filter({split}, l -> {keep})"
+    return {
+        "n_lines": f"CAST(len({split}) AS BIGINT)",
+        "n_kept": f"CAST(len({filt}) AS BIGINT)",
+        "text_clean": f"array_to_string({filt}, chr(10))",
+    }

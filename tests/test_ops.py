@@ -1778,3 +1778,57 @@ def test_keyword_filter(ray_session):
             "SELECT regexp_matches(?, ?)", params=[t, pat]).fetchone()[0]
         got = flags[[k for k, tt in rows if tt == t][0]]
         assert got == want, t
+
+
+def test_clean_lines_policy_and_duckdb_parity(ray_session):
+    """C4-style line cleaning: frozen keep policy (>=3 words, terminal
+    punctuation, no "javascript"), null/empty/zero-kept edges, and
+    exact parity with the DuckDB list_filter restatement over the SAME
+    RE2 pattern strings."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayxt.text import clean_lines, clean_lines_sql_exprs
+
+    rows = [
+        (0, "Hello there world.\nshort\nUse javascript here now.\n"
+            "A good long line!  \nJavaScript is case-folded away."),
+        (1, ""),                               # 1 line, 0 kept -> null
+        (2, None),                             # null in, nulls out
+        (3, "one two"),                        # too few words
+        (4, 'ends with quote words here."'),   # quote counts as terminal
+        (5, "tab\tseparated words count fine?"),
+        (6, "line one is kept here.\n\nline three is kept too!"),
+        (7, "ecmascript/javascripty words are not word-matches ok."),
+        (8, "trailing blanks survive the join.   \nsecond keeper here."),
+    ]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    got = clean_lines(rd.from_arrow(t).repartition(3), "doc_id") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    by = {int(r["doc_id"]): r for _, r in got.iterrows()}
+    assert by[0]["text_clean"] == "Hello there world.\nA good long line!  "
+    assert (by[0]["n_lines"], by[0]["n_kept"]) == (5, 2)
+    assert by[1]["text_clean"] is None and by[1]["n_kept"] == 0
+    assert by[2]["text_clean"] is None and pd.isna(by[2]["n_lines"])
+    assert by[3]["text_clean"] is None
+    assert by[4]["text_clean"] == rows[4][1]
+    assert by[5]["text_clean"] == rows[5][1]     # tabs delimit words
+    assert by[6]["n_kept"] == 2
+    # \b boundary: "javascripty" has no trailing boundary -> no word
+    # match -> the line survives
+    assert by[7]["text_clean"] == rows[7][1]
+    assert by[8]["text_clean"] == rows[8][1]
+
+    path = "/tmp/rayxt_clean_lines_unit.parquet"
+    pq.write_table(t, path)
+    cols = clean_lines_sql_exprs("text")
+    sql = ("SELECT doc_id, "
+           + ", ".join(f"{e} AS {n}" for n, e in cols.items())
+           + f" FROM '{path}' ORDER BY doc_id")
+    want = duckdb.sql(sql).df()
+    for c in ("n_lines", "n_kept", "text_clean"):
+        gv = [None if pd.isna(v) else v for v in got[c]]
+        wv = [None if pd.isna(v) else v for v in want[c]]
+        assert gv == wv, c
