@@ -1394,3 +1394,104 @@ def ensure_markdown_parquet(path: str, n_rows: int) -> str:
     pq.write_table(generate_markdown_table(n_rows), tmp)
     os.rename(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# table-extraction fixture family (rayxt/tables.py)
+# ---------------------------------------------------------------------------
+
+def tables_page_of(i: int) -> tuple[str, bytes]:
+    """(url, html) for the table-extraction fixture: every shape the
+    frozen grid policy must hit — plain grids, th header rows,
+    colspan/rowspan (incl. both at once and origin-only collision
+    "model errors"), junk/clamped span values, thead/tbody/tfoot
+    wrappers, implied-close tag soup (unclosed td/tr), NESTED tables
+    inside cells, td directly inside td, orphan tr/td outside any
+    table, uppercase tags, entities / inline markup / script inside
+    cell text, empty cells, multi-table pages and no-table pages."""
+    h = _h(i, "tbl")
+    url = f"https://tb{h % 40}.example.org/t/{i:06d}.html"
+    v = i % 12
+    w = lambda s, n: _words(i, "tb" + s, n)  # noqa: E731
+    if v == 0:  # plain 3x3 with header row
+        body = ("<table><tr><th>A</th><th>B</th><th>C</th></tr>"
+                f"<tr><td>{w('a', 2)}</td><td>{w('b', 1)}</td><td></td></tr>"
+                f"<tr><td>{w('c', 3)}</td><td>1</td><td>2</td></tr></table>")
+    elif v == 1:  # colspan + rowspan interplay
+        body = ("<table><tr><td rowspan=2>tall</td><td colspan=\"2\">wide"
+                f"</td></tr><tr><td>{w('d', 1)}</td><td>x</td></tr>"
+                "<tr><td>a</td><td>b</td><td>c</td></tr></table>")
+    elif v == 2:  # junk + clamped spans; 0 -> 1
+        body = ("<table><tr><td colspan='abc'>j1</td>"
+                "<td colspan=' 3 '>s3</td><td rowspan=0>z</td></tr>"
+                "<tr><td colspan=100000>cap</td><td rowspan=-2>neg</td>"
+                "</tr></table>")
+    elif v == 3:  # thead/tbody/tfoot wrappers are transparent
+        body = ("<table><thead><tr><th>H1</th><th>H2</th></tr></thead>"
+                f"<tbody><tr><td>{w('e', 2)}</td><td>r1</td></tr>"
+                "<tr><td>r2a</td><td>r2b</td></tbody>"
+                "<tfoot><tr><td colspan=2>foot</td></tr></tfoot></table>")
+    elif v == 4:  # implied-close soup: no </td>/</tr> anywhere
+        body = ("<TABLE><TR><TD>s1<TD>s2<TR><TD rowspan=2>s3<TD>s4"
+                "<TR><TD>s5</TABLE>")
+    elif v == 5:  # nested table inside a cell
+        body = ("<table><tr><td>outer "
+                "<table><tr><td>inner1</td><td>inner2</td></tr></table>"
+                f" after</td><td>{w('f', 2)}</td></tr></table>")
+    elif v == 6:  # two sibling tables + orphan tr/td outside any table
+        body = ("<tr><td>orphan</td></tr>"
+                "<table><tr><td>t0</td></tr></table><p>between</p>"
+                "<table><tr><th>t1h</th></tr><tr><td>t1c</td></tr></table>"
+                "<td>stray</td>")
+    elif v == 7:  # no tables at all
+        body = f"<p>{w('g', 20)}</p>"
+    elif v == 8:  # entities, inline markup, script/style inside cells
+        body = ("<table><tr>"
+                "<td>a &amp; b<!--x--><script>drop()</script>kept</td>"
+                "<td><b>bo</b>ld <i>it</i>alic</td>"
+                "<td>  ws   collapse  </td></tr></table>")
+    elif v == 9:  # td directly inside td (no intervening tr/table)
+        body = ("<table><tr><td>host<div><td>inner-cell</div></td>"
+                "<td>last</td></tr></table>")
+    elif v == 10:  # model error: wide cell vs blocked column
+        body = ("<table><tr><td rowspan=3>L</td><td>r0</td></tr>"
+                "<tr><td colspan=4>overlap</td></tr>"
+                "<tr><td>tail</td></tr></table>")
+    else:  # deep rowspan ladder
+        body = ("<table>"
+                "<tr><td rowspan=4>r4</td><td rowspan=3>r3</td>"
+                "<td rowspan=2>r2</td><td>c</td></tr>"
+                "<tr><td>p1</td></tr><tr><td>p2</td></tr>"
+                "<tr><td>p3</td><td>p4</td></tr></table>")
+    html = (f"<html><head><title>t{i}</title></head><body>"
+            f"<h1>{w('h', 3)}</h1>{body}</body></html>").encode()
+    return url, html
+
+
+def generate_tables_table(n_rows: int) -> pa.Table:
+    rows = [tables_page_of(i) for i in range(n_rows)]
+    urls = [r[0] for r in rows]
+    htmls: list = [r[1] for r in rows]
+    if n_rows > 5:
+        htmls[5] = None  # null html -> no rows
+    if n_rows > 17:
+        htmls[17] = b""  # empty html -> no rows
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(
+            [_EPOCH_2025_US + i * 1000000 for i in range(n_rows)],
+            pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+    })
+
+
+def ensure_tables_parquet(path: str, n_rows: int) -> str:
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(generate_tables_table(n_rows), tmp)
+    os.rename(tmp, path)
+    return path
