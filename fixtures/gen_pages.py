@@ -1495,3 +1495,29 @@ def ensure_tables_parquet(path: str, n_rows: int) -> str:
     pq.write_table(generate_tables_table(n_rows), tmp)
     os.rename(tmp, path)
     return path
+
+
+def ensure_warc_conf(wdir: str, pages_parquet: str) -> list:
+    """Stage the conformance pages as the three CC container layouts
+    (one plain, one per-record-gzip, one per-record-zstd), splitting
+    the corpus in thirds — idempotent via a ``.done`` marker.  Shared
+    by the WARC-sourced gate queries and the CDX golden maker so both
+    see byte-identical containers."""
+    import pyarrow.parquet as pq
+
+    from rayxt.warc import write_warc
+
+    paths = [os.path.join(wdir, n)
+             for n in ("a.warc", "b.warc.gz", "c.warc.zst")]
+    done = os.path.join(wdir, ".done")
+    if not os.path.exists(done):
+        os.makedirs(wdir, exist_ok=True)
+        rows = pq.read_table(
+            pages_parquet, columns=["url", "warc_ts", "html"]).to_pylist()
+        third = len(rows) // 3
+        write_warc(rows[:third], paths[0])
+        write_warc(rows[third:2 * third], paths[1])
+        write_warc(rows[2 * third:], paths[2])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return paths

@@ -59,7 +59,8 @@ import pyarrow.compute as pc
 from .warc import _NativeWrapper
 
 __all__ = ["surt", "surt_key", "parse_cdxj_line", "read_cdxj",
-           "latest_capture", "cdx_diff"]
+           "latest_capture", "cdx_diff", "build_cdx", "write_cdxj",
+           "export_cdxj"]
 
 _URL_RE = re.compile(
     r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?")
@@ -305,3 +306,429 @@ def cdx_diff(old, new, *, num_partitions: int = 8):
         })
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# CDX generation (the cdx-indexer side): WARC containers -> index rows
+# ---------------------------------------------------------------------------
+#
+# Common Crawl derives its index FROM the containers: for every
+# ``response`` record, the capture's urlkey/timestamp plus the seek
+# coordinates (filename, byte offset, compressed length) that let a
+# fetcher pull exactly that record without reading the rest of the
+# file.  Those coordinates are properties of the CONTAINER layout, so
+# the indexer walks raw bytes itself (never a decompressing reader):
+#
+# * ``.warc.gz`` — one gzip member per record (the CC layout): members
+#   found by handing each member to ``zlib.decompressobj(wbits=31)``
+#   and resuming at ``unused_data``; offset/length are the member's
+#   compressed span.  A member holding several records attributes all
+#   of them to the member's span (seekable unit = member).
+# * ``.warc.zst`` — one zstd frame per record: frames walked per RFC
+#   8878 (descriptor-sized header fields, then 3-byte block headers
+#   until ``last``), skippable frames skipped; each frame slice is
+#   decompressed via pyarrow's bundled codec.
+# * plain ``.warc`` — seekable unit = the record itself: offset is the
+#   first byte of the version line, length runs through the record's
+#   trailing CRLF CRLF.
+#
+# FROZEN row policy (restated independently by
+# ``tests/oracle/cdxgen_oracle.py`` — RFC 1952 field-level member walk
+# with CRC/ISIZE verification, its own frame walk, regex header parse,
+# arithmetic base32 — never this module's mechanisms):
+#
+# 1. one row per ``WARC-Type: response`` record, in container order;
+#    every other record type (warcinfo/request/metadata/conversion/..)
+#    is skipped.
+# 2. ``urlkey`` = the frozen SURT transform of WARC-Target-URI (null
+#    for out-of-scope URLs — such rows are still emitted by
+#    ``build_cdx`` but SKIPPED by ``write_cdxj``: they cannot be
+#    looked up).
+# 3. ``ts`` = WARC-Date (null when unparsable).
+# 4. ``mime`` = the HTTP Content-Type value before the first ``;``,
+#    ASCII-stripped and lowercased, null when absent or when the
+#    payload has no HTTP head; ``status`` = the status-line code under
+#    the ``read_warc(with_http=True)`` policy.
+# 5. ``digest`` = RFC 4648 base32 of SHA-1 over the RAW stored HTTP
+#    body (bytes after the first CRLF CRLF; never de-chunked) — CC's
+#    WARC-Payload-Digest convention without the ``sha1:`` prefix.
+#    An empty body digests normally (sha1 of b"").
+# 6. ``filename`` = the basename of the container path.
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+class _BufStream:
+    """Buffered reader over a raw byte stream tracking the ABSOLUTE
+    offset of the next unconsumed byte (``pos``)."""
+
+    def __init__(self, f, chunk: int = 1 << 16):
+        self._f = f
+        self._chunk = chunk
+        self._buf = b""
+        self._eof = False
+        self.pos = 0
+
+    def _fill(self) -> bool:
+        b = self._f.read(self._chunk)
+        if not b:
+            self._eof = True
+            return False
+        self._buf += b
+        return True
+
+    def peek(self, n: int) -> bytes:
+        while len(self._buf) < n and not self._eof:
+            self._fill()
+        return self._buf[:n]
+
+    def read(self, n: int) -> bytes:
+        while len(self._buf) < n and not self._eof:
+            self._fill()
+        out, self._buf = self._buf[:n], self._buf[n:]
+        self.pos += len(out)
+        return out
+
+    def read_some(self) -> bytes:
+        """Whatever is buffered (filling once if empty); b'' at EOF."""
+        if not self._buf and not self._eof:
+            self._fill()
+        out, self._buf = self._buf, b""
+        self.pos += len(out)
+        return out
+
+    def readline(self) -> bytes:
+        while True:
+            i = self._buf.find(b"\n")
+            if i >= 0:
+                out, self._buf = self._buf[:i + 1], self._buf[i + 1:]
+                self.pos += len(out)
+                return out
+            if not self._fill():
+                out, self._buf = self._buf, b""
+                self.pos += len(out)
+                return out
+
+
+def _iter_gzip_members(bs: _BufStream):
+    """(offset, compressed_length, decompressed bytes) per gzip member:
+    each member inflates under ``wbits=31`` and the walk resumes at the
+    decompressor's ``unused_data`` boundary."""
+    import zlib
+
+    leftover = b""
+    start = 0
+    while True:
+        if not leftover:
+            start = bs.pos
+            leftover = bs.read_some()
+            if not leftover:
+                return
+        else:
+            start = bs.pos - len(leftover)
+        d = zlib.decompressobj(31)
+        parts = []
+        fed = 0
+        chunk = leftover
+        leftover = b""
+        while True:
+            parts.append(d.decompress(chunk))
+            fed += len(chunk)
+            if d.eof:
+                leftover = d.unused_data
+                fed -= len(leftover)
+                yield start, fed, b"".join(parts)
+                break
+            chunk = bs.read_some()
+            if not chunk:
+                raise ValueError("truncated gzip member")
+
+
+def _iter_zstd_frames(bs: _BufStream):
+    """(offset, compressed_length, decompressed bytes) per zstd frame
+    (RFC 8878 walk); skippable frames (magic 0x184D2A5?) are skipped."""
+    while True:
+        start = bs.pos
+        magic = bs.peek(4)
+        if not magic:
+            return
+        if len(magic) < 4:
+            raise ValueError("truncated zstd stream")
+        if magic[0] in range(0x50, 0x60) and magic[1] == 0x2A \
+                and magic[2] == 0x4D and magic[3] == 0x18:
+            head = bs.read(8)  # skippable frame: magic + LE32 size
+            size = int.from_bytes(head[4:8], "little")
+            if len(bs.read(size)) != size:
+                raise ValueError("truncated skippable frame")
+            continue
+        if magic != _ZSTD_MAGIC:
+            raise ValueError(f"not a zstd frame at {start}: {magic!r}")
+        frame = bytearray(bs.read(4))
+        desc_b = bs.read(1)
+        if not desc_b:
+            raise ValueError("truncated zstd frame header")
+        frame += desc_b
+        desc = desc_b[0]
+        fcs_flag = desc >> 6
+        single_segment = (desc >> 5) & 1
+        checksum = (desc >> 2) & 1
+        did_size = (0, 1, 2, 4)[desc & 3]
+        if desc & 0x18:
+            raise ValueError("reserved zstd descriptor bits set")
+        fcs_size = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
+        n_head = (0 if single_segment else 1) + did_size + fcs_size
+        head = bs.read(n_head)
+        if len(head) != n_head:
+            raise ValueError("truncated zstd frame header")
+        frame += head
+        while True:  # block walk: 3-byte LE header
+            bh = bs.read(3)
+            if len(bh) != 3:
+                raise ValueError("truncated zstd block header")
+            frame += bh
+            v = int.from_bytes(bh, "little")
+            last, btype, bsize = v & 1, (v >> 1) & 3, v >> 3
+            if btype == 3:
+                raise ValueError("reserved zstd block type")
+            span = 1 if btype == 1 else bsize  # RLE stores one byte
+            body = bs.read(span)
+            if len(body) != span:
+                raise ValueError("truncated zstd block")
+            frame += body
+            if last:
+                break
+        if checksum:
+            frame += bs.read(4)
+        blob = bytes(frame)
+        out = pa.CompressedInputStream(
+            pa.BufferReader(blob), "zstd").read()
+        yield start, len(blob), bytes(out)
+
+
+def _iter_plain_records(bs: _BufStream):
+    """(offset, length, record bytes) per record of a PLAIN WARC
+    stream: version line + headers + blank line + Content-Length
+    payload + CRLF CRLF."""
+    while True:
+        # skip inter-record blank lines; the record starts at the
+        # version line
+        while True:
+            start = bs.pos
+            line = bs.readline()
+            if not line:
+                return
+            if line.rstrip(b"\r\n"):
+                break
+        head = [line]
+        length = 0
+        while True:
+            line = bs.readline()
+            if not line:
+                raise ValueError("truncated WARC header block")
+            head.append(line)
+            s = line.rstrip(b"\r\n")
+            if not s:
+                break
+            name, _, val = s.partition(b":")
+            if name.strip().lower() == b"content-length":
+                length = int(val.strip())
+        payload = bs.read(length)
+        if len(payload) != length:
+            raise ValueError("truncated WARC payload")
+        tail = bs.read(4)  # the record's CRLF CRLF
+        rec = b"".join(head) + payload + tail
+        yield start, bs.pos - start, rec
+
+
+def _iter_container_units(bs: _BufStream):
+    """Dispatch on the container magic: (offset, length, decompressed
+    bytes) seekable units for gz / zst / plain WARC streams."""
+    magic = bs.peek(4)
+    if magic[:2] == b"\x1f\x8b":
+        return _iter_gzip_members(bs)
+    if magic == _ZSTD_MAGIC or _is_skippable(magic):
+        return _iter_zstd_frames(bs)
+    return _iter_plain_records(bs)
+
+
+def _is_skippable(magic: bytes) -> bool:
+    """zstd skippable-frame magic 0x184D2A50..5F (little-endian)."""
+    return (len(magic) == 4 and 0x50 <= magic[0] <= 0x5F
+            and magic[1:] == b"\x2a\x4d\x18")
+
+
+def _open_raw(path: str):
+    """Raw (NEVER auto-decompressed) byte stream for one path, via
+    pyarrow.fs so URI-addressed stores work like local files."""
+    from pyarrow import fs as pafs
+
+    try:
+        fsys, rel = pafs.FileSystem.from_uri(path)
+    except Exception:
+        fsys, rel = pafs.LocalFileSystem(), path
+    return fsys.open_input_stream(rel, compression=None)
+
+
+def _index_units(path: str):
+    """CDX row dicts for one container, in container order."""
+    import base64
+    import hashlib
+    import io as _io
+    import posixpath
+
+    from .warc import parse_warc_records
+
+    filename = posixpath.basename(path.rstrip("/"))
+    bs = _BufStream(_open_raw(path))
+    for offset, length, blob in _iter_container_units(bs):
+        for url, ts, body, status, ctype in parse_warc_records(
+                _io.BytesIO(blob), record_types=(b"response",),
+                with_http=True):
+            mime = None
+            if ctype:
+                mime = ctype.split(";", 1)[0].strip() or None
+            yield {
+                "urlkey": surt(url),
+                "ts": ts,
+                "url": url or None,
+                "mime": mime,
+                "status": status,
+                "digest": base64.b32encode(
+                    hashlib.sha1(body).digest()).decode("ascii"),
+                "length": length,
+                "offset": offset,
+                "filename": filename,
+            }
+
+
+def build_cdx(paths, *, batch_rows: int = 4096):
+    """WARC containers -> Dataset of CDX index rows (the cdx-indexer
+    side of the index layer; ``read_cdxj`` is the consumer side).
+
+    Scale shape: one task per container file (CC segments are ~1 GiB,
+    thousands per crawl), each walking its container's raw bytes as a
+    bounded stream — at most one seekable unit (one record, in the CC
+    layouts) is held decompressed at a time, and rows flush every
+    ``batch_rows``.  Output is the narrow typed index schema; payload
+    bytes die inside the task."""
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        paths = [paths]
+    paths = list(paths)
+
+    def index_files(batch: pa.Table):
+        rows = []
+        for path in batch["path"].to_pylist():
+            for row in _index_units(path):
+                rows.append(row)
+                if len(rows) >= batch_rows:
+                    yield _cdx_table(rows)
+                    rows = []
+        if rows:
+            yield _cdx_table(rows)
+
+    return rd.from_items(
+        [{"path": p} for p in paths], override_num_blocks=len(paths),
+    ).map_batches(index_files, batch_format="pyarrow", batch_size=None)
+
+
+def write_cdxj(rows, path: str, *, gzip_compress: bool | None = None
+               ) -> str:
+    """CDX row dicts -> ONE CDXJ index shard: ``urlkey SP timestamp14
+    SP json`` lines sorted bytewise by (urlkey, timestamp14, url) —
+    the CC shard layout ``read_cdxj`` consumes.  Frozen: rows with a
+    null urlkey or null ts are SKIPPED (unindexable); ``ts`` truncates
+    to the 14-digit second grain; null fields are omitted from the
+    flat string-valued JSON.  ``.gz`` paths gzip the whole shard
+    (the CC index layout — unlike WARCs, index shards are scanned
+    sequentially, so per-line members buy nothing)."""
+    import gzip as _gzip
+
+    if gzip_compress is None:
+        gzip_compress = path.endswith(".gz")
+    lines = []
+    for r in rows:
+        if not r.get("urlkey") or r.get("ts") is None:
+            continue
+        ts14 = r["ts"].strftime("%Y%m%d%H%M%S")
+        fields = {}
+        for name in ("url", "mime", "status", "digest", "length",
+                     "offset", "filename"):
+            v = r.get(name)
+            if v is not None:
+                fields[name] = str(v)
+        lines.append(f"{r['urlkey']} {ts14} {json.dumps(fields)}\n")
+    lines.sort()
+    blob = "".join(lines).encode("utf-8")
+    if gzip_compress:
+        buf = io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(blob)
+        blob = buf.getvalue()
+    with open(path, "wb") as out:
+        out.write(blob)
+    return path
+
+
+def export_cdxj(ds, out_dir: str, num_partitions: int = 16):
+    """Distributed CDXJ export: urlkey-hash-partitioned index shards,
+    one ``part-NNNN.cdxj.gz`` per partition written atomically
+    (tmp+rename; an existing shard is SKIPPED, so a re-run resumes),
+    each with a P12 lineage sidecar.  Rows with a null urlkey or ts
+    are dropped BEFORE the exchange (``write_cdxj``'s frozen policy —
+    they cannot be looked up), so only indexable narrow rows shuffle.
+    Returns the per-partition summary ``(part_id, rows)``.
+
+    (CC itself range-partitions shards by sorted urlkey; hash
+    partitioning keeps the exchange one-pass and resumable — a range
+    layout would add a full sort for lookup locality this engine's
+    consumers don't need.)"""
+    import os
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from . import __version__
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["urlkey"]),
+                                     pc.is_valid(batch["ts"])))
+        pid = np.fromiter(
+            (zlib.crc32(k.encode("utf-8")) % num_partitions
+             for k in batch["urlkey"].to_pylist()),
+            dtype=np.int64, count=batch.num_rows)
+        return batch.append_column("part_id", pa.array(pid, pa.int64()))
+
+    def write_group(group: pd.DataFrame) -> pd.DataFrame:
+        pid = int(group["part_id"].iloc[0])
+        path = os.path.join(out_dir, f"part-{pid:04d}.cdxj.gz")
+        if not os.path.exists(path):
+            tmp = path + f".tmp{os.getpid()}"
+            write_cdxj(
+                ({k: (v.to_pydatetime() if k == "ts" else
+                      None if pd.isna(v) else
+                      int(v) if k in ("status", "length", "offset")
+                      else v)
+                  for k, v in row.items() if k != "part_id"}
+                 for row in group.to_dict("records")), tmp,
+                gzip_compress=True)
+            os.rename(tmp, path)
+            ldir = os.path.join(out_dir, "lineage")
+            os.makedirs(ldir, exist_ok=True)
+            ltmp = os.path.join(ldir, f"part-{pid:04d}.json.tmp")
+            with open(ltmp, "w") as lf:
+                json.dump({
+                    "part_id": pid,
+                    "rows": int(len(group)),
+                    "bytes_out": int(os.path.getsize(path)),
+                    "engine_version": __version__,
+                }, lf)
+            os.rename(ltmp, os.path.join(ldir, f"part-{pid:04d}.json"))
+        return pd.DataFrame({"part_id": [pid], "rows": [len(group)]})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("part_id").map_groups(write_group).to_pandas()
