@@ -56,7 +56,8 @@ import pyarrow.compute as pc
 # NOTE: module-level import, captured in the by-value pickle —
 # worker-side runtime relative imports fail when the driver runs from
 # outside the repo (see ExtractDocs note in rayxt/kernel.py)
-from .warc import _NativeWrapper
+from . import __version__
+from .warc import _NativeWrapper, parse_warc_records
 
 __all__ = ["surt", "surt_key", "parse_cdxj_line", "read_cdxj",
            "latest_capture", "cdx_diff", "build_cdx", "write_cdxj",
@@ -571,12 +572,14 @@ def _open_raw(path: str):
 
 def _index_units(path: str):
     """CDX row dicts for one container, in container order."""
+    # NOTE: stdlib-only runtime imports here; parse_warc_records is a
+    # MODULE-LEVEL relative import captured in the by-value pickle — a
+    # runtime `from .warc import ...` inside this worker-side UDF dies
+    # when the driver runs from outside the repo (the ExtractDocs rule)
     import base64
     import hashlib
     import io as _io
     import posixpath
-
-    from .warc import parse_warc_records
 
     filename = posixpath.basename(path.rstrip("/"))
     bs = _BufStream(_open_raw(path))
@@ -684,13 +687,12 @@ def export_cdxj(ds, out_dir: str, num_partitions: int = 16):
     partitioning keeps the exchange one-pass and resumable — a range
     layout would add a full sort for lookup locality this engine's
     consumers don't need.)"""
+    # __version__ is imported at module level — the worker-import rule
     import os
     import zlib
 
     import numpy as np
     import pandas as pd
-
-    from . import __version__
 
     os.makedirs(out_dir, exist_ok=True)
 
