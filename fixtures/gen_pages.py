@@ -1521,3 +1521,173 @@ def ensure_warc_conf(wdir: str, pages_parquet: str) -> list:
         with open(done, "w") as fh:
             fh.write("ok")
     return paths
+
+
+# ---------------------------------------------------------------------------
+# feed-document fixture family (rayxt/feeds.py)
+# ---------------------------------------------------------------------------
+
+_FEED_HOSTS = 30
+
+
+def _rss_item(k: int, j: int) -> str:
+    """One <item> (possibly degenerate) for host k, item j."""
+    h = _h(k * 1000 + j, "fdi")
+    shape = h % 10
+    link = f"https://fd{k}.example.org/post/{h % 500}"
+    title = _words(k * 1000 + j, "fdt", 4)
+    if shape == 0:  # no link at all -> skipped
+        return f"<item><title>{title}</title></item>"
+    if shape == 1:  # whitespace link -> skipped
+        return "<item><link>  </link><title>t</title></item>"
+    if shape == 2:  # non-http link -> skipped
+        return f"<item><link>mailto:x@fd{k}.example.org</link></item>"
+    if shape == 3:  # self-closing atom:link first, real link later
+        return (f'<item><atom:link href="{link}/self" rel="self"/>'
+                f"<link> {link} </link><title>{title}</title>"
+                f"<guid isPermaLink=\"false\">id-{h % 999}</guid></item>")
+    if shape == 4:  # full fields, entity in title
+        return (f"<item><title>{title} &amp; more</title>"
+                f"<link>{link}</link><guid>{link}</guid>"
+                f"<pubDate>Mon, 0{h % 9 + 1} Jun 2026 1{h % 9}:04:05 GMT"
+                f"</pubDate></item>")
+    if shape == 5:  # empty title / empty guid -> nulls
+        return (f"<item><title>  </title><link>{link}</link>"
+                f"<guid></guid></item>")
+    if shape == 6:  # markup-only title (direct text empty) -> null
+        return (f"<item><title><b>bold</b></title><link>{link}</link>"
+                f"<pubDate> Tue, 02 Feb 2027 00:00:00 +0000 </pubDate>"
+                "</item>")
+    if shape == 7:  # duplicate links: first non-empty text wins
+        return (f"<item><link></link><link>{link}/first</link>"
+                f"<link>{link}/second</link></item>")
+    if shape == 8:  # unknown children ignored; uppercase-scheme link
+        return (f"<item><enclosure url=\"{link}.mp3\"/>"
+                f"<link>HTTPS://fd{k}.example.org/up/{h % 99}</link>"
+                f"<category>c{h % 5}</category></item>")
+    return f"<item><link>{link}</link><title>{title}</title></item>"
+
+
+def _atom_entry(k: int, j: int) -> str:
+    h = _h(k * 1000 + j, "fda")
+    shape = h % 8
+    link = f"https://fd{k}.example.org/atom/{h % 500}"
+    title = _words(k * 1000 + j, "fda", 3)
+    if shape == 0:  # rel=self only -> no alternate -> skipped
+        return (f'<entry><link rel="self" href="{link}/self"/>'
+                f"<title>{title}</title><id>urn:{h % 99}</id></entry>")
+    if shape == 1:  # first matching link is rel-less
+        return (f'<entry><link href=" {link} "/>'
+                f'<link rel="alternate" href="{link}/alt"/>'
+                f"<title>{title}</title><id>tag:fd{k},{h % 99}</id>"
+                f"<published>2026-0{h % 9 + 1}-02T03:04:05Z</published>"
+                "</entry>")
+    if shape == 2:  # rel=alternate after rel=enclosure
+        return (f'<entry><link rel="enclosure" href="{link}.mp4"/>'
+                f'<link rel="alternate" href="{link}"/>'
+                f"<updated>2026-11-1{h % 9}T10:00:00Z</updated></entry>")
+    if shape == 3:  # published absent -> updated fallback
+        return (f'<entry><link href="{link}"/><title>{title}</title>'
+                f"<updated> 2027-01-0{h % 9 + 1}T00:00:00Z </updated>"
+                "</entry>")
+    if shape == 4:  # first matching link has EMPTY href -> skipped
+        return (f'<entry><link href=""/><link href="{link}"/>'
+                f"<title>{title}</title></entry>")
+    if shape == 5:  # entity-encoded href, single-quoted attrs
+        return (f"<entry><link href='{link}?a=1&amp;b=2'/>"
+                f"<id>{link}</id></entry>")
+    if shape == 6:  # non-http alternate -> skipped
+        return (f'<entry><link href="ftp://fd{k}.example.org/x"/>'
+                f"<title>{title}</title></entry>")
+    return (f'<entry><link href="{link}"/><title>{title}</title>'
+            f"<published>2026-12-0{h % 9 + 1}T06:07:08Z</published>"
+            f"<updated>2026-12-2{h % 9}T06:07:08Z</updated></entry>")
+
+
+def feed_docs_of_host(k: int) -> list:
+    """``[(feed_url, body_bytes), ...]`` for host k — every policy
+    shape: plain/gzipped RSS and Atom, namespace-prefixed Atom,
+    channel-less RSS, empty feeds, invalid XML, broken gzip, wrong
+    root, BOM + CRLF."""
+    import gzip as _gzip
+
+    base = f"https://fd{k}.example.org"
+    style = _h(k, "fds") % 10
+    n = 3 + _h(k, "fdn") % 8
+    items = "".join(_rss_item(k, j) for j in range(n))
+    entries = "".join(_atom_entry(k, j) for j in range(n))
+    rss = (f'<?xml version="1.0"?>'
+           f'<rss version="2.0" xmlns:atom="http://www.w3.org/2005/Atom">'
+           f"<channel><title>Feed {k}</title>{items}</channel></rss>")
+    atom = (f'<feed xmlns="http://www.w3.org/2005/Atom">'
+            f"<title>Atom {k}</title>{entries}</feed>")
+    if style == 0 or style == 1:
+        body = rss.encode()
+        if style == 1:
+            return [(f"{base}/feed.xml.gz", _gzip.compress(body, mtime=0))]
+        return [(f"{base}/feed.xml", body)]
+    if style == 2 or style == 3:
+        body = atom.encode()
+        if style == 3:
+            return [(f"{base}/atom.xml.gz", _gzip.compress(body, mtime=0))]
+        return [(f"{base}/atom.xml", body)]
+    if style == 4:  # namespace-prefixed Atom elements
+        body = ('<a:feed xmlns:a="http://www.w3.org/2005/Atom">'
+                + "".join(
+                    e.replace("<entry>", "<a:entry>")
+                     .replace("</entry>", "</a:entry>")
+                     .replace("<title>", "<a:title>")
+                     .replace("</title>", "</a:title>")
+                     .replace("<id>", "<a:id>")
+                     .replace("</id>", "</a:id>")
+                     .replace("<published>", "<a:published>")
+                     .replace("</published>", "</a:published>")
+                     .replace("<updated>", "<a:updated>")
+                     .replace("</updated>", "</a:updated>")
+                     .replace("<link ", "<a:link ")
+                    for e in (_atom_entry(k, j) for j in range(n)))
+                + "</a:feed>").encode()
+        return [(f"{base}/atom.xml", body)]
+    if style == 5:  # channel-less RSS -> valid, zero entries
+        return [(f"{base}/feed.xml",
+                 b'<rss version="2.0"></rss>')]
+    if style == 6:  # empty channel + empty atom feed
+        return [(f"{base}/feed.xml",
+                 b"<rss><channel><title>empty</title></channel></rss>"),
+                (f"{base}/atom.xml",
+                 b'<feed xmlns="http://www.w3.org/2005/Atom"></feed>')]
+    if style == 7:  # invalid: truncated XML + broken gzip
+        return [(f"{base}/feed.xml",
+                 f"<rss><channel><item><link>{base}/x".encode()),
+                (f"{base}/feed.xml.gz", b"\x1f\x8b\x08\x00broken")]
+    if style == 8:  # wrong root (sitemap served as feed) + null body
+        return [(f"{base}/feed.xml",
+                 b"<urlset><url><loc>https://x/</loc></url></urlset>"),
+                (f"{base}/feed2.xml", None)]
+    # style 9: BOM + CRLF RSS
+    body = ("﻿" + rss.replace("><", ">\r\n<")).encode()
+    return [(f"{base}/feed.xml", body)]
+
+
+def generate_feed_table() -> pa.Table:
+    urls, bodies = [], []
+    for k in range(_FEED_HOSTS):
+        for url, body in feed_docs_of_host(k):
+            urls.append(url)
+            bodies.append(body)
+    return pa.table({
+        "feed_url": pa.array(urls, pa.string()),
+        "body": pa.array(bodies, pa.binary()),
+    })
+
+
+def ensure_feed_parquet(path: str) -> str:
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(generate_feed_table(), tmp)
+    os.rename(tmp, path)
+    return path
