@@ -21,6 +21,9 @@ from ._blockutil import crc_bucket
 
 __all__ = [
     "pack_documents",
+    "normalize_text",
+    "normalize_sql_expr",
+    "NORMALIZE_CTRL_RE",
     "redact_text",
     "redact_sql_expr",
     "PII_PATTERNS",
@@ -1064,3 +1067,51 @@ def clean_lines_sql_exprs(text_expr: str = "text",
         "n_kept": f"CAST(len({filt}) AS BIGINT)",
         "text_clean": f"array_to_string({filt}, chr(10))",
     }
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (NFC + control strip)
+# ---------------------------------------------------------------------------
+
+#: C0/C1 controls except tab/LF/CR — RE2 class shared verbatim with the
+#: SQL restatement (:func:`normalize_sql_expr`)
+NORMALIZE_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]"
+
+
+def normalize_text(ds, *, col: str = "text", out: str = "text_nfc"):
+    """Unicode NFC normalization with control stripping — the first
+    cleanup a multilingual corpus runs (mixed NFC/NFD sources make
+    dedup hashes and n-gram matches silently miss).
+
+    FROZEN policy (SQL parity via :func:`normalize_sql_expr`:
+    ``nfc_normalize(regexp_replace(col, CTRL, '', 'g'))``): C0/C1
+    control characters except tab/LF/CR are removed FIRST (one RE2
+    kernel), then the result normalizes to NFC; null -> null.
+
+    Scale shape: the control strip is vectorized; NFC runs once per
+    batch-DISTINCT string (``dictionary_encode`` — corpora repeat
+    boilerplate) with an ``isascii`` fast path (ASCII is NFC-fixed),
+    broadcast back through the dictionary indices.  Zero exchanges.
+    """
+    import unicodedata
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.replace_substring_regex(
+            t[col], pattern=NORMALIZE_CTRL_RE, replacement="")
+        d = s.combine_chunks().dictionary_encode()
+        uniq = [
+            u if u is None or u.isascii()
+            else unicodedata.normalize("NFC", u)
+            for u in d.dictionary.to_pylist()
+        ]
+        vals = pc.take(pa.array(uniq, pa.string()), d.indices)
+        return t.append_column(out, vals)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def normalize_sql_expr(text_expr: str = "text") -> str:
+    """ANSI-SQL (DuckDB) restatement of :func:`normalize_text` over
+    the IDENTICAL RE2 control-class string."""
+    return (f"nfc_normalize(regexp_replace({text_expr}, "
+            f"'{NORMALIZE_CTRL_RE}', '', 'g'))")
