@@ -52,7 +52,9 @@ __all__ = [
     "keyword_pattern",
     "add_keyword_flag",
     "filter_keywords",
-    "normalize_text",
+    "split_sentences",
+    "sentences_sql",
+    "SENT_BOUNDARY_RE",
     "clean_lines",
     "clean_lines_sql_exprs",
     "CLEAN_LINE_MIN_WORDS",
@@ -1115,3 +1117,99 @@ def normalize_sql_expr(text_expr: str = "text") -> str:
     the IDENTICAL RE2 control-class string."""
     return (f"nfc_normalize(regexp_replace({text_expr}, "
             f"'{NORMALIZE_CTRL_RE}', '', 'g'))")
+
+
+# ---------------------------------------------------------------------------
+# sentence splitting (naive regex policy, SQL-restatable)
+# ---------------------------------------------------------------------------
+
+#: boundary = terminal punctuation run + optional closing quotes/brackets,
+#: followed by ASCII whitespace.  Shared VERBATIM with the SQL
+#: restatement (:func:`sentences_sql`).  Deliberately abbreviation-naive
+#: ("e.g. x" splits) — the corpus-pipeline convention (Gopher-style
+#: sentence counts), frozen so both sides agree exactly.
+SENT_BOUNDARY_RE = "([.!?]+[\"')\\]]*)[ \t\n\r\f\v]+"
+_SENT_SEP = "\x00"
+_SENT_WORD_RE = "[^ \t\n\r\f\v]+"
+
+
+def split_sentences(ds, *, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Documents -> one row per sentence ``(id_col, sent_idx,
+    sentence, n_words)`` under the frozen naive policy:
+
+    1. every :data:`SENT_BOUNDARY_RE` match gets a NUL appended after
+       its punctuation group (one RE2 replace; a literal NUL already
+       in the text therefore also acts as a boundary — documented);
+    2. split on NUL; each piece is ASCII-ws-trimmed; empty pieces are
+       dropped; ``sent_idx`` is the 0-based index AFTER the drop;
+    3. ``n_words`` = count of ASCII-ws-separated tokens (the
+       :mod:`rayxt.tokshard` convention).  Null text yields no rows.
+
+    Scale shape: two RE2 kernels + one Arrow explode per batch, zero
+    exchanges; per-doc rows leave the stage, the document text does
+    not."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        marked = pc.replace_substring_regex(
+            pc.fill_null(t[text_col], ""), pattern=SENT_BOUNDARY_RE,
+            replacement="\\1" + _SENT_SEP)
+        pieces = pc.split_pattern(marked, _SENT_SEP)
+        flat = pc.utf8_trim(pc.list_flatten(pieces), " \t\n\r\f\v")
+        lens = pc.list_value_length(pieces).to_numpy(
+            zero_copy_only=False)
+        row_of = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        row_of = row_of[keep]
+        # 0-based index within each doc after the empty drop
+        starts = np.zeros(len(row_of), dtype=np.int64)
+        if len(row_of):
+            new_doc = np.empty(len(row_of), dtype=bool)
+            new_doc[0] = True
+            new_doc[1:] = row_of[1:] != row_of[:-1]
+            idx = np.arange(len(row_of), dtype=np.int64)
+            starts = idx - np.maximum.accumulate(
+                np.where(new_doc, idx, 0))
+        counts = pc.list_value_length(
+            pc.split_pattern_regex(flat, "[ \t\n\r\f\v]+"))
+        # split_pattern_regex never yields empty leading runs here:
+        # pieces are trimmed, so token count == list length
+        return pa.table({
+            id_col: pc.take(t[id_col].combine_chunks(),
+                            pa.array(row_of, pa.int64())),
+            "sent_idx": pa.array(starts, pa.int64()),
+            "sentence": flat,
+            "n_words": pc.cast(counts, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")
+
+
+def sentences_sql(id_expr: str = "doc_id", text_expr: str = "text",
+                  table: str = "documents") -> str:
+    """ANSI-SQL (DuckDB) restatement of :func:`split_sentences` over
+    the IDENTICAL RE2 pattern strings."""
+    ws = " \t\n\r\f\v"
+    pat = SENT_BOUNDARY_RE.replace("'", "''")
+    pieces = (f"list_transform(string_split(regexp_replace("
+              f"{text_expr}, '{pat}', '\\1' || chr(0), 'g'), chr(0)), "
+              f"p -> trim(p, e'{ws_sql(ws)}'))")
+    kept = f"list_filter({pieces}, p -> p != '')"
+    return (
+        f"SELECT {id_expr} AS doc_id, "
+        f"unnest(range(0, len(s.l))) AS sent_idx, "
+        f"unnest(s.l) AS sentence, "
+        f"unnest(list_transform(s.l, p -> CAST(len(regexp_extract_all("
+        f"p, '[^{ws_sql(ws)}]+')) AS BIGINT))) AS n_words "
+        f"FROM (SELECT {id_expr}, {kept} AS l FROM {table}) s "
+        f"WHERE len(s.l) > 0"
+    )
+
+
+def ws_sql(ws: str) -> str:
+    """ASCII-ws class body as a DuckDB e-string fragment."""
+    return ws.replace("\t", "\\t").replace("\n", "\\n") \
+             .replace("\r", "\\r").replace("\f", "\\f") \
+             .replace("\v", "\\x0b")
