@@ -1691,3 +1691,24 @@ def ensure_feed_parquet(path: str) -> str:
     pq.write_table(generate_feed_table(), tmp)
     os.rename(tmp, path)
     return path
+
+
+def revisit_rows_of(pages_parquet: str, n_base: int = 300) -> list:
+    """Deterministic staging rows for the revisit round-trip gate: the
+    first ``n_base`` non-null-html conformance pages, then a mirror
+    duplicate (same bytes, new url, ts + 777s) of every 3rd.  Shared
+    by the gate query and the golden maker."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    rows = [r for r in pq.read_table(
+        pages_parquet, columns=["url", "warc_ts", "html"]).to_pylist()
+        if r["html"] is not None][:n_base]
+    mirrors = [
+        {"url": "https://mirror-" + r["url"].split("://", 1)[1],
+         "warc_ts": r["warc_ts"] + _dt.timedelta(seconds=777),
+         "html": r["html"]}
+        for r in rows[::3]
+    ]
+    return rows + mirrors

@@ -50,7 +50,8 @@ from . import __version__
 
 __all__ = ["read_warc", "parse_warc_records", "write_warc",
            "WARC_SCHEMA", "write_wet", "read_wet", "export_wet",
-           "WET_SCHEMA"]
+           "WET_SCHEMA", "REVISIT_SCHEMA", "parse_warc_records_ext",
+           "read_warc_revisits", "resolve_revisits"]
 
 WARC_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -209,6 +210,62 @@ def _http_declares_chunked(head: bytes) -> bool:
     return False
 
 
+REVISIT_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("lang", pa.string()),
+    ("record_type", pa.string()),
+    ("payload_digest", pa.string()),
+    ("revisit_of_url", pa.string()),
+    ("revisit_of_ts", pa.timestamp("us")),
+])
+
+
+def parse_warc_records_ext(f, *, dechunk: bool = False):
+    """Dict rows for ``response`` AND ``revisit`` records of one
+    decompressed WARC stream — the capture-dedup-aware walk.  Revisit
+    rows carry ``html=None`` plus the referred-to capture coordinates;
+    both kinds carry ``payload_digest`` verbatim when the record
+    declares one."""
+    while True:
+        head = _read_header_block(f)
+        if head is None:
+            return
+        _version, headers = head
+        length = int(headers.get(b"content-length", b"0"))
+        payload = _read_exact(f, length)
+        rtype = headers.get(b"warc-type", b"").lower()
+        if rtype not in (b"response", b"revisit"):
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode(
+            "utf-8", "replace")
+        ts = _parse_warc_date(headers.get(b"warc-date", b""))
+        digest = headers.get(b"warc-payload-digest")
+        digest = (digest.decode("ascii", "replace") if digest
+                  else None)
+        if rtype == b"response":
+            sep = payload.find(b"\r\n\r\n")
+            body = payload[sep + 4:] if sep >= 0 else payload
+            if (dechunk and sep >= 0
+                    and b"chunked" in payload[:sep].lower()
+                    and _http_declares_chunked(payload[:sep])):
+                body = _dechunk(body)
+            yield {"url": url, "warc_ts": ts, "html": body,
+                   "lang": None, "record_type": "response",
+                   "payload_digest": digest,
+                   "revisit_of_url": None, "revisit_of_ts": None}
+        else:
+            rof = headers.get(b"warc-refers-to-target-uri")
+            yield {"url": url, "warc_ts": ts, "html": None,
+                   "lang": None, "record_type": "revisit",
+                   "payload_digest": digest,
+                   "revisit_of_url": (rof.decode("utf-8", "replace")
+                                      if rof else None),
+                   "revisit_of_ts": _parse_warc_date(
+                       headers.get(b"warc-refers-to-date", b""))}
+
+
 def read_warc(paths, *, batch_rows: int = 256, dechunk: bool = False,
               with_http: bool = False, **kwargs):
     """WARC/WARC-gz/WARC-zst files -> Dataset(url, warc_ts, html,
@@ -297,13 +354,26 @@ def _warc_date(ts) -> tuple[str, bytes]:
 
 def write_warc(rows, path: str, *, gzip_members: bool | None = None,
                zstd_frames: bool | None = None,
+               dedup_payloads: bool = False,
                warcinfo: bytes = b"software: rayxt\r\n") -> str:
     """Spec-true WARC writer (fixtures / re-export): one warcinfo
     record + one response record per (url, warc_ts, html) row.
     ``.gz`` paths write one gzip member PER RECORD and ``.zst`` paths
     one zstd frame per record (both the CC layouts — member/frame
     boundaries make records independently seekable); override with
-    ``gzip_members`` / ``zstd_frames``."""
+    ``gzip_members`` / ``zstd_frames``.
+
+    ``dedup_payloads=True`` is the CC capture-dedup layout: every
+    response carries ``WARC-Payload-Digest`` (sha1 base32 of the body),
+    and a row whose body digest was already written in THIS file
+    becomes a ``revisit`` record (profile identical-payload-digest,
+    ``WARC-Refers-To-Target-URI``/``-Date`` naming the first capture)
+    whose payload is the HTTP head ONLY — the body is not repeated.
+    The digest table is per-file (one writer task per container), so
+    its memory is bounded by the file's distinct payloads."""
+    import base64
+    import hashlib
+
     if gzip_members is None:
         gzip_members = path.endswith(".gz")
     if zstd_frames is None:
@@ -331,6 +401,7 @@ def write_warc(rows, path: str, *, gzip_members: bool | None = None,
         else:
             out.write(blob)
 
+    seen: dict = {}  # digest -> (url, date) of the first capture
     with open(path, "wb") as out:
         emit(out, record(b"warcinfo",
                          [b"Content-Type: application/warc-fields"],
@@ -339,16 +410,43 @@ def write_warc(rows, path: str, *, gzip_members: bool | None = None,
             date, version = _warc_date(r["warc_ts"])
             status = int(r.get("status", 200))
             ctype = str(r.get("content_type") or "text/html")
-            http = (b"HTTP/1.1 " + str(status).encode() + b" OK\r\n"
-                    b"Content-Type: " + ctype.encode() + b"\r\n"
-                    b"Content-Length: " + str(len(r["html"])).encode()
-                    + b"\r\n\r\n" + r["html"])
-            emit(out, record(
-                b"response",
-                [b"WARC-Target-URI: " + r["url"].encode(),
-                 b"WARC-Date: " + date.encode(),
-                 b"Content-Type: application/http;msgtype=response"],
-                http, version))
+            http_head = (
+                b"HTTP/1.1 " + str(status).encode() + b" OK\r\n"
+                b"Content-Type: " + ctype.encode() + b"\r\n"
+                b"Content-Length: " + str(len(r["html"])).encode()
+                + b"\r\n\r\n")
+            if not dedup_payloads:
+                emit(out, record(
+                    b"response",
+                    [b"WARC-Target-URI: " + r["url"].encode(),
+                     b"WARC-Date: " + date.encode(),
+                     b"Content-Type: application/http;msgtype=response"],
+                    http_head + r["html"], version))
+                continue
+            digest = b"sha1:" + base64.b32encode(
+                hashlib.sha1(r["html"]).digest())
+            first = seen.get(digest)
+            if first is None:
+                seen[digest] = (r["url"], date)
+                emit(out, record(
+                    b"response",
+                    [b"WARC-Target-URI: " + r["url"].encode(),
+                     b"WARC-Date: " + date.encode(),
+                     b"WARC-Payload-Digest: " + digest,
+                     b"Content-Type: application/http;msgtype=response"],
+                    http_head + r["html"], version))
+            else:
+                emit(out, record(
+                    b"revisit",
+                    [b"WARC-Target-URI: " + r["url"].encode(),
+                     b"WARC-Date: " + date.encode(),
+                     b"WARC-Payload-Digest: " + digest,
+                     b"WARC-Refers-To-Target-URI: " + first[0].encode(),
+                     b"WARC-Refers-To-Date: " + first[1].encode(),
+                     b"WARC-Profile: http://netpreserve.org/warc/1.0/"
+                     b"revisit/identical-payload-digest",
+                     b"Content-Type: application/http;msgtype=response"],
+                    http_head, version))
     return path
 
 
@@ -492,3 +590,113 @@ def export_wet(ds, out_dir: str, num_partitions: int = 64, *,
 
     return ds.select_columns(["url", "warc_ts", text_col, "part_id"]) \
         .groupby("part_id").map_groups(write_group).to_pandas()
+
+
+def read_warc_revisits(paths, *, batch_rows: int = 256,
+                       dechunk: bool = False, **kwargs):
+    """WARC containers -> Dataset with :data:`REVISIT_SCHEMA`: one row
+    per ``response`` AND per ``revisit`` record — the capture-dedup-
+    aware source (CC crawls ship revisit records; the plain
+    ``read_warc`` skips them).  Feed the result to
+    :func:`resolve_revisits` to reconstruct the full corpus."""
+    import ray.data as rd
+    from ray.data.datasource import FileBasedDatasource
+
+    class WarcRevisitDatasource(FileBasedDatasource):
+        _FILE_EXTENSIONS = ["warc", "gz", "zst"]
+
+        def _read_stream(self, f, path: str):
+            stream = io.BufferedReader(_NativeWrapper(f))
+            magic = stream.peek(4)[:4]
+            if magic == b"\x28\xb5\x2f\xfd":
+                stream = io.BufferedReader(_NativeWrapper(
+                    pa.CompressedInputStream(stream, "zstd")))
+            elif magic[:2] == b"\x1f\x8b":
+                stream = io.BufferedReader(
+                    gzip.GzipFile(fileobj=stream))
+            rows = []
+            for rec in parse_warc_records_ext(stream, dechunk=dechunk):
+                rows.append(rec)
+                if len(rows) >= batch_rows:
+                    yield _revisit_table(rows)
+                    rows = []
+            if rows:
+                yield _revisit_table(rows)
+
+    return rd.read_datasource(WarcRevisitDatasource(paths, **kwargs))
+
+
+def _revisit_table(rows) -> pa.Table:
+    return pa.table(
+        {n: pa.array([r[n] for r in rows],
+                     REVISIT_SCHEMA.field(n).type)
+         for n in REVISIT_SCHEMA.names}, schema=REVISIT_SCHEMA)
+
+
+def resolve_revisits(ds):
+    """Reconstruct the full corpus from a capture-dedup'd read: every
+    ``revisit`` row's ``html`` fills in from the ``response`` row
+    sharing its ``payload_digest``.  Returns ``(url, warc_ts, html,
+    lang, record_type)`` — revisits whose digest has no response in
+    the dataset are DROPPED (an unresolvable revisit points outside
+    the read's container set; callers diff row counts to detect it),
+    and so are digest-less rows that claim to be revisits.
+
+    Scale shape: ONE digest-keyed groupby — each group holds a
+    payload's single first-capture response plus its revisit stubs
+    (no bodies), so a payload's bytes cross the exchange exactly
+    once.  A pathologically viral payload makes a hot group; its size
+    is the dup count, not the corpus (the per-key-op envelope).
+    Digest-less responses (non-dedup containers) bypass the exchange
+    entirely."""
+    import pandas as pd
+
+    import pyarrow.compute as pc
+
+    cols = ["url", "warc_ts", "html", "lang", "record_type"]
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.cast(t["url"], pa.string()),
+            "warc_ts": pc.cast(t["warc_ts"], pa.timestamp("us")),
+            "html": pc.cast(t["html"], pa.binary()),
+            "lang": pc.cast(t["lang"], pa.string()),
+            "record_type": pc.cast(t["record_type"], pa.string()),
+        })
+
+    def _split(t: pa.Table, keyed_side: bool) -> pa.Table:
+        has_digest = pc.is_valid(t["payload_digest"])
+        if keyed_side:
+            return t.filter(has_digest)
+        mask = pc.and_(pc.invert(has_digest),
+                       pc.equal(t["record_type"], "response"))
+        return t.filter(mask)
+
+    plain = ds.map_batches(
+        lambda t: _split(t, False), batch_format="pyarrow"
+    ).select_columns(cols).map_batches(shape, batch_format="pyarrow")
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        resp = g[g["record_type"] == "response"]
+        if resp.empty:
+            return g.head(0)[cols]  # unresolvable stubs: dropped
+        resp = resp.sort_values(["url", "warc_ts"], kind="mergesort")
+        html = resp["html"].iloc[0]
+        out = g.copy()
+        is_rev = out["record_type"] == "revisit"
+        out.loc[is_rev, "html"] = pd.Series(
+            [html] * int(is_rev.sum()), index=out.index[is_rev],
+            dtype=object)
+        return out[cols]
+
+    keyed = ds.map_batches(
+        lambda t: _split(t, True), batch_format="pyarrow") \
+        .select_columns(cols + ["payload_digest"]) \
+        .groupby("payload_digest").map_groups(fill) \
+        .map_batches(
+            lambda t: shape(t) if t.num_rows or "url" in t.column_names
+            else shape(pa.table({c: pa.array([], pa.string())
+                                 for c in cols})),
+            batch_format="pyarrow")
+
+    return plain.union(keyed)
