@@ -151,6 +151,26 @@ def main() -> None:
         "need both exact and near mirrors to fire")
     print(f"wrote {path}: {out.num_rows} rows")
 
+    # PASS-4 golden: the token-shard sequences over the SAME survivor
+    # set, via the independent tokshard restatement (own CRC table +
+    # struct packing).  Parameters mirror rayxt.flagship.SHARD_*.
+    from tests.oracle.tokshard_oracle import oracle_sequences
+
+    seqs = oracle_sequences(
+        [{"url": u, "text": t} for u, t in zip(k_urls, k_texts)],
+        seq_len=256, vocab_size=8192, num_partitions=8,
+        id_col="url", text_col="text")
+    shard_tbl = pa.table({
+        "part_id": pa.array([s["part_id"] for s in seqs], pa.int64()),
+        "seq_idx": pa.array([s["seq_idx"] for s in seqs], pa.int64()),
+        "tokens_str": pa.array([s["tokens_str"] for s in seqs],
+                               pa.string()),
+    })
+    spath = os.path.join(DATA_DIR, "golden_flagship_shards.parquet")
+    pq.write_table(shard_tbl, spath)
+    print(f"wrote {spath}: {shard_tbl.num_rows} sequences over "
+          f"{len(set(shard_tbl['part_id'].to_pylist()))} partitions")
+
 
 if __name__ == "__main__":
     main()

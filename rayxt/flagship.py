@@ -357,3 +357,55 @@ def warc_to_training(warc_paths, work_dir: str, **params) -> dict:
         "clean_stats": getattr(clean_pass, "last_stats", ""),
         "pack_stats": getattr(pack_pass, "last_stats", ""),
     }
+
+
+#: PASS-4 shard parameters — frozen, shared with the golden maker
+SHARD_SEQ_LEN = 256
+SHARD_VOCAB = 8192
+SHARD_PARTITIONS = 8
+
+
+def training_shards(warc_paths, work_dir: str, **params):
+    """PASS 4: the binary token-shard sink over the surviving corpus —
+    the chain's final artifact (WARC container in, mmap-able training
+    bytes out).  Runs passes 1–3's clean/near-dup stages, anti-filters
+    the checkpoint, writes ``work_dir/shards/part-NNNN.bin`` via
+    :func:`rayxt.tokshard.write_token_shards` (resumable), and returns
+    the read-back sequence Dataset — the gate surface."""
+    import glob
+
+    import ray
+
+    from .tokshard import read_token_shards, write_token_shards
+
+    p = dict(DEFAULTS, **params)
+    clean_dir = os.path.join(work_dir, "clean")
+    clean_pass(
+        warc_paths, clean_dir, program=p["program"],
+        lang_keep=p["lang_keep"], min_tokens=p["min_tokens"],
+        max_tokens=p["max_tokens"], min_entropy=p["min_entropy"],
+        num_partitions=p.get("num_partitions", 64),
+        concurrency=p.get("concurrency", (2, 8)),
+        langid_concurrency=p.get("langid_concurrency", (1, 4)),
+        batch_size=p.get("batch_size", 64),
+        resume=p.get("resume", True),
+    )
+    drop = neardup_drop_ids(clean_dir, threshold=p["threshold"],
+                            concurrency=p.get("dedup_concurrency", (1, 4)))
+    drop_ref = ray.put(np.ascontiguousarray(drop, dtype=np.int64))
+
+    def anti(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~sorted_membership(d, ids)))
+
+    kept = _read_checkpoint(
+        clean_dir, ["url", "doc_id", "text"]
+    ).map_batches(anti, batch_format="pyarrow")
+    out_dir = os.path.join(work_dir, "shards")
+    write_token_shards(
+        kept, out_dir, seq_len=SHARD_SEQ_LEN, vocab_size=SHARD_VOCAB,
+        num_partitions=SHARD_PARTITIONS, id_col="url",
+        text_col="text")
+    return read_token_shards(
+        sorted(glob.glob(os.path.join(out_dir, "part-*.bin"))))
