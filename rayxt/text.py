@@ -22,6 +22,7 @@ from ._blockutil import crc_bucket
 __all__ = [
     "pack_documents",
     "normalize_text",
+    "nfc_strip_controls",
     "normalize_sql_expr",
     "NORMALIZE_CTRL_RE",
     "redact_text",
@@ -1080,7 +1081,7 @@ def clean_lines_sql_exprs(text_expr: str = "text",
 NORMALIZE_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]"
 
 
-def normalize_text(ds, *, col: str = "text", out: str = "text_nfc"):
+def nfc_strip_controls(ds, *, col: str = "text", out: str = "text_nfc"):
     """Unicode NFC normalization with control stripping — the first
     cleanup a multilingual corpus runs (mixed NFC/NFD sources make
     dedup hashes and n-gram matches silently miss).
@@ -1113,8 +1114,8 @@ def normalize_text(ds, *, col: str = "text", out: str = "text_nfc"):
 
 
 def normalize_sql_expr(text_expr: str = "text") -> str:
-    """ANSI-SQL (DuckDB) restatement of :func:`normalize_text` over
-    the IDENTICAL RE2 control-class string."""
+    """ANSI-SQL (DuckDB) restatement of :func:`nfc_strip_controls`
+    over the IDENTICAL RE2 control-class string."""
     return (f"nfc_normalize(regexp_replace({text_expr}, "
             f"'{NORMALIZE_CTRL_RE}', '', 'g'))")
 

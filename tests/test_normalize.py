@@ -5,7 +5,8 @@ import duckdb
 import pyarrow as pa
 import pytest
 
-from rayxt.text import NORMALIZE_CTRL_RE, normalize_sql_expr, normalize_text
+from rayxt.text import (NORMALIZE_CTRL_RE, nfc_strip_controls,
+                        normalize_sql_expr)
 
 CASES = [
     "plain ascii",
@@ -47,7 +48,7 @@ def test_stage_policy(ray_session):
 
     t = pa.table({"doc_id": list(range(len(CASES) + 1)),
                   "text": pa.array(CASES + [None], pa.string())})
-    got = normalize_text(rd.from_arrow(t).repartition(3)) \
+    got = nfc_strip_controls(rd.from_arrow(t).repartition(3)) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     for i, s in enumerate(CASES):
         assert got["text_nfc"][i] == _norm_one(s), repr(s)
@@ -61,7 +62,7 @@ def test_stage_policy(ray_session):
     # dictionary broadcast: repeated values normalize identically
     t2 = pa.table({"doc_id": [1, 2, 3],
                    "text": ["café", "café", "café"]})
-    got2 = normalize_text(rd.from_arrow(t2)).to_pandas()
+    got2 = nfc_strip_controls(rd.from_arrow(t2)).to_pandas()
     assert set(got2["text_nfc"]) == {"café"}
 
 
