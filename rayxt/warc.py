@@ -51,7 +51,7 @@ from . import __version__
 __all__ = ["read_warc", "parse_warc_records", "write_warc",
            "WARC_SCHEMA", "write_wet", "read_wet", "export_wet",
            "WET_SCHEMA", "REVISIT_SCHEMA", "parse_warc_records_ext",
-           "read_warc_revisits", "resolve_revisits"]
+           "read_warc_revisits", "resolve_revisits", "export_warc"]
 
 WARC_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -700,3 +700,79 @@ def resolve_revisits(ds):
             batch_format="pyarrow")
 
     return plain.union(keyed)
+
+
+def export_warc(ds, out_dir: str, num_partitions: int = 64, *,
+                dedup_payloads: bool = False, key_col: str = "url"):
+    """Distributed WARC re-shard: url-hash-partitioned ``response``
+    containers, one ``part-NNNN.warc.gz`` per partition written
+    atomically (tmp+rename; an existing shard is SKIPPED, so a re-run
+    resumes), each with a P12 lineage sidecar — the write side of the
+    container layer (re-packaging a filtered corpus as seekable CC
+    layout).  ``dedup_payloads=True`` applies the per-file revisit
+    dedup (:func:`write_warc`), so repeated bodies within a shard
+    store once; route by a ``key_col`` that co-locates duplicates
+    (e.g. a canonical url) to maximize its hit rate.  The only
+    exchange carries the (url, ts, html) rows.  Returns the
+    per-partition summary ``(part_id, rows)``."""
+    import os
+
+    import pandas as pd
+
+    from .pipeline import add_part_id
+
+    os.makedirs(out_dir, exist_ok=True)
+    if "part_id" not in ds.columns():
+        if key_col != "url":
+            # route by a caller-chosen key (e.g. a canonical url) so
+            # duplicate payloads co-locate and the per-shard dedup can
+            # fire; add_part_id hashes the "url" column by contract
+            import zlib as _zlib
+
+            import numpy as _np
+
+            def tag(t: pa.Table) -> pa.Table:
+                pid = _np.fromiter(
+                    (_zlib.crc32(str(u).encode("utf-8"))
+                     % num_partitions
+                     for u in t[key_col].to_pylist()),
+                    dtype=_np.int64, count=t.num_rows)
+                return t.append_column(
+                    "part_id", pa.array(pid, pa.int64()))
+
+            ds = ds.map_batches(tag, batch_format="pyarrow")
+        else:
+            ds = add_part_id(ds, num_partitions)
+
+    def write_group(group: pd.DataFrame) -> pd.DataFrame:
+        import json
+
+        pid = int(group["part_id"].iloc[0])
+        path = os.path.join(out_dir, f"part-{pid:04d}.warc.gz")
+        if not os.path.exists(path):
+            rows = group.sort_values(["url", "warc_ts"])
+            tmp = path + f".tmp{os.getpid()}"
+            # the tmp suffix hides the .gz extension: force members
+            write_warc(
+                ({"url": u, "warc_ts": ts.to_pydatetime(), "html": h}
+                 for u, ts, h in zip(rows["url"], rows["warc_ts"],
+                                     rows["html"])), tmp,
+                gzip_members=True, dedup_payloads=dedup_payloads)
+            os.rename(tmp, path)
+            ldir = os.path.join(out_dir, "lineage")
+            os.makedirs(ldir, exist_ok=True)
+            ltmp = os.path.join(ldir, f"part-{pid:04d}.json.tmp")
+            with open(ltmp, "w") as lf:
+                json.dump({
+                    "part_id": pid,
+                    "rows": int(len(group)),
+                    "bytes_out": int(os.path.getsize(path)),
+                    "html_bytes": int(
+                        rows["html"].map(len).sum()),
+                    "engine_version": __version__,
+                }, lf)
+            os.rename(ltmp, os.path.join(ldir, f"part-{pid:04d}.json"))
+        return pd.DataFrame({"part_id": [pid], "rows": [len(group)]})
+
+    return ds.select_columns(["url", "warc_ts", "html", "part_id"]) \
+        .groupby("part_id").map_groups(write_group).to_pandas()

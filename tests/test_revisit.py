@@ -117,3 +117,35 @@ def test_dedup_off_is_unchanged(tmp_path):
     recs = _oracle_records(p1)
     assert all(f[b"warc-type"] != b"revisit" for f, _ in recs)
     assert all(b"warc-payload-digest" not in f for f, _ in recs)
+
+
+def test_export_warc_resharding(tmp_path, ray_session):
+    import glob
+
+    import ray.data as rd
+
+    from rayxt.warc import export_warc
+
+    # canon strips the path's trailing digit so /a, /a2, /a3 share a
+    # shard (and /c, /c2 likewise) — duplicate payloads co-locate
+    rows = [dict(r, canon=r["url"].rstrip("23")) for r in ROWS]
+    out = os.path.join(str(tmp_path), "reshard")
+    summary = export_warc(rd.from_items(rows), out, num_partitions=3,
+                          dedup_payloads=True, key_col="canon")
+    shards = sorted(glob.glob(os.path.join(out, "part-*.warc.gz")))
+    assert shards and int(summary["rows"].sum()) == len(ROWS)
+    full = resolve_revisits(read_warc_revisits(shards)).to_pandas()
+    assert len(full) == len(ROWS)
+    got = {r: bytes(h) for r, h in zip(full["url"], full["html"])}
+    for r in ROWS:
+        assert got[r["url"]] == r["html"], r["url"]
+    # same canon -> same shard, so dup payloads became revisits
+    assert (full["record_type"] == "revisit").sum() == 3
+    # resume: re-run leaves shard mtimes untouched
+    mt = {p: os.path.getmtime(p) for p in shards}
+    export_warc(rd.from_items(rows), out, num_partitions=3,
+                dedup_payloads=True, key_col="canon")
+    assert {p: os.path.getmtime(p) for p in shards} == mt
+    # lineage sidecars
+    assert len(glob.glob(os.path.join(out, "lineage", "*.json"))) == \
+        len(shards)
