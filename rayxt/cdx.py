@@ -474,8 +474,8 @@ def _iter_zstd_frames(bs: _BufStream):
         single_segment = (desc >> 5) & 1
         checksum = (desc >> 2) & 1
         did_size = (0, 1, 2, 4)[desc & 3]
-        if desc & 0x18:
-            raise ValueError("reserved zstd descriptor bits set")
+        if desc & 0x08:  # bit 3 reserved; bit 4 'Unused' is legal
+            raise ValueError("reserved zstd descriptor bit set")
         fcs_size = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
         n_head = (0 if single_segment else 1) + did_size + fcs_size
         head = bs.read(n_head)
@@ -650,7 +650,7 @@ def write_cdxj(rows, path: str, *, gzip_compress: bool | None = None
 
     if gzip_compress is None:
         gzip_compress = path.endswith(".gz")
-    lines = []
+    keyed = []
     for r in rows:
         if not r.get("urlkey") or r.get("ts") is None:
             continue
@@ -661,8 +661,12 @@ def write_cdxj(rows, path: str, *, gzip_compress: bool | None = None
             v = r.get(name)
             if v is not None:
                 fields[name] = str(v)
-        lines.append(f"{r['urlkey']} {ts14} {json.dumps(fields)}\n")
-    lines.sort()
+        # sort on the DOCUMENTED key tuple, not the formatted line —
+        # json escaping would otherwise leak into the url tie-break
+        keyed.append(((r["urlkey"], ts14, r.get("url") or ""),
+                      f"{r['urlkey']} {ts14} {json.dumps(fields)}\n"))
+    keyed.sort(key=lambda kv: kv[0])
+    lines = [line for _, line in keyed]
     blob = "".join(lines).encode("utf-8")
     if gzip_compress:
         buf = io.BytesIO()
@@ -689,21 +693,14 @@ def export_cdxj(ds, out_dir: str, num_partitions: int = 16):
     consumers don't need.)"""
     # __version__ is imported at module level — the worker-import rule
     import os
-    import zlib
 
-    import numpy as np
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def tag(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.and_(pc.is_valid(batch["urlkey"]),
-                                     pc.is_valid(batch["ts"])))
-        pid = np.fromiter(
-            (zlib.crc32(k.encode("utf-8")) % num_partitions
-             for k in batch["urlkey"].to_pylist()),
-            dtype=np.int64, count=batch.num_rows)
-        return batch.append_column("part_id", pa.array(pid, pa.int64()))
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.and_(pc.is_valid(batch["urlkey"]),
+                                    pc.is_valid(batch["ts"])))
 
     def write_group(group: pd.DataFrame) -> pd.DataFrame:
         pid = int(group["part_id"].iloc[0])
@@ -732,5 +729,9 @@ def export_cdxj(ds, out_dir: str, num_partitions: int = 16):
             os.rename(ltmp, os.path.join(ldir, f"part-{pid:04d}.json"))
         return pd.DataFrame({"part_id": [pid], "rows": [len(group)]})
 
-    return ds.map_batches(tag, batch_format="pyarrow") \
-        .groupby("part_id").map_groups(write_group).to_pandas()
+    from .pipeline import add_part_id
+
+    tagged = add_part_id(
+        ds.map_batches(keep, batch_format="pyarrow"),
+        num_partitions, key_col="urlkey")
+    return tagged.groupby("part_id").map_groups(write_group).to_pandas()

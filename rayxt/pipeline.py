@@ -352,13 +352,17 @@ class ExtractModsTei:
 # ---------------------------------------------------------------------------
 
 
-def add_part_id(ds, num_partitions: int):
-    """P6: deterministic url-hash partition key (crc32(url) % P)."""
+def add_part_id(ds, num_partitions: int, key_col: str = "url"):
+    """P6: deterministic key-hash partition key (crc32(key) % P).
+    ``key_col`` defaults to the url (the engine-wide routing
+    convention); exporters that must CO-LOCATE rows by another key
+    (canonical url, SURT urlkey) pass theirs — one kernel, no per-site
+    reimplementations to drift."""
 
     def tag(batch: pa.Table) -> pa.Table:
         pid = np.fromiter(
-            (zlib.crc32(u.encode("utf-8")) % num_partitions
-             for u in batch.column("url").to_pylist()),
+            (zlib.crc32(str(u).encode("utf-8")) % num_partitions
+             for u in batch.column(key_col).to_pylist()),
             dtype=np.int64,
             count=batch.num_rows,
         )

@@ -163,7 +163,12 @@ def page_tables(url: str, html) -> list:
                     col += 1
                 if rs > 1:
                     for k in range(col, col + cs):
-                        occupied[k] = r_idx + rs
+                        # a wide cell may overlap a column a LONGER
+                        # earlier rowspan still holds (the model-error
+                        # case) — occupancy extends, never shrinks,
+                        # matching the oracle's slot-set semantics
+                        occupied[k] = max(occupied.get(k, 0),
+                                          r_idx + rs)
                 grid_rows.append({
                     "url": url, "table_idx": t_idx, "row_idx": r_idx,
                     "col_idx": col, "rowspan": rs, "colspan": cs,

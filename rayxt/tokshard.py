@@ -148,7 +148,6 @@ def write_token_shards(ds, out_dir: str, *, seq_len: int = 2048,
             tmp = path + f".tmp{os.getpid()}"
             with open(tmp, "wb") as fh:
                 fh.write(stream.astype("<i4", copy=False).tobytes())
-            os.rename(tmp, path)
             idx = {"part_id": pid, "n_seqs": int(n_seqs),
                    "seq_len": int(seq_len), "n_tokens": int(n_tokens),
                    "n_docs": int(n_docs),
@@ -157,7 +156,13 @@ def write_token_shards(ds, out_dir: str, *, seq_len: int = 2048,
             itmp = path + f".idx.json.tmp{os.getpid()}"
             with open(itmp, "w") as fh:
                 json.dump(idx, fh)
+            # sidecar lands FIRST; the .bin rename is the commit point
+            # (resume keys on the .bin, so a crash between the two
+            # renames can never leave a committed shard without the
+            # sidecar its reader and resume path need — an orphan
+            # sidecar is simply overwritten by the re-run)
             os.rename(itmp, path.replace(".bin", ".idx.json"))
+            os.rename(tmp, path)
         else:
             with open(path.replace(".bin", ".idx.json")) as fh:
                 idx = json.load(fh)

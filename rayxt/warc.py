@@ -723,26 +723,9 @@ def export_warc(ds, out_dir: str, num_partitions: int = 64, *,
 
     os.makedirs(out_dir, exist_ok=True)
     if "part_id" not in ds.columns():
-        if key_col != "url":
-            # route by a caller-chosen key (e.g. a canonical url) so
-            # duplicate payloads co-locate and the per-shard dedup can
-            # fire; add_part_id hashes the "url" column by contract
-            import zlib as _zlib
-
-            import numpy as _np
-
-            def tag(t: pa.Table) -> pa.Table:
-                pid = _np.fromiter(
-                    (_zlib.crc32(str(u).encode("utf-8"))
-                     % num_partitions
-                     for u in t[key_col].to_pylist()),
-                    dtype=_np.int64, count=t.num_rows)
-                return t.append_column(
-                    "part_id", pa.array(pid, pa.int64()))
-
-            ds = ds.map_batches(tag, batch_format="pyarrow")
-        else:
-            ds = add_part_id(ds, num_partitions)
+        # route by a caller-chosen key (e.g. a canonical url) so
+        # duplicate payloads co-locate and the per-shard dedup can fire
+        ds = add_part_id(ds, num_partitions, key_col=key_col)
 
     def write_group(group: pd.DataFrame) -> pd.DataFrame:
         import json
@@ -750,7 +733,8 @@ def export_warc(ds, out_dir: str, num_partitions: int = 64, *,
         pid = int(group["part_id"].iloc[0])
         path = os.path.join(out_dir, f"part-{pid:04d}.warc.gz")
         if not os.path.exists(path):
-            rows = group.sort_values(["url", "warc_ts"])
+            rows = group.sort_values(["url", "warc_ts"],
+                                     kind="mergesort")
             tmp = path + f".tmp{os.getpid()}"
             # the tmp suffix hides the .gz extension: force members
             write_warc(

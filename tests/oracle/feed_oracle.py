@@ -1,77 +1,68 @@
 """Independent naive oracle for RSS/Atom feed parsing.
 
-Deliberately different mechanism from ``rayxt/feeds.py``: documents
-are scanned with REGULAR EXPRESSIONS over the decoded text (channel /
-item / entry blocks by prefix-tolerant block regexes, fields by
-per-field child regexes that also match self-closing forms, XML
-entities decoded by the sitemap oracle's explicit table), never with
-an XML parser — except for VALIDITY, which reuses stdlib minidom (a
-different parser from the engine's ElementTree).  Restates the frozen
-policy from the ``rayxt/feeds.py`` docstring — never the engine code.
+Deliberately a different parser from ``rayxt/feeds.py`` (which walks
+ElementTree): this oracle parses with stdlib ``xml.dom.minidom``
+(expat DOM — a separate codebase and node model) and selects fields by
+walking DIRECT child nodes by localName, per the frozen "direct
+children only" policy.  An earlier regex-block restatement matched
+NESTED descendants (``<source><link>…`` inside an item) and diverged
+from the policy; the DOM walk enforces it structurally.  Restates the
+frozen policy from the ``rayxt/feeds.py`` docstring — never the
+engine code.
 """
 
 from __future__ import annotations
 
-import re
+from xml.dom.minidom import parseString
 
-from tests.oracle.sitemap_oracle import _is_wellformed, _payload, _unxml
-
-_ROOT = re.compile(r"<\s*(?:[\w.-]+:)?([\w.-]+)[\s>/]")
+from tests.oracle.sitemap_oracle import _payload
 
 
-def _block(text: str, name: str):
-    m = re.search(
-        rf"<(?:[\w.-]+:)?{name}(?:\s[^>]*)?>(.*?)</(?:[\w.-]+:)?{name}\s*>",
-        text, re.S)
-    return m.group(1) if m else None
+def _local(node) -> str:
+    return node.localName or ""
 
 
-def _blocks(text: str, name: str):
-    return re.findall(
-        rf"<(?:[\w.-]+:)?{name}(?:\s[^>]*)?>(.*?)</(?:[\w.-]+:)?{name}\s*>",
-        text, re.S)
+def _children(node, name: str):
+    return [c for c in node.childNodes
+            if c.nodeType == c.ELEMENT_NODE and _local(c) == name]
 
 
-def _first_field(block: str, name: str):
-    """Direct text of the first ``name`` element (self-closing counts
-    as empty), stripped + entity-decoded; empty -> None.  The
-    attribute run is LAZY so a self-closing tag's ``/>`` wins before
-    the ``>``-plus-content branch can swallow a following sibling."""
-    m = re.search(
-        rf"<(?:[\w.-]+:)?{name}(?:\s[^>]*?)?(?:/>|>(.*?)"
-        rf"</(?:[\w.-]+:)?{name}\s*>)",
-        block, re.S)
-    if m is None or m.group(1) is None:
+def _direct_text(el) -> str:
+    """The element's own text nodes only (markup children contribute
+    nothing — the ET ``.text`` analogue is text BEFORE the first child,
+    but the policy only ever reads elements whose direct text is the
+    whole content; for markup-only elements both yield empty)."""
+    parts = []
+    for c in el.childNodes:
+        if c.nodeType in (c.TEXT_NODE, c.CDATA_SECTION_NODE):
+            parts.append(c.data)
+        else:
+            break  # ET .text stops at the first child element
+    return "".join(parts)
+
+
+def _first_field(entry, name: str):
+    kids = _children(entry, name)
+    if not kids:
         return None
-    # DIRECT text only: drop from the first nested tag on
-    raw = m.group(1).split("<", 1)[0]
-    return _unxml(raw).strip() or None
+    return _direct_text(kids[0]).strip() or None
 
 
-def _rss_link_of(block: str):
-    """First link element with non-empty direct text."""
-    for m in re.finditer(
-            r"<(?:[\w.-]+:)?link(?:\s[^>]*?)?(?:/>|>(.*?)"
-            r"</(?:[\w.-]+:)?link\s*>)", block, re.S):
-        if m.group(1) is None:
-            continue
-        text = _unxml(m.group(1).split("<", 1)[0]).strip()
+def _rss_link_of(item):
+    for link in _children(item, "link"):
+        text = _direct_text(link).strip()
         if text:
             return text
     return None
 
 
-_ATTR = re.compile(r"([\w:.-]+)\s*=\s*(\"[^\"]*\"|'[^']*')")
-
-
-def _atom_link_of(block: str):
-    """href of the first link whose rel is absent or 'alternate'."""
-    for m in re.finditer(r"<(?:[\w.-]+:)?link\b([^>]*?)/?>", block):
-        attrs = {k.rsplit(":", 1)[-1]: _unxml(v[1:-1])
-                 for k, v in _ATTR.findall(m.group(1))}
-        rel = attrs.get("rel")
+def _atom_link_of(entry):
+    for link in _children(entry, "link"):
+        rel = link.getAttribute("rel") if link.hasAttribute("rel") \
+            else None
         if rel is None or rel == "alternate":
-            return attrs.get("href", "").strip() or None
+            href = (link.getAttribute("href") or "").strip()
+            return href or None
     return None
 
 
@@ -84,37 +75,34 @@ def oracle_parse_feed(body, *, max_entries: int = 10_000):
         payload = _payload(body)
     except Exception:
         return "invalid", []
-    if not _is_wellformed(payload):
+    try:
+        doc = parseString(payload)
+    except Exception:
         return "invalid", []
-    text = payload.decode("utf-8", "replace")
-    if text and text[0] == "﻿":
-        text = text[1:]
-    m = _ROOT.search(re.sub(r"<\?.*?\?>|<!--.*?-->", "", text,
-                            flags=re.S))
-    root = m.group(1) if m else ""
-    if root == "rss":
+    root = doc.documentElement
+    if _local(root) == "rss":
         kind = "rss"
-        channel = _block(text, "channel")
-        raw_items = _blocks(channel, "item") if channel else []
-    elif root == "feed":
+        channels = _children(root, "channel")
+        items = _children(channels[0], "item") if channels else []
+    elif _local(root) == "feed":
         kind = "atom"
-        raw_items = _blocks(text, "entry")
+        items = _children(root, "entry")
     else:
         return "invalid", []
     entries = []
-    for block in raw_items[:max_entries]:
+    for item in items[:max_entries]:
         if kind == "rss":
-            link = _rss_link_of(block)
-            entry_id = _first_field(block, "guid")
-            published = _first_field(block, "pubDate")
+            link = _rss_link_of(item)
+            entry_id = _first_field(item, "guid")
+            published = _first_field(item, "pubDate")
         else:
-            link = _atom_link_of(block)
-            entry_id = _first_field(block, "id")
-            published = (_first_field(block, "published")
-                         or _first_field(block, "updated"))
+            link = _atom_link_of(item)
+            entry_id = _first_field(item, "id")
+            published = (_first_field(item, "published")
+                         or _first_field(item, "updated"))
         if not link or not link.lower().startswith(
                 ("http://", "https://")):
             continue
-        entries.append((_first_field(block, "title"), link, entry_id,
+        entries.append((_first_field(item, "title"), link, entry_id,
                         published))
     return kind, entries

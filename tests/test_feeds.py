@@ -122,3 +122,25 @@ def test_parse_feeds_stage(ray_session):
         .sort_values(key, na_position="first").reset_index(drop=True)
     for c in got.columns:
         assert list(got[c].fillna("~")) == list(wdf[c].fillna("~")), c
+
+
+def test_nested_descendants_are_not_direct_children():
+    # a <source> wrapper carrying its own link/title/id must not leak
+    # into the entry's fields (direct-children-only policy) — this
+    # exact shape broke the first regex-based oracle
+    k, e = parse_feed(rss(
+        '<item><source url="s"><link>https://nested.example/x</link>'
+        "<title>nested</title></source>"
+        "<link>https://real.example/y</link></item>"))
+    assert e == [(None, "https://real.example/y", None, None)]
+    k, e = parse_feed(atom(
+        "<entry><source><title>t</title><id>i</id>"
+        '<link href="https://nested.example/z"/></source>'
+        '<link href="https://real.example/w"/></entry>'))
+    assert e == [(None, "https://real.example/w", None, None)]
+    for b in (rss('<item><source url="s">'
+                  "<link>https://nested.example/x</link></source>"
+                  "<link>https://real.example/y</link></item>"),
+              atom("<entry><source><id>i</id></source>"
+                   '<link href="https://real.example/w"/></entry>')):
+        assert parse_feed(b) == oracle_parse_feed(b)

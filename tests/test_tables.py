@@ -135,3 +135,17 @@ def test_extract_tables_stage(ray_session):
     wdf = pd.DataFrame(want).sort_values(key).reset_index(drop=True)
     for c in got.columns:
         assert list(got[c]) == list(wdf[c]), c
+
+
+def test_wide_cell_over_longer_rowspan_does_not_shrink_occupancy():
+    # B holds col 1 for 5 rows; C (rs=2, cs=2) overlaps cols 1-2 as a
+    # model error — its shorter span must NOT shrink B's: at row 3, E
+    # lands at col 2, not col 1 (engine == oracle slot-set semantics)
+    html = ("<table><tr><td>A</td><td rowspan=5>B</td></tr>"
+            "<tr><td rowspan=2 colspan=2>C</td></tr><tr></tr>"
+            "<tr><td>D</td><td>E</td></tr></table>")
+    g = grid(html)
+    from tests.oracle.tables_oracle import oracle_page_tables
+    assert [r for r in cells(html)] == \
+        oracle_page_tables(U, html.encode())
+    assert (3, 2, "E") in g
