@@ -61,7 +61,8 @@ from .warc import _NativeWrapper, parse_warc_records
 
 __all__ = ["surt", "surt_key", "parse_cdxj_line", "read_cdxj",
            "latest_capture", "cdx_diff", "build_cdx", "write_cdxj",
-           "export_cdxj"]
+           "export_cdxj", "write_zipnum_part", "export_zipnum",
+           "load_cluster_idx", "zipnum_lookup"]
 
 _URL_RE = re.compile(
     r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?")
@@ -636,6 +637,31 @@ def build_cdx(paths, *, batch_rows: int = 4096):
     ).map_batches(index_files, batch_format="pyarrow", batch_size=None)
 
 
+def _format_cdxj_lines(rows) -> list[str]:
+    """CDX row dicts -> sorted CDXJ lines (the frozen shard policy
+    shared by :func:`write_cdxj` and the ZipNum writer): rows with a
+    null urlkey or null ts are SKIPPED (unindexable); ``ts`` truncates
+    to the 14-digit second grain; null fields are omitted from the
+    flat string-valued JSON; lines sort bytewise by the DOCUMENTED
+    (urlkey, timestamp14, url) tuple — never the formatted line, where
+    json escaping would leak into the url tie-break."""
+    keyed = []
+    for r in rows:
+        if not r.get("urlkey") or r.get("ts") is None:
+            continue
+        ts14 = r["ts"].strftime("%Y%m%d%H%M%S")
+        fields = {}
+        for name in ("url", "mime", "status", "digest", "length",
+                     "offset", "filename"):
+            v = r.get(name)
+            if v is not None:
+                fields[name] = str(v)
+        keyed.append(((r["urlkey"], ts14, r.get("url") or ""),
+                      f"{r['urlkey']} {ts14} {json.dumps(fields)}\n"))
+    keyed.sort(key=lambda kv: kv[0])
+    return [line for _, line in keyed]
+
+
 def write_cdxj(rows, path: str, *, gzip_compress: bool | None = None
                ) -> str:
     """CDX row dicts -> ONE CDXJ index shard: ``urlkey SP timestamp14
@@ -650,23 +676,7 @@ def write_cdxj(rows, path: str, *, gzip_compress: bool | None = None
 
     if gzip_compress is None:
         gzip_compress = path.endswith(".gz")
-    keyed = []
-    for r in rows:
-        if not r.get("urlkey") or r.get("ts") is None:
-            continue
-        ts14 = r["ts"].strftime("%Y%m%d%H%M%S")
-        fields = {}
-        for name in ("url", "mime", "status", "digest", "length",
-                     "offset", "filename"):
-            v = r.get(name)
-            if v is not None:
-                fields[name] = str(v)
-        # sort on the DOCUMENTED key tuple, not the formatted line —
-        # json escaping would otherwise leak into the url tie-break
-        keyed.append(((r["urlkey"], ts14, r.get("url") or ""),
-                      f"{r['urlkey']} {ts14} {json.dumps(fields)}\n"))
-    keyed.sort(key=lambda kv: kv[0])
-    lines = [line for _, line in keyed]
+    lines = _format_cdxj_lines(rows)
     blob = "".join(lines).encode("utf-8")
     if gzip_compress:
         buf = io.BytesIO()
@@ -735,3 +745,249 @@ def export_cdxj(ds, out_dir: str, num_partitions: int = 16):
         ds.map_batches(keep, batch_format="pyarrow"),
         num_partitions, key_col="urlkey")
     return tagged.groupby("part_id").map_groups(write_group).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# ZipNum cluster index (CC's seekable index layout: cluster.idx + cdx-*.gz)
+# ---------------------------------------------------------------------------
+
+def _prefix_upper(prefix: str):
+    """Smallest string greater than every string with ``prefix``
+    (``None`` = unbounded).  ASCII-envelope increment of the last
+    character; SURT urlkeys are ASCII by construction (non-ASCII hosts
+    pass through :func:`surt` unchanged, and the increment still works
+    for any character below the max codepoint)."""
+    while prefix and ord(prefix[-1]) >= 0x10FFFF:
+        prefix = prefix[:-1]
+    if not prefix:
+        return None
+    return prefix[:-1] + chr(ord(prefix[-1]) + 1)
+
+
+def write_zipnum_part(rows, path: str, *, lines_per_block: int = 3000):
+    """CDX row dicts -> ONE ZipNum part: sorted CDXJ lines chunked
+    into ``lines_per_block``-line groups, each group an independent
+    gzip member (``mtime=0`` — byte-deterministic), members
+    concatenated into ``path``.  Returns the part's summary entries
+    ``[(sortkey, offset, length), ...]`` — one per block, where
+    ``sortkey`` is the ``"urlkey ts14"`` key of the block's FIRST
+    line, exactly what a ``cluster.idx`` line carries.  The frozen
+    line/sort/skip policy is :func:`_format_cdxj_lines`'s."""
+    import gzip as _gzip
+
+    lines = _format_cdxj_lines(rows)
+    entries = []
+    offset = 0
+    with open(path, "wb") as out:
+        for start in range(0, len(lines), lines_per_block):
+            chunk = lines[start:start + lines_per_block]
+            buf = io.BytesIO()
+            with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write("".join(chunk).encode("utf-8"))
+            blob = buf.getvalue()
+            out.write(blob)
+            key = " ".join(chunk[0].split(" ", 2)[:2])
+            entries.append((key, offset, len(blob)))
+            offset += len(blob)
+    return entries
+
+
+def export_zipnum(ds, out_dir: str, *, num_parts: int = 16,
+                  lines_per_block: int = 3000, sample_mod: int = 1024,
+                  max_samples: int = 2_000_000):
+    """Distributed ZipNum export — Common Crawl's seekable index
+    layout: range-partitioned ``cdx-NNNNN.gz`` parts (each a run of
+    independent gzip members of ``lines_per_block`` sorted CDXJ
+    lines) plus ONE ``cluster.idx`` summary with a line per block
+    (``sortkey TAB part TAB offset TAB length TAB seq``), so a lookup
+    binary-searches the summary and decompresses only the touched
+    blocks (:func:`zipnum_lookup`).
+
+    Unlike the hash-partitioned :func:`export_cdxj`, ZipNum REQUIRES
+    global key order across parts.  Range boundaries come from a
+    deterministic row-level hash sample (``crc32(urlkey) %
+    sample_mod == 0`` — batching/partition independent, so re-runs
+    route identically and resume is safe): samples are collected
+    driver-side (guarded by ``max_samples``; at 10^12 captures pass
+    ``sample_mod=2**20`` for a ~1M-key sample, the documented
+    envelope) and decimated to ``num_parts-1`` cut keys.  One hash
+    exchange routes the narrow index rows; each part group sorts
+    locally (a part is ~1/num_parts of the index — size num_parts so
+    a part fits a worker, CC itself uses ~300) and writes atomically
+    (summary sidecar first, part rename is the commit point; existing
+    parts are SKIPPED -> resume) with a P12 lineage sidecar.
+    ``cluster.idx`` is rebuilt from the sidecars at the end — bounded
+    at one line per ``lines_per_block`` captures.  Returns the
+    per-part summary ``(part_id, rows)``.
+
+    The sample and the route are TWO passes over ``ds`` (inherent to
+    range partitioning: boundaries must exist before routing) —
+    callers whose upstream is expensive (a fresh :func:`build_cdx`
+    container walk) should checkpoint the narrow index rows to
+    parquet first and export from the re-read, the same staging the
+    MinHash signature table uses."""
+    import bisect
+    import os
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "idx"), exist_ok=True)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.and_(pc.is_valid(batch["urlkey"]),
+                                    pc.is_valid(batch["ts"])))
+
+    narrow = ds.map_batches(keep, batch_format="pyarrow")
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ks = [k for k in batch["urlkey"].to_pylist()
+              if zlib.crc32(k.encode("utf-8")) % sample_mod == 0]
+        return pa.table({"urlkey": pa.array(ks, pa.string())})
+
+    samples = narrow.map_batches(sample, batch_format="pyarrow")
+    try:
+        sdf = samples.to_pandas(limit=max_samples)
+        keys = (sorted(sdf["urlkey"].tolist())
+                if "urlkey" in sdf.columns else [])
+    except ValueError as exc:
+        raise ValueError(
+            f"export_zipnum key sample exceeds max_samples="
+            f"{max_samples}; raise sample_mod (deterministic row-hash"
+            f" rate) so ~100*num_parts keys survive") from exc
+    bounds = []
+    for i in range(1, num_parts):
+        if not keys:
+            break
+        cut = keys[min(len(keys) - 1, round(i * len(keys) / num_parts))]
+        if not bounds or cut > bounds[-1]:
+            bounds.append(cut)
+
+    def route(batch: pa.Table) -> pa.Table:
+        pid = np.fromiter(
+            (bisect.bisect_right(bounds, k)
+             for k in batch["urlkey"].to_pylist()),
+            dtype=np.int64, count=batch.num_rows)
+        return batch.append_column("part_id", pa.array(pid, pa.int64()))
+
+    def write_group(group: pd.DataFrame) -> pd.DataFrame:
+        pid = int(group["part_id"].iloc[0])
+        path = os.path.join(out_dir, f"cdx-{pid:05d}.gz")
+        if not os.path.exists(path):
+            tmp = path + f".tmp{os.getpid()}"
+            entries = write_zipnum_part(
+                ({k: (v.to_pydatetime() if k == "ts" else
+                      None if pd.isna(v) else
+                      int(v) if k in ("status", "length", "offset")
+                      else v)
+                  for k, v in row.items() if k != "part_id"}
+                 for row in group.to_dict("records")), tmp,
+                lines_per_block=lines_per_block)
+            # summary sidecar FIRST; the part rename is the commit
+            # point (a crash between the two leaves no committed part)
+            ipath = os.path.join(out_dir, "idx", f"cdx-{pid:05d}.idx")
+            itmp = ipath + f".tmp{os.getpid()}"
+            with open(itmp, "w", encoding="utf-8") as fh:
+                for key, off, length in entries:
+                    fh.write(f"{key}\t{off}\t{length}\n")
+            os.rename(itmp, ipath)
+            ldir = os.path.join(out_dir, "lineage")
+            os.makedirs(ldir, exist_ok=True)
+            ltmp = os.path.join(ldir, f"cdx-{pid:05d}.json.tmp")
+            with open(ltmp, "w") as lf:
+                json.dump({"part_id": pid, "rows": int(len(group)),
+                           "blocks": len(entries),
+                           "bytes_out": int(os.path.getsize(tmp)),
+                           "engine_version": __version__}, lf)
+            os.rename(ltmp, os.path.join(ldir, f"cdx-{pid:05d}.json"))
+            os.rename(tmp, path)
+        return pd.DataFrame({"part_id": [pid], "rows": [len(group)]})
+
+    summary = (narrow.map_batches(route, batch_format="pyarrow")
+               .groupby("part_id").map_groups(write_group).to_pandas())
+
+    # assemble cluster.idx from the per-part sidecars in part (= key
+    # range) order; streamed, never held whole
+    tmp = os.path.join(out_dir, f"cluster.idx.tmp{os.getpid()}")
+    seq = 0
+    with open(tmp, "w", encoding="utf-8") as out:
+        for name in sorted(os.listdir(out_dir)):
+            if not (name.startswith("cdx-") and name.endswith(".gz")):
+                continue
+            ipath = os.path.join(out_dir, "idx",
+                                 name[:-3] + ".idx")
+            with open(ipath, encoding="utf-8") as fh:
+                for line in fh:
+                    key, off, length = line.rstrip("\n").split("\t")
+                    seq += 1
+                    out.write(f"{key}\t{name}\t{off}\t{length}\t{seq}\n")
+    os.rename(tmp, os.path.join(out_dir, "cluster.idx"))
+    return summary
+
+
+def load_cluster_idx(out_dir: str):
+    """``cluster.idx`` -> list of ``(sortkey, part, offset, length)``
+    in file (= global key) order."""
+    import os
+
+    entries = []
+    with open(os.path.join(out_dir, "cluster.idx"),
+              encoding="utf-8") as fh:
+        for line in fh:
+            key, part, off, length, _seq = line.rstrip("\n").split("\t")
+            entries.append((key, part, int(off), int(length)))
+    return entries
+
+
+def zipnum_lookup(out_dir: str, prefixes, *, exact: bool = False):
+    """Seek-based ZipNum lookup: binary-search ``cluster.idx`` for
+    each prefix, decompress ONLY the touched blocks, return the
+    matching captures as the typed CDX table (the same schema as
+    :func:`read_cdxj`).
+
+    A prefix matches every line that starts with it — pass a full
+    urlkey with ``exact=True`` (appends the field separator) for
+    exact-key lookups, or a SURT host/path prefix for domain queries.
+    Results concatenate in prefix order; overlapping prefixes return
+    their shared lines once per prefix (callers wanting set semantics
+    pass disjoint prefixes).  Lines within a block and summary keys
+    are bytewise-ordered (the documented sort tuple — contiguity of a
+    prefix's matches needs no character below 0x20 in a urlkey, which
+    :func:`surt` never emits for in-policy URLs)."""
+    import bisect
+    import gzip as _gzip
+    import os
+
+    entries = load_cluster_idx(out_dir)
+    keys = [e[0] for e in entries]
+    block_cache: dict[tuple[str, int], list[str]] = {}
+    rows = []
+    for p in (prefixes if isinstance(prefixes, (list, tuple))
+              else [prefixes]):
+        if exact:
+            p = p + " "
+        upper = _prefix_upper(p)
+        lo = max(0, bisect.bisect_right(keys, p) - 1)
+        hi = (bisect.bisect_left(keys, upper) if upper is not None
+              else len(keys))
+        for key, part, off, length in entries[lo:max(lo + 1, hi)]:
+            ck = (part, off)
+            if ck not in block_cache:
+                with open(os.path.join(out_dir, part), "rb") as fh:
+                    fh.seek(off)
+                    blob = fh.read(length)
+                block_cache[ck] = _gzip.decompress(blob).decode(
+                    "utf-8").splitlines()
+            lines = block_cache[ck]
+            a = bisect.bisect_left(lines, p)
+            b = (bisect.bisect_left(lines, upper)
+                 if upper is not None else len(lines))
+            for line in lines[a:b]:
+                if not line.startswith(p):  # belt over the bisect
+                    continue
+                row = parse_cdxj_line(line)
+                if row is not None:
+                    rows.append(row)
+    return _cdx_table(rows)
