@@ -62,7 +62,7 @@ from .warc import _NativeWrapper, parse_warc_records
 __all__ = ["surt", "surt_key", "parse_cdxj_line", "read_cdxj",
            "latest_capture", "cdx_diff", "build_cdx", "write_cdxj",
            "export_cdxj", "write_zipnum_part", "export_zipnum",
-           "load_cluster_idx", "zipnum_lookup"]
+           "load_cluster_idx", "zipnum_lookup", "zipnum_fetch"]
 
 _URL_RE = re.compile(
     r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?")
@@ -956,38 +956,139 @@ def zipnum_lookup(out_dir: str, prefixes, *, exact: bool = False):
     are bytewise-ordered (the documented sort tuple — contiguity of a
     prefix's matches needs no character below 0x20 in a urlkey, which
     :func:`surt` never emits for in-policy URLs)."""
-    import bisect
-    import gzip as _gzip
-    import os
-
     entries = load_cluster_idx(out_dir)
     keys = [e[0] for e in entries]
     block_cache: dict[tuple[str, int], list[str]] = {}
     rows = []
     for p in (prefixes if isinstance(prefixes, (list, tuple))
               else [prefixes]):
-        if exact:
-            p = p + " "
-        upper = _prefix_upper(p)
-        lo = max(0, bisect.bisect_right(keys, p) - 1)
-        hi = (bisect.bisect_left(keys, upper) if upper is not None
-              else len(keys))
-        for key, part, off, length in entries[lo:max(lo + 1, hi)]:
-            ck = (part, off)
-            if ck not in block_cache:
-                with open(os.path.join(out_dir, part), "rb") as fh:
-                    fh.seek(off)
-                    blob = fh.read(length)
-                block_cache[ck] = _gzip.decompress(blob).decode(
-                    "utf-8").splitlines()
-            lines = block_cache[ck]
-            a = bisect.bisect_left(lines, p)
-            b = (bisect.bisect_left(lines, upper)
-                 if upper is not None else len(lines))
-            for line in lines[a:b]:
-                if not line.startswith(p):  # belt over the bisect
-                    continue
-                row = parse_cdxj_line(line)
-                if row is not None:
-                    rows.append(row)
+        rows.extend(_scan_prefix(entries, keys, out_dir, block_cache,
+                                 p, exact))
     return _cdx_table(rows)
+
+
+def _read_block(out_dir: str, part: str, off: int, length: int):
+    import gzip as _gzip
+    import os
+
+    with open(os.path.join(out_dir, part), "rb") as fh:
+        fh.seek(off)
+        blob = fh.read(length)
+    return _gzip.decompress(blob).decode("utf-8").splitlines()
+
+
+def _scan_prefix(entries, keys, out_dir, block_cache, p, exact):
+    """Shared lookup core: binary-search the summary keys, decompress
+    touched blocks through ``block_cache``, yield parsed rows."""
+    import bisect
+
+    if exact:
+        p = p + " "
+    upper = _prefix_upper(p)
+    lo = max(0, bisect.bisect_right(keys, p) - 1)
+    hi = (bisect.bisect_left(keys, upper) if upper is not None
+          else len(keys))
+    rows = []
+    for key, part, off, length in entries[lo:max(lo + 1, hi)]:
+        ck = (part, off)
+        lines = block_cache.get(ck)
+        if lines is None:
+            lines = _read_block(out_dir, part, off, length)
+            block_cache[ck] = lines
+        a = bisect.bisect_left(lines, p)
+        b = (bisect.bisect_left(lines, upper)
+             if upper is not None else len(lines))
+        for line in lines[a:b]:
+            if not line.startswith(p):  # belt over the bisect
+                continue
+            row = parse_cdxj_line(line)
+            if row is not None:
+                rows.append(row)
+    return rows
+
+
+class _BlockLRU:
+    """Bounded block cache with the dict surface ``_scan_prefix``
+    uses (``get`` / ``__setitem__``)."""
+
+    def __init__(self, cap: int):
+        from collections import OrderedDict
+
+        self._d: dict = OrderedDict()
+        self._cap = cap
+
+    def get(self, ck, default=None):
+        lines = self._d.get(ck, default)
+        if lines is not None:
+            self._d.move_to_end(ck)
+        return lines
+
+    def __setitem__(self, ck, lines):
+        self._d[ck] = lines
+        if len(self._d) > self._cap:
+            self._d.popitem(last=False)
+
+
+class _ZipFetch:
+    """Actor-pool ZipNum fetch stage: the cluster.idx summary is
+    fetched ONCE per actor from the object store (plasma-local after
+    the first ``ray.get``), blocks decompress behind a bounded
+    per-actor LRU — a probe batch touching the same hot blocks pays
+    one decompress, not one per probe."""
+
+    def __init__(self, idx_ref, out_dir: str, key_col: str,
+                 exact: bool, cache_blocks: int):
+        import ray
+
+        self._entries = ray.get(idx_ref)
+        self._keys = [e[0] for e in self._entries]
+        self._dir = out_dir
+        self._key_col = key_col
+        self._exact = exact
+        self._cache = _BlockLRU(cache_blocks)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        probes = batch[self._key_col].to_pylist()
+        out_probe = []
+        out_rows = []
+        for p in probes:
+            if p is None:
+                continue
+            rows = _scan_prefix(self._entries, self._keys, self._dir,
+                                self._cache, p, self._exact)
+            out_probe.extend([p] * len(rows))
+            out_rows.extend(rows)
+        t = _cdx_table(out_rows)
+        return t.add_column(0, pa.field("probe", pa.string()),
+                            pa.array(out_probe, pa.string()))
+
+
+def zipnum_fetch(probes, out_dir: str, *, key_col: str = "urlkey",
+                 exact: bool = True, locality: bool = False,
+                 concurrency=(1, 8), cache_blocks: int = 256):
+    """Distributed bulk ZipNum lookup — the scale path next to the
+    driver utility :func:`zipnum_lookup`: a Dataset of probe keys
+    streams through an actor pool; each actor holds the cluster.idx
+    summary (``ray.put`` once — at full CC scale the summary is
+    ~100s of MB, exactly what the object store broadcast is for) and
+    a ``cache_blocks``-bounded LRU of decompressed blocks.  Output is
+    one row per (probe, matching capture) with the probe in column
+    ``probe`` — a probe with no captures emits nothing (callers
+    wanting anti semantics left-anti-join the probe table back).
+
+    ``locality=True`` range-sorts the probes first (ONE narrow
+    exchange) so neighbouring probes land in the same actor batches
+    and block-cache hits dominate — worth it when probes >> blocks.
+    The ZipNum directory must be reachable from every worker (shared
+    filesystem / object store mount — the CC layout's own
+    assumption)."""
+    import ray
+
+    ref = ray.put(load_cluster_idx(out_dir))
+    if locality:
+        probes = probes.sort(key_col)
+    return probes.map_batches(
+        _ZipFetch, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_args=(ref, out_dir, key_col, exact,
+                             cache_blocks),
+        num_cpus=1)

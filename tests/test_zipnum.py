@@ -168,3 +168,36 @@ def test_write_part_block_geometry(tmp_path):
     assert entries[0][1] == 0
     assert sum(e[2] for e in entries) == os.path.getsize(path)
     assert len(entries) == 3  # 32 + 32 + 6
+
+
+def test_zipnum_fetch_parity_and_modes(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rayxt.cdx import zipnum_fetch
+
+    out = _export(ray_session, str(tmp_path / "z"), _rows())
+    lines = verify_zipnum_layout(out, 32)
+
+    # prefix mode, with a no-match and a null probe in the stream
+    probes = ["com,example,h003)", "org,absent)", None,
+              "com,example,h01", "com,example,h000)/p/00000"]
+    pds = rd.from_items([{"urlkey": p} for p in probes])
+    got = zipnum_fetch(pds, out, exact=False,
+                       concurrency=(1, 2)).to_pandas()
+    for p in probes:
+        if p is None:
+            continue
+        want = oracle_zipnum_lookup(lines, p)
+        sub = got[got["probe"] == p].drop(columns=["probe"])
+        assert sub.to_dict("records") == [
+            {**r, "ts": __import__("pandas").Timestamp(r["ts"])}
+            for r in want]
+    assert got[got["probe"] == "org,absent)"].empty
+
+    # exact mode + locality sort: every key fetches its own captures
+    keys = sorted({ln.split(" ", 1)[0] for ln in lines})
+    kds = rd.from_items([{"urlkey": k} for k in keys]).repartition(3)
+    got2 = zipnum_fetch(kds, out, exact=True, locality=True,
+                        concurrency=(1, 2)).to_pandas()
+    assert len(got2) == len(lines)
+    assert (got2["probe"] == got2["urlkey"]).all()
