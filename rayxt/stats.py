@@ -19,7 +19,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["grouped_corr", "zscore", "logreg_train", "logreg_predict",
-           "winsorize", "profile_table"]
+           "winsorize", "profile_table", "group_keep_keys",
+           "group_stats_filter"]
 
 
 def _moment_partials(key: str, x_col: str, y_col: str):
@@ -322,3 +323,77 @@ def profile_table(ds, *, columns, ndigits: int = 6):
     out = out[["column", "n", "n_null", "n_distinct",
                "min_v", "max_v", "mean_v"]]
     return out.sort_values("column").reset_index(drop=True)
+
+
+def group_keep_keys(ds, *, key_col: str, value_col: str,
+                    min_count: int | None = None,
+                    min_mean: float | None = None,
+                    max_mean: float | None = None,
+                    ndigits: int = 6):
+    """Dataset of the DISTINCT ``key_col`` values whose group passes
+    every given aggregate gate (count of non-null ``value_col`` rows,
+    mean of ``value_col`` — the RefinedWeb / Gopher "judge the whole
+    host, not the page" shape).  Same scale shape as
+    :func:`grouped_corr`: per-batch ``(key, n, sum)`` partials before
+    the exchange, pure ``Sum`` merges, the mean compared after an
+    ``ndigits`` round on both the engine and any SQL restatement (the
+    float-association rule every gated mean in this repo follows)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        narrow = pa.table({key_col: t[key_col],
+                           "v": pc.cast(t[value_col], pa.float64())})
+        narrow = narrow.filter(pc.and_(pc.is_valid(narrow[key_col]),
+                                       pc.is_valid(narrow["v"])))
+        g = narrow.group_by(key_col).aggregate(
+            [("v", "count"), ("v", "sum")])
+        return g.rename_columns([key_col, "n", "s"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(key_col)
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("s", alias_name="s")))
+
+    def gate(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mean = np.round(t["s"].to_numpy(zero_copy_only=False)
+                        / np.maximum(n, 1), ndigits)
+        keep = np.ones(len(n), dtype=bool)
+        if min_count is not None:
+            keep &= n >= min_count
+        if min_mean is not None:
+            keep &= mean >= min_mean
+        if max_mean is not None:
+            keep &= mean <= max_mean
+        return pa.table({key_col: t[key_col].filter(pa.array(keep))})
+
+    return agg.map_batches(gate, batch_format="pyarrow")
+
+
+def group_stats_filter(ds, *, key_col: str, value_col: str,
+                       min_count: int | None = None,
+                       min_mean: float | None = None,
+                       max_mean: float | None = None,
+                       ndigits: int = 6, mode: str = "broadcast",
+                       num_partitions: int = 16):
+    """Keep only rows whose GROUP passes the aggregate gates — drop a
+    whole host when its page count / mean quality fails, never judge
+    pages one by one (the RefinedWeb per-host heuristic).  Two passes
+    over ``ds`` (inherent: the gate needs the group aggregate before
+    any row can be judged — checkpoint upstream if it is expensive).
+    ``broadcast`` ships the passing-key set once via ``ray.put``
+    (:func:`rayxt.joins.broadcast_semi_filter`); ``mode="join"`` is
+    the beyond-broadcast hash ``left_semi`` path."""
+    keys = group_keep_keys(ds, key_col=key_col, value_col=value_col,
+                           min_count=min_count, min_mean=min_mean,
+                           max_mean=max_mean, ndigits=ndigits)
+    if mode == "broadcast":
+        from .joins import broadcast_semi_filter
+
+        return broadcast_semi_filter(ds, keys, key_col=key_col,
+                                     keys_key=key_col)
+    if mode != "join":
+        raise ValueError(f"unknown mode {mode!r}")
+    return ds.join(keys, "left_semi", num_partitions=num_partitions,
+                   on=(key_col,))

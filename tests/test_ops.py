@@ -1832,3 +1832,37 @@ def test_clean_lines_policy_and_duckdb_parity(ray_session):
         gv = [None if pd.isna(v) else v for v in got[c]]
         wv = [None if pd.isna(v) else v for v in want[c]]
         assert gv == wv, c
+
+
+def test_group_stats_filter_modes_match_brute_force(ray_session):
+    import ray.data as rd
+
+    from rayxt.stats import group_keep_keys, group_stats_filter
+
+    rows = []
+    for i in range(300):
+        k = f"h{i % 17:02d}"
+        rows.append({"id": i, "key": k,
+                     "v": float((i * 37) % 250) if i % 29 else None})
+    rows.append({"id": 300, "key": None, "v": 10.0})  # null key drops
+    df = pd.DataFrame(rows)
+
+    valid = df.dropna(subset=["key", "v"])
+    g = valid.groupby("key")["v"].agg(["count", "mean"])
+    passing = set(g[(g["count"] >= 12) & (g["mean"].round(6) >= 100)
+                    & (g["mean"].round(6) <= 140)].index)
+
+    ds = rd.from_pandas(df).repartition(5)
+    keys = sorted(group_keep_keys(
+        ds, key_col="key", value_col="v", min_count=12,
+        min_mean=100.0, max_mean=140.0).to_pandas()["key"])
+    assert keys == sorted(passing)
+
+    for mode in ("broadcast", "join"):
+        kept = group_stats_filter(
+            ds, key_col="key", value_col="v", min_count=12,
+            min_mean=100.0, max_mean=140.0, mode=mode).to_pandas()
+        # every surviving row's key passes; every passing key's rows
+        # survive IN FULL (null-v rows of a passing key included)
+        want = df[df["key"].isin(passing)]
+        assert sorted(kept["id"]) == sorted(want["id"]), mode
