@@ -56,7 +56,7 @@ def ensure_worker_importable() -> None:
 
 from . import __version__
 from .state import key_digests
-from .dom import parse_html, parse_xml
+from .dom import decode_html, parse_html, parse_xml
 from .xpath import parse_css, parse_xpath
 from .kernel import DEFAULT_HARD_CAP, extract_one
 from .linkgraph import host_of_url
@@ -138,6 +138,31 @@ def read_parquet_clean(path, *, columns=None, **kwargs):
 def read_pages(path, columns=PAGES_COLUMNS, **kwargs):
     """P1: parquet source with column pruning (html read only here)."""
     return read_parquet_clean(path, columns=columns, **kwargs)
+
+
+def detect_encoding(ds, col: str = "html", out_enc: str = "encoding",
+                    out_chars: str = "n_chars_decoded"):
+    """Expose the S2 encoding sniff as a diagnostic column pair: the
+    encoding :func:`rayxt.dom.decode_html` settles on (the frozen BOM
+    -> declared-charset -> UTF-8-strict -> latin-1 chain) and the
+    decoded character count AFTER newline normalization — a value
+    that depends on the whole decode, so an oracle match pins the
+    chain, not just the label.  Stateless map, payload dies in-stage
+    unless the caller keeps it; per-row decode is the identical work
+    the extract kernel performs, surfaced without a parse."""
+
+    def sniff(t: pa.Table) -> pa.Table:
+        encs = []
+        counts = []
+        for data in t[col].to_pylist():
+            text, enc = decode_html(data)
+            encs.append(enc)
+            counts.append(len(text))
+        out = t.append_column(out_enc, pa.array(encs, pa.string()))
+        return out.append_column(out_chars,
+                                 pa.array(counts, pa.int64()))
+
+    return ds.map_batches(sniff, batch_format="pyarrow")
 
 
 class ExtractDocs:
