@@ -51,7 +51,8 @@ from . import __version__
 __all__ = ["read_warc", "parse_warc_records", "write_warc",
            "WARC_SCHEMA", "write_wet", "read_wet", "export_wet",
            "WET_SCHEMA", "REVISIT_SCHEMA", "parse_warc_records_ext",
-           "read_warc_revisits", "resolve_revisits", "export_warc"]
+           "read_warc_revisits", "resolve_revisits", "export_warc",
+           "read_records_at"]
 
 WARC_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -305,6 +306,77 @@ def read_warc(paths, *, batch_rows: int = 256, dechunk: bool = False,
                 yield _warc_table(rows, with_http)
 
     return rd.read_datasource(WarcDatasource(paths, **kwargs))
+
+
+def read_records_at(coords, base_dir: str | None = None, *,
+                    filename_col: str = "filename",
+                    offset_col: str = "offset",
+                    length_col: str = "length",
+                    locality: bool = True, dechunk: bool = False):
+    """Seek-based SELECTIVE record fetch — the consumer the CDX /
+    ZipNum coordinates exist for: a Dataset of index rows
+    ``(filename, offset, length)`` fetches ONLY the referenced
+    records from their containers (KB of seeks instead of GB of
+    container scan) and yields the standard ``(url, warc_ts, html,
+    lang)`` capture rows, ready for the extract pool.
+
+    Each coordinate span decompresses by its own magic (per-record
+    gzip member / zstd frame / plain record span — exactly what
+    :func:`rayxt.cdx.build_cdx` emits); every ``response`` record in
+    the span is emitted in span order (one, in the standard CC
+    layouts; all of them in the degenerate whole-file-member case).
+    Rows with a null coordinate are skipped.  ``locality=True``
+    sorts by (filename, offset) first — ONE narrow exchange so a
+    task's fetches run down each container forward with one open
+    handle, instead of seeking randomly across all of them.
+    Containers must be reachable from every worker (the shared-store
+    assumption all the container exporters document)."""
+    import os as _os
+
+    import pyarrow.compute as _pc
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        mask = _pc.and_(_pc.and_(_pc.is_valid(t[filename_col]),
+                                 _pc.is_valid(t[offset_col])),
+                        _pc.is_valid(t[length_col]))
+        return t.filter(mask)
+
+    # null coordinates are unfetchable — drop BEFORE the sort (Ray's
+    # sort cannot order null filenames, and the fetch skips them)
+    coords = coords.map_batches(drop_null, batch_format="pyarrow")
+    if locality:
+        coords = coords.sort([filename_col, offset_col])
+
+    def fetch(t: pa.Table) -> pa.Table:
+        rows = []
+        handles: dict = {}
+        try:
+            names = t[filename_col].to_pylist()
+            offs = t[offset_col].to_pylist()
+            lens = t[length_col].to_pylist()
+            for name, off, length in zip(names, offs, lens):
+                path = (_os.path.join(base_dir, name)
+                        if base_dir else name)
+                fh = handles.get(path)
+                if fh is None:
+                    fh = handles[path] = open(path, "rb")
+                fh.seek(off)
+                blob = fh.read(length)
+                if blob[:2] == b"\x1f\x8b":
+                    blob = gzip.decompress(blob)
+                elif blob[:4] == b"\x28\xb5\x2f\xfd":
+                    blob = bytes(pa.CompressedInputStream(
+                        pa.BufferReader(blob), "zstd").read())
+                for rec in parse_warc_records(
+                        io.BufferedReader(io.BytesIO(blob)),
+                        dechunk=dechunk):
+                    rows.append(rec)
+        finally:
+            for fh in handles.values():
+                fh.close()
+        return _warc_table(rows)
+
+    return coords.map_batches(fetch, batch_format="pyarrow")
 
 
 class _NativeWrapper(io.RawIOBase):

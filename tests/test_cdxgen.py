@@ -201,3 +201,43 @@ def test_export_cdxj_partitioned_resumable(tmp_path, ray_session):
     mt = {p: os.path.getmtime(p) for p in shards}
     export_cdxj(build_cdx(paths), out, num_partitions=4)
     assert {p: os.path.getmtime(p) for p in shards} == mt
+
+
+@pytest.mark.parametrize("name", ["s.warc", "s.warc.gz", "s.warc.zst"])
+def test_read_records_at_fetches_referenced_records(
+        ray_session, tmp_path, name):
+    import ray.data as rd
+
+    from rayxt.warc import read_records_at
+
+    path = _stage(str(tmp_path), name)
+    coords = [r for r in _index_units(path)]
+    ds = rd.from_items([
+        {"filename": os.path.basename(path), "offset": r["offset"],
+         "length": r["length"], "url": r["url"]} for r in coords])
+    got = read_records_at(ds, str(tmp_path)).to_pandas()
+    assert len(got) == len(ROWS)
+    by_url = {r["url"]: r for _, r in got.iterrows()}
+    for want in ROWS:
+        r = by_url[want["url"]]
+        assert bytes(r["html"]) == want["html"]
+        # warc_ts truncation follows the writer's own date policy
+        assert r["warc_ts"].to_pydatetime() == want["warc_ts"]
+
+
+def test_read_records_at_subset_null_and_locality(ray_session,
+                                                  tmp_path):
+    import ray.data as rd
+
+    from rayxt.warc import read_records_at
+
+    path = _stage(str(tmp_path), "s.warc.gz")
+    coords = list(_index_units(path))[1:3]
+    items = [{"filename": os.path.basename(path), "offset": r["offset"],
+              "length": r["length"]} for r in coords]
+    items.append({"filename": None, "offset": None, "length": None})
+    for loc in (True, False):
+        got = read_records_at(rd.from_items(items), str(tmp_path),
+                              locality=loc).to_pandas()
+        assert sorted(got["url"]) == sorted(
+            r["url"] for r in coords)
