@@ -1712,3 +1712,69 @@ def revisit_rows_of(pages_parquet: str, n_base: int = 300) -> list:
         for r in rows[::3]
     ]
     return rows + mirrors
+
+
+# -- messy-host fixture family (registered-domain conformance) --------------
+
+_HOST_SLDS = ("example", "blog", "shop", "news", "media", "data")
+_HOST_SUBS = ("", "www.", "a.", "cdn.static.", "deep.a.b.")
+_HOST_SUFFIXES = (
+    "com", "co.uk", "github.io", "s3.amazonaws.com", "de", "jp",
+    "co.jp", "com.au", "ck", "np", "example", "localhost",
+)
+
+
+def host_case_of(i: int) -> str:
+    """Deterministic messy host: subdomain depth x SLD x suffix
+    (multi-label, wildcard and unknown TLDs), cycling trailing dots
+    and upper-casing — every shape the PSL algorithm must handle."""
+    sub = _HOST_SUBS[_h(i, "hs") % len(_HOST_SUBS)]
+    sld = _HOST_SLDS[_h(i, "hd") % len(_HOST_SLDS)]
+    suf = _HOST_SUFFIXES[_h(i, "hx") % len(_HOST_SUFFIXES)]
+    host = f"{sub}{sld}-{_h(i, 'hn') % 9}.{suf}"
+    if _h(i, "hu") % 5 == 0:
+        host = host.upper()
+    if _h(i, "ht") % 7 == 0:
+        host += "."
+    return host
+
+
+HOST_EDGE_CASES = (
+    "com",                      # bare TLD -> null
+    "co.uk",                    # bare 2-label suffix -> null
+    "foo.ck",                   # wildcard: IS a suffix -> null
+    "bar.foo.ck",               # wildcard: suffix + 1 label
+    "www.ck",                   # the exception rule
+    "x.www.ck",                 # exception, deeper host
+    "192.168.0.1",              # IPv4 passes through
+    "256.1.1.1",                # not IPv4 (octet > 255)
+    "1.2.3.4.",                 # IPv4 behind a trailing dot
+    "a..com",                   # empty label -> null
+    ".com",                     # leading dot -> null
+    "",                         # empty -> null
+    "localhost",                # single unknown label -> null
+    "xn--bcher-kva.de",         # punycode label is opaque
+    "s3.amazonaws.com",         # 3-label suffix itself -> null
+    "b.s3.amazonaws.com",       # 3-label suffix + 1
+)
+
+
+def generate_host_table(n_rows: int) -> pa.Table:
+    hosts = [host_case_of(i) for i in range(n_rows)] \
+        + list(HOST_EDGE_CASES)
+    return pa.table({
+        "host_id": pa.array(range(len(hosts)), pa.int64()),
+        "host": pa.array(hosts, pa.string()),
+    })
+
+
+def ensure_host_parquet(path: str, n_rows: int) -> str:
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(generate_host_table(n_rows), tmp)
+    os.rename(tmp, path)
+    return path
