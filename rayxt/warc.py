@@ -138,6 +138,7 @@ def _dechunk(body: bytes) -> bytes:
 
 
 def parse_warc_records(f, *, dechunk: bool = False,
+                       decode_content: bool = False,
                        record_types: tuple = (b"response",),
                        with_http: bool = False):
     """Stream (url, warc_ts, body bytes) tuples for every record of
@@ -145,6 +146,17 @@ def parse_warc_records(f, *, dechunk: bool = False,
     ``record_types``.  ``response`` payloads are HTTP messages (body
     after the first CRLF CRLF); any other type's payload IS the body
     (``conversion`` — the WET layout).
+
+    ``decode_content=True`` undoes ``Content-Encoding`` on response
+    bodies (captures store the wire bytes; a gzip-encoded body parses
+    as garbage downstream): frozen policy — the header's value,
+    stripped and lowercased, selects ``gzip``/``x-gzip`` (RFC 1952)
+    or ``deflate`` (zlib-wrapped, raw fallback — the historical
+    server ambiguity); any other value (``br``, ``zstd``, stacked
+    codings) and any decode failure keep the body UNCHANGED, the
+    same tolerance as ``dechunk`` (captures sometimes declare a
+    coding but store decoded bytes).  Transfer-Encoding undoes first
+    (wire order), then Content-Encoding.
 
     ``with_http=True`` yields 5-tuples ``(url, ts, body, status,
     content_type)`` instead: frozen policy — ``status`` is the second
@@ -177,12 +189,44 @@ def parse_warc_records(f, *, dechunk: bool = False,
                     and b"chunked" in payload[:sep].lower()
                     and _http_declares_chunked(payload[:sep])):
                 body = _dechunk(body)
+            if decode_content and sep >= 0:
+                body = _decode_content(payload[:sep], body)
         else:
             body = payload
         if with_http:
             yield url, ts, body, status, ctype
         else:
             yield url, ts, body
+
+
+def _http_content_encoding(head: bytes):
+    for line in head.split(b"\r\n")[1:]:
+        name, _, val = line.partition(b":")
+        if name.strip().lower() == b"content-encoding":
+            return val.strip().lower()
+    return None
+
+
+def _decode_content(head: bytes, body: bytes) -> bytes:
+    """Undo the declared Content-Encoding, tolerantly (see
+    :func:`parse_warc_records`)."""
+    import zlib as _zlib
+
+    coding = _http_content_encoding(head)
+    if coding in (b"gzip", b"x-gzip"):
+        try:
+            return gzip.decompress(body)
+        except (OSError, EOFError, _zlib.error):
+            return body
+    if coding == b"deflate":
+        try:
+            return _zlib.decompress(body)
+        except _zlib.error:
+            try:
+                return _zlib.decompress(body, -15)  # raw deflate
+            except _zlib.error:
+                return body
+    return body
 
 
 def _parse_http_head(head: bytes):
@@ -268,9 +312,12 @@ def parse_warc_records_ext(f, *, dechunk: bool = False):
 
 
 def read_warc(paths, *, batch_rows: int = 256, dechunk: bool = False,
+              decode_content: bool = False,
               with_http: bool = False, **kwargs):
     """WARC/WARC-gz/WARC-zst files -> Dataset(url, warc_ts, html,
     lang).  ``dechunk=True`` re-assembles chunked HTTP bodies;
+    ``decode_content=True`` undoes gzip/deflate Content-Encoding
+    (tolerant frozen policy in :func:`parse_warc_records`);
     ``with_http=True`` appends ``http_status`` int32 and
     ``content_type`` string columns parsed from the capture's HTTP
     head (the pre-filter columns a CC pipeline uses when it has no
@@ -297,7 +344,9 @@ def read_warc(paths, *, batch_rows: int = 256, dechunk: bool = False,
                     gzip.GzipFile(fileobj=stream))
             rows = []
             for rec in parse_warc_records(
-                    stream, dechunk=dechunk, with_http=with_http):
+                    stream, dechunk=dechunk,
+                    decode_content=decode_content,
+                    with_http=with_http):
                 rows.append(rec)
                 if len(rows) >= batch_rows:
                     yield _warc_table(rows, with_http)
@@ -312,7 +361,8 @@ def read_records_at(coords, base_dir: str | None = None, *,
                     filename_col: str = "filename",
                     offset_col: str = "offset",
                     length_col: str = "length",
-                    locality: bool = True, dechunk: bool = False):
+                    locality: bool = True, dechunk: bool = False,
+                    decode_content: bool = False):
     """Seek-based SELECTIVE record fetch — the consumer the CDX /
     ZipNum coordinates exist for: a Dataset of index rows
     ``(filename, offset, length)`` fetches ONLY the referenced
@@ -369,7 +419,8 @@ def read_records_at(coords, base_dir: str | None = None, *,
                         pa.BufferReader(blob), "zstd").read())
                 for rec in parse_warc_records(
                         io.BufferedReader(io.BytesIO(blob)),
-                        dechunk=dechunk):
+                        dechunk=dechunk,
+                        decode_content=decode_content):
                     rows.append(rec)
         finally:
             for fh in handles.values():
@@ -482,10 +533,32 @@ def write_warc(rows, path: str, *, gzip_members: bool | None = None,
             date, version = _warc_date(r["warc_ts"])
             status = int(r.get("status", 200))
             ctype = str(r.get("content_type") or "text/html")
+            body = r["html"]
+            enc_header = b""
+            coding = r.get("content_encoding")
+            if coding:
+                # stage a capture of a compressed response: gzip /
+                # deflate bodies are ENCODED on the wire (html is the
+                # logical content); other codings keep the raw bytes
+                # under the declared header (the undecodable case)
+                coding = str(coding).lower()
+                if coding in ("gzip", "x-gzip"):
+                    buf = io.BytesIO()
+                    with gzip.GzipFile(fileobj=buf, mode="wb",
+                                       mtime=0) as gz:
+                        gz.write(body)
+                    body = buf.getvalue()
+                elif coding == "deflate":
+                    import zlib as _zlib
+
+                    body = _zlib.compress(body)
+                enc_header = (b"Content-Encoding: " + coding.encode()
+                              + b"\r\n")
             http_head = (
                 b"HTTP/1.1 " + str(status).encode() + b" OK\r\n"
                 b"Content-Type: " + ctype.encode() + b"\r\n"
-                b"Content-Length: " + str(len(r["html"])).encode()
+                + enc_header +
+                b"Content-Length: " + str(len(body)).encode()
                 + b"\r\n\r\n")
             if not dedup_payloads:
                 emit(out, record(
@@ -493,10 +566,10 @@ def write_warc(rows, path: str, *, gzip_members: bool | None = None,
                     [b"WARC-Target-URI: " + r["url"].encode(),
                      b"WARC-Date: " + date.encode(),
                      b"Content-Type: application/http;msgtype=response"],
-                    http_head + r["html"], version))
+                    http_head + body, version))
                 continue
             digest = b"sha1:" + base64.b32encode(
-                hashlib.sha1(r["html"]).digest())
+                hashlib.sha1(body).digest())
             first = seen.get(digest)
             if first is None:
                 seen[digest] = (r["url"], date)
@@ -506,7 +579,7 @@ def write_warc(rows, path: str, *, gzip_members: bool | None = None,
                      b"WARC-Date: " + date.encode(),
                      b"WARC-Payload-Digest: " + digest,
                      b"Content-Type: application/http;msgtype=response"],
-                    http_head + r["html"], version))
+                    http_head + body, version))
             else:
                 emit(out, record(
                     b"revisit",

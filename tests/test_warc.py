@@ -203,3 +203,90 @@ def test_read_warc_without_http_schema_unchanged(ray_session, tmp_path):
     paths = stage_warc_http(str(tmp_path / "wh2"), 20)
     cols = read_warc(paths).to_pandas().columns.tolist()
     assert cols == ["url", "warc_ts", "html", "lang"]
+
+
+def _resp_record(http: bytes, url: bytes = b"http://e/") -> bytes:
+    return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url + b"\r\n"
+            b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n")
+
+
+def _parse_blob(blob, **kw):
+    return list(parse_warc_records(
+        io.BufferedReader(io.BytesIO(blob)), **kw))
+
+
+def test_warc_decode_content():
+    """decode_content=True undoes gzip/deflate Content-Encoding;
+    unknown codings and lying headers pass bodies through unchanged;
+    chunked undoes FIRST (wire order)."""
+    import zlib
+
+    content = b"<html><body>hello encoded world</body></html>"
+    gz = gzip.compress(content, mtime=0)
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz)
+    rec = _resp_record(http)
+    assert _parse_blob(rec)[0][2] == gz                      # default raw
+    assert _parse_blob(rec, decode_content=True)[0][2] == content
+
+    for coding, enc in ((b"x-gzip", gz),
+                        (b"deflate", zlib.compress(content)),
+                        (b"deflate", zlib.compress(content)[2:-4])):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: " + coding
+                + b"\r\n\r\n" + enc)
+        got = _parse_blob(_resp_record(http), decode_content=True)
+        assert got[0][2] == content, coding
+
+    # unknown coding (br) and a lying gzip header -> unchanged
+    http = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n" + content
+    assert _parse_blob(_resp_record(http),
+                       decode_content=True)[0][2] == content
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            b"not actually gzip")
+    assert _parse_blob(_resp_record(http),
+                       decode_content=True)[0][2] == b"not actually gzip"
+
+    # chunked + gzip: dechunk first, then decode
+    chunked = (hex(len(gz[:10]))[2:].encode() + b"\r\n" + gz[:10]
+               + b"\r\n" + hex(len(gz[10:]))[2:].encode() + b"\r\n"
+               + gz[10:] + b"\r\n0\r\n\r\n")
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + chunked)
+    got = _parse_blob(_resp_record(http), dechunk=True,
+                      decode_content=True)
+    assert got[0][2] == content
+
+
+def test_warc_writer_content_encoding_round_trip(ray_session, tmp_path):
+    """write_warc(content_encoding=...) stages compressed-response
+    captures; read_warc(decode_content=True) restores the logical
+    bodies, the default read returns wire bytes."""
+    from rayxt.warc import read_warc
+
+    from datetime import datetime as _dt
+
+    rows = [
+        {"url": "http://e/plain", "warc_ts": _dt(2026, 3, 1),
+         "html": b"<p>plain</p>"},
+        {"url": "http://e/gz", "warc_ts": _dt(2026, 3, 1, 1),
+         "html": b"<p>gzipped body</p>", "content_encoding": "gzip"},
+        {"url": "http://e/df", "warc_ts": _dt(2026, 3, 1, 2),
+         "html": b"<p>deflated body</p>", "content_encoding": "deflate"},
+        {"url": "http://e/br", "warc_ts": _dt(2026, 3, 1, 3),
+         "html": b"raw-but-declared", "content_encoding": "br"},
+    ]
+    path = str(tmp_path / "enc.warc.gz")
+    write_warc(rows, path)
+    dec = {r["url"]: bytes(r["html"])
+           for r in read_warc([path], decode_content=True)
+           .to_pandas().to_dict("records")}
+    assert dec["http://e/plain"] == b"<p>plain</p>"
+    assert dec["http://e/gz"] == b"<p>gzipped body</p>"
+    assert dec["http://e/df"] == b"<p>deflated body</p>"
+    assert dec["http://e/br"] == b"raw-but-declared"  # undecodable
+    raw = {r["url"]: bytes(r["html"])
+           for r in read_warc([path]).to_pandas().to_dict("records")}
+    assert raw["http://e/gz"] != b"<p>gzipped body</p>"
+    assert raw["http://e/gz"].startswith(b"\x1f\x8b")
