@@ -356,6 +356,8 @@ def group_keep_keys(ds, *, key_col: str, value_col: str,
                       Sum("s", alias_name="s")))
 
     def gate(t: pa.Table) -> pa.Table:
+        if "n" not in t.column_names:  # schema-less empty block
+            return pa.table({key_col: pa.array([], pa.string())})
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         mean = np.round(t["s"].to_numpy(zero_copy_only=False)
                         / np.maximum(n, 1), ndigits)

@@ -536,7 +536,7 @@ def write_warc(rows, path: str, *, gzip_members: bool | None = None,
             body = r["html"]
             enc_header = b""
             coding = r.get("content_encoding")
-            if coding:
+            if coding and isinstance(coding, str):
                 # stage a capture of a compressed response: gzip /
                 # deflate bodies are ENCODED on the wire (html is the
                 # logical content); other codings keep the raw bytes

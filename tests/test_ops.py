@@ -1866,3 +1866,15 @@ def test_group_stats_filter_modes_match_brute_force(ray_session):
         # survive IN FULL (null-v rows of a passing key included)
         want = df[df["key"].isin(passing)]
         assert sorted(kept["id"]) == sorted(want["id"]), mode
+
+
+def test_group_keep_keys_empty_input(ray_session):
+    import ray.data as rd
+
+    from rayxt.stats import group_keep_keys
+
+    empty = rd.from_pandas(pd.DataFrame({"key": pd.Series([], dtype=object),
+                                         "v": pd.Series([], dtype=float)}))
+    got = group_keep_keys(empty, key_col="key", value_col="v",
+                          min_count=1)
+    assert got.count() == 0
