@@ -23,6 +23,11 @@ XPath subset::
                 [contains(<arg>, 'v')] [starts-with(<arg>, 'v')]
                 [normalize-space(<arg>?)] [normalize-space(<arg>?)='v']
                 [string-length(<arg>?) <op> n]
+                [@attr <op> N]  (XPath number() semantics: the
+                attribute string converts, NaN and missing -> false;
+                N may be negative / decimal)
+                [count(rel-path) <op> N]  (relative paths only,
+                nested predicates allowed)
                 where <arg> is @attr | text() | . (the string-value;
                 text() is the element's FIRST text node per XPath's
                 node-set->string rule)
@@ -77,7 +82,7 @@ _TOKEN_RE = re.compile(
   | (?P<rparen>\))
   | (?P<comma>,)
   | (?P<string>'[^']*'|"[^"]*")
-  | (?P<number>\d+)
+  | (?P<number>\d+(?:\.\d+)?)
   | (?P<dotdot>\.\.)
   | (?P<dot>\.)
   | (?P<star>\*)
@@ -100,7 +105,7 @@ def _tokenize(s: str):
         if kind == "ws":
             continue
         val = m.group()
-        if kind == "name" and re.fullmatch(r"-\d*", val):
+        if kind == "name" and re.fullmatch(r"-\d*(?:\.\d+)?", val):
             # the name pattern greedily eats '-1' in 'last()-1'; no real
             # tag name is a bare minus or minus-digits, so re-split
             tokens.append(("minus", "-"))
@@ -147,6 +152,72 @@ class _AttrPred(_Pred):
             # false under BOTH = and != (lxml agrees)
             return False
         return (got != self.value) if self.negate else (got == self.value)
+
+
+_XPATH_NUM_RE = re.compile(r"^-?(\d+(\.\d*)?|\.\d+)$")
+_XML_WS = " \t\r\n"
+
+
+def _xpath_number(s: str):
+    """XPath 1.0 ``number()`` of a string: optional surrounding XML
+    whitespace, optional leading minus, decimal digits — anything
+    else is NaN (returned as None here so comparisons are false)."""
+    s = s.strip(_XML_WS)
+    if not _XPATH_NUM_RE.match(s):
+        return None
+    return float(s)
+
+
+class _AttrNumPred(_Pred):
+    """``[@attr <op> N]`` — XPath numeric comparison: the attribute's
+    string converts via ``number()`` (NaN -> false), a missing
+    attribute (empty node-set) compares false under every operator."""
+
+    def __init__(self, name, op, n: float):
+        self.name = name
+        self.op = op
+        self.n = n
+
+    def matches(self, node, position, size, nsmap):
+        raw = node.attrs.get(self.name)
+        if raw is None:
+            return False
+        v = _xpath_number(raw)
+        if v is None:
+            return False
+        return _num_cmp(v, self.op, self.n)
+
+
+def _num_cmp(v, op, n) -> bool:
+    if op == "=":
+        return v == n
+    if op == "!=":
+        return v != n
+    if op == "<":
+        return v < n
+    if op == "<=":
+        return v <= n
+    if op == ">":
+        return v > n
+    return v >= n
+
+
+class _CountPred(_Pred):
+    """``[count(rel-path) <op> N]`` — the size of the node-set the
+    RELATIVE path selects from the candidate node (absolute paths
+    raise at compile: a predicate has no document root)."""
+
+    def __init__(self, steps, op, n: float, source: str):
+        self.steps = steps
+        self.op = op
+        self.n = n
+        # a throwaway XPath carries the step evaluator; its dedup per
+        # step makes len() the node-set size
+        self._xp = XPath([(False, steps)], source)
+
+    def matches(self, node, position, size, nsmap):
+        found = self._xp._eval_path(node, False, self.steps, nsmap)
+        return _num_cmp(float(len(found)), self.op, self.n)
 
 
 class _ClassWordPred(_Pred):
@@ -846,16 +917,25 @@ class _Parser:
                 f"expected comparison operator in {self.source!r}, got {val!r}")
         return op
 
+    def _number_value(self) -> float:
+        """A (possibly negative, possibly decimal) numeric literal."""
+        neg = False
+        if self.peek()[0] == "minus":
+            self.next()
+            neg = True
+        v = float(self.expect("number"))
+        return -v if neg else v
+
     def _num_or_last(self):
         """Parse a numeric rhs: n | last() | last()-n -> ('lit'|'last', v)."""
         kind, val = self.next()
         if kind == "number":
-            return ("lit", int(val))
+            return ("lit", _int_tok(val, self.source))
         if kind == "name" and val == "last()":
             delta = 0
             if self.peek()[0] == "minus":
                 self.next()
-                delta = -int(self.expect("number"))
+                delta = -_int_tok(self.expect("number"), self.source)
             return ("last", delta)
         raise SelectorError(
             f"expected number or last() in {self.source!r}, got {val!r}")
@@ -882,22 +962,30 @@ class _Parser:
         kind, val = self.peek()
         if kind == "number":
             self.next()
-            return _PosPred(int(val))
+            return _PosPred(_int_tok(val, self.source))
         if kind == "at":
             self.next()
             attr = self.expect("name")
             k2 = self.peek()[0]
             if k2 in ("eq", "neq"):
                 self.next()
-                s = self.expect("string")
-                return _AttrPred(attr, s[1:-1], negate=(k2 == "neq"))
+                k3, v3 = self.peek()
+                if k3 == "string":
+                    self.next()
+                    return _AttrPred(attr, v3[1:-1], negate=(k2 == "neq"))
+                # numeric rhs: XPath number() comparison semantics
+                return _AttrNumPred(attr, "=" if k2 == "eq" else "!=",
+                                    self._number_value())
+            if k2 in ("lt", "le", "gt", "ge"):
+                op = self._cmp_op()
+                return _AttrNumPred(attr, op, self._number_value())
             return _AttrPred(attr)
         if kind == "name":
             self.next()
             if val == "last()":
                 if self.peek()[0] == "minus":
                     self.next()
-                    delta = -int(self.expect("number"))
+                    delta = -_int_tok(self.expect("number"), self.source)
                     return _PosCmpPred("=", ("last", delta))
                 return _LastPred()
             if val == "position()":
@@ -910,6 +998,17 @@ class _Parser:
                     s = self.expect("string")
                     return _TextEqPred(s[1:-1], negate=(k2 == "neq"))
                 return _HasTextNodePred()
+            if val == "count" and self.peek()[0] == "lparen":
+                self.next()
+                absolute, steps = self.parse_path()
+                if absolute:
+                    raise SelectorError(
+                        f"count() argument must be a relative path in "
+                        f"{self.source!r} (a predicate has no root)")
+                self.expect("rparen")
+                op = self._cmp_op()
+                return _CountPred(steps, op, self._number_value(),
+                                  self.source)
             if val == "not" and self.peek()[0] == "lparen":
                 self.next()
                 inner = self.parse_pred_expr()
@@ -947,12 +1046,22 @@ class _Parser:
                     arg = self._parse_strarg(optional=True)
                     self.expect("rparen")
                 op = self._cmp_op()
-                n = int(self.expect("number"))
+                n = _int_tok(self.expect("number"), self.source)
                 return _StrLenPred(arg, op, n)
             if val.endswith("()"):
                 raise SelectorError(f"unsupported predicate function {val!r}")
             return _ChildTagPred(val)
         raise SelectorError(f"unsupported predicate near {val!r} in {self.source!r}")
+
+
+
+def _int_tok(val, source: str) -> int:
+    """Integer-only numeric token (positions, lengths): a decimal
+    literal here is outside the subset — fail loud."""
+    if "." in val:
+        raise SelectorError(
+            f"integer expected in {source!r}, got {val!r}")
+    return int(val)
 
 
 def parse_xpath(source: str) -> XPath:

@@ -91,10 +91,11 @@ def test_namespaced_xpath():
 
 def test_out_of_subset_raises_at_compile():
     # (following-sibling:: joined the subset in round 4; following::/
-    # preceding::/attribute:: plus the common predicate functions in
-    # round 5 — location-step functions and the rest stay out)
+    # preceding::/attribute::, the common predicate functions AND
+    # [count(rel)=n] in round 5 — location-step functions and the
+    # rest stay out)
     for bad in ["count(//p)", "//p/namespace::a",
-                "//p[substring(@a,1,2)='x']", "//p[count(a)=1]",
+                "//p[substring(@a,1,2)='x']", "//p[count(/html/a)=1]",
                 "//p[foo()]", "//p[contains(@a)]",
                 "//p[string-length()]", "//p[position()]",
                 "//p[contains(foo,'x')]"]:
@@ -373,3 +374,61 @@ def test_css_of_type_pseudos():
     assert _texts(parse_css("div p:only-child").evaluate(root)) == ["skip"]
     assert _texts(parse_css("li:nth-of-type(even)").evaluate(root)) \
         == ["b", "d"]
+
+
+NUMDOC = parse_html(
+    '<html><body>'
+    '<img src="a" width="50"><img src="b" width="150">'
+    '<img src="c" width=" 150.5 "><img src="d" width="x150">'
+    '<img src="e"><img src="f" width="-2">'
+    '<ul id="u1"><li>1</li><li>2</li><li>3</li></ul>'
+    '<ul id="u2"><li>only</li></ul>'
+    '<ul id="u3"></ul>'
+    '<div id="d1"><p><a href="#">x</a></p><p></p></div>'
+    '</body></html>')
+
+
+def _srcs(sel):
+    return [n.attrs.get("src") for n in parse_xpath(sel).evaluate(NUMDOC)]
+
+
+def _ids(sel):
+    return [n.attrs.get("id") for n in parse_xpath(sel).evaluate(NUMDOC)]
+
+
+def test_xpath_numeric_attribute_comparisons():
+    assert _srcs("//img[@width > 100]") == ["b", "c"]
+    assert _srcs("//img[@width >= 150]") == ["b", "c"]
+    assert _srcs("//img[@width < 100]") == ["a", "f"]
+    assert _srcs("//img[@width = 150]") == ["b"]      # numeric, not string
+    assert _srcs("//img[@width = 150.5]") == ["c"]    # ws-stripped decimal
+    # NaN ('x150') and missing width are false under EVERY operator,
+    # including != (empty node-set semantics)
+    assert _srcs("//img[@width != 150]") == ["a", "c", "f"]
+    assert _srcs("//img[@width > -3]") == ["a", "b", "c", "f"]
+    # string equality still distinguishes: ' 150.5 ' != '150.5'
+    assert _srcs("//img[@width='150.5']") == []
+    assert _srcs("//img[@width=' 150.5 ']") == ["c"]
+
+
+def test_xpath_count_predicate():
+    assert _ids("//ul[count(li) > 2]") == ["u1"]
+    assert _ids("//ul[count(li) = 1]") == ["u2"]
+    assert _ids("//ul[count(li) = 0]") == ["u3"]
+    assert _ids("//ul[count(li) >= 1]") == ["u1", "u2"]
+    # multi-step relative path + nested predicate
+    assert _ids("//div[count(p/a) = 1]") == ["d1"]
+    assert _ids("//div[count(.//a) = 1]") == ["d1"]
+    assert _ids("//ul[count(li[2]) = 1]") == ["u1"]
+    # combinable with and/or and not()
+    assert _ids("//ul[count(li) > 0 and count(li) < 3]") == ["u2"]
+    assert _ids("//ul[not(count(li) > 1)]") == ["u2", "u3"]
+
+
+def test_xpath_numeric_subset_errors():
+    for bad in ("//ul[count(/html//li) > 1]",   # absolute count arg
+                "//li[1.5]",                     # decimal position
+                "//li[position() = 1.5]",
+                "//ul[count(li) >"):
+        with pytest.raises(SelectorError):
+            parse_xpath(bad)
