@@ -1,4 +1,6 @@
-"""Generate the golden for ``pages_selector_numeric`` from the naive
+"""Generate the golden for ``pages_selector_numeric`` (numeric XPath
+predicates over the tables family + CSS pseudo probes over the
+conformance pages) from the naive
 document-order-walk restatement (``tests.oracle.
 oracle_selector_numeric``) — never the selector engine.
 
@@ -21,7 +23,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from fixtures.gen_pages import generate_tables_table  # noqa: E402
-from tests.oracle import oracle_selector_numeric  # noqa: E402
+from tests.oracle import (oracle_selector_numeric,  # noqa: E402
+                          oracle_selector_pseudo)
 
 DATA_DIR = os.path.join(REPO, "fixtures", "data")
 N_TABLES = 400
@@ -32,6 +35,10 @@ def main() -> None:
     totals: Counter = Counter()
     for html in t["html"].to_pylist():
         totals.update(oracle_selector_numeric(html))
+    pages = pq.read_table(os.path.join(DATA_DIR, "pages_conf.parquet"),
+                          columns=["html"])
+    for html in pages["html"].to_pylist():
+        totals.update(oracle_selector_pseudo(html))
     out = pa.table({
         "probe": pa.array(sorted(totals), pa.string()),
         "hits": pa.array([totals[k] for k in sorted(totals)],

@@ -42,7 +42,9 @@ CSS subset (compiled onto the same AST)::
     descendant (space), child (>), comma (union), compounds (div.a#b)
     pseudo-classes: :first-child :last-child :not(<simple compound>)
                     :nth-child(an+b | odd | even)  :nth-of-type(an+b)
+                    :nth-last-child(an+b)  :nth-last-of-type(an+b)
                     :first-of-type :last-of-type :only-child
+                    :empty  :has(<simple compound>)  :has(> <...>)
                     (others raise)
 
 Evaluation returns elements in document order without duplicates.
@@ -268,15 +270,17 @@ class _NthChildPred(_Pred):
     equals ``a*k + b`` for some integer ``k >= 0`` (CSS Selectors L3;
     ``odd`` = 2n+1, ``even`` = 2n)."""
 
-    def __init__(self, a: int, b: int):
+    def __init__(self, a: int, b: int, from_end: bool = False):
         self.a, self.b = a, b
+        self.from_end = from_end
 
     def matches(self, node, position, size, nsmap):
         p = node.parent
         idx = 1
         if p is not None:
             idx = 0
-            for c in p.children:
+            kids = reversed(p.children) if self.from_end else p.children
+            for c in kids:
                 if c.is_element():
                     idx += 1
                 if c is node:
@@ -369,6 +373,49 @@ class _OnlyChildPred(_Pred):
         if p is None:
             return True
         return sum(1 for c in p.children if c.is_element()) == 1
+
+
+class _EmptyPred(_Pred):
+    """CSS ``:empty`` — no element children and no text content.
+    Comment children are ignorable per the CSS spec (their BODY never
+    counts), but any tail text after one does."""
+
+    def matches(self, node, position, size, nsmap):
+        if node.text:
+            return False
+        for c in node.children:
+            if c.is_element():
+                return False
+            if c.tail:
+                return False
+        return True
+
+
+class _HasPred(_Pred):
+    """CSS ``:has(<simple compound>)`` / ``:has(> <simple compound>)``
+    subset — some descendant (or, with ``>``, some child) matches the
+    combinator-free compound.  Inner predicates evaluate against the
+    candidate's own parent/sibling context (every CSS pred here is
+    parent-derived, so the step position args are unused — the
+    :not() convention)."""
+
+    def __init__(self, name, preds, child_only: bool):
+        self.name = name
+        self.preds = preds
+        self.child_only = child_only
+
+    def matches(self, node, position, size, nsmap):
+        stack = list(reversed(node.children))
+        while stack:
+            c = stack.pop()
+            if not c.is_element():
+                continue
+            if _tag_matches(c, self.name, nsmap) and all(
+                    p.matches(c, 0, 0, nsmap) for p in self.preds):
+                return True
+            if not self.child_only:
+                stack.extend(reversed(c.children))
+        return False
 
 
 class _NotCompoundPred(_Pred):
@@ -1119,6 +1166,17 @@ def _css_pseudo_pred(text: str, source: str) -> _Pred:
     if text.startswith(":not(") and text.endswith(")"):
         name, preds = _css_compound(text[5:-1].strip(), source)
         return _NotCompoundPred(name, preds)
+    if text == ":empty":
+        return _EmptyPred()
+    if text.startswith(":has(") and text.endswith(")"):
+        arg = text[5:-1].strip()
+        child_only = arg.startswith(">")
+        if child_only:
+            arg = arg[1:].strip()
+        name, preds = _css_compound(arg, source)
+        return _HasPred(name, preds, child_only)
+    if text.startswith(":nth-last-child(") and text.endswith(")"):
+        return _NthChildPred(*_parse_nth(text[16:-1]), from_end=True)
     if text.startswith(":nth-child(") and text.endswith(")"):
         return _NthChildPred(*_parse_nth(text[11:-1]))
     if text.startswith(":nth-of-type(") and text.endswith(")"):

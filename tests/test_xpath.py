@@ -432,3 +432,46 @@ def test_xpath_numeric_subset_errors():
                 "//ul[count(li) >"):
         with pytest.raises(SelectorError):
             parse_xpath(bad)
+
+
+CSSDOC = parse_html(
+    '<html><body>'
+    '<div id="e1"></div>'
+    '<div id="e2"><!-- c --></div>'
+    '<div id="e3"> </div>'
+    '<div id="e4"><!-- c -->tail</div>'
+    '<div id="e5"><span></span></div>'
+    '<ul id="h1"><li><a href="#">x</a></li><li>plain</li></ul>'
+    '<ul id="h2"><li>no links</li></ul>'
+    '<div id="h3"><a class="deep">d</a></div>'
+    '<div id="h4"><p><a class="deep">d</a></p></div>'
+    '<ol id="n1"><li id="x1">1</li><li id="x2">2</li>'
+    '<li id="x3">3</li><li id="x4">4</li></ol>'
+    '</body></html>')
+
+
+def _css_ids(sel):
+    return [n.attrs.get("id") for n in parse_css(sel).evaluate(CSSDOC)]
+
+
+def test_css_empty():
+    # comments are ignorable content, whitespace text and comment
+    # tails are not
+    assert _css_ids("div:empty") == ["e1", "e2"]
+
+
+def test_css_has():
+    assert _css_ids("ul:has(a)") == ["h1"]
+    assert _css_ids("div:has(a.deep)") == ["h3", "h4"]
+    assert _css_ids("div:has(> a.deep)") == ["h3"]   # child-only
+    assert _css_ids("ul:has(> li)") == ["h1", "h2"]
+    with pytest.raises(SelectorError):
+        parse_css("div:has(p a)")        # combinators inside: out
+    with pytest.raises(SelectorError):
+        parse_css("div:has(:has(a))")
+
+
+def test_css_nth_last_child():
+    assert _css_ids("ol > li:nth-last-child(1)") == ["x4"]
+    assert _css_ids("ol > li:nth-last-child(odd)") == ["x2", "x4"]
+    assert _css_ids("ol > li:nth-last-child(-n+2)") == ["x3", "x4"]
