@@ -174,9 +174,24 @@ def write_token_shards(ds, out_dir: str, *, seq_len: int = 2048,
               .groupby("part_id").map_groups(write_group).to_pandas())
 
 
-def read_token_shards(paths, *, batch_seqs: int = 1024, **kwargs):
+def read_token_shards(paths, *, batch_seqs: int = 1024,
+                      shuffle_seed: int | None = None, **kwargs):
     """``part-NNNN.bin`` shards -> Dataset(part_id, seq_idx, tokens
-    list<int32>); ``seq_len`` comes from each shard's sidecar."""
+    list<int32>); ``seq_len`` comes from each shard's sidecar.
+
+    ``shuffle_seed`` turns on the training loader's DETERMINISTIC
+    within-shard shuffle: each shard's sequences emit in the order of
+    the FROZEN key ``crc32(b"<seed>:<part_id>:<seq_idx>")`` (ties by
+    seq_idx ascending), with the position in that order appended as
+    ``shuffle_pos`` — the same permutation for any batch size, any
+    run, any reader count, so a resumed training job sees the same
+    stream.  The shuffled path reads rows by random access
+    (``np.memmap`` over the fixed-length layout — the reason the
+    format is mmap-able), ``batch_seqs`` rows at a time; memory stays
+    bounded by the batch, never the shard.  Cross-shard interleaving
+    is the executor's (file-level parallelism), as with any source.
+    Shards must be on a worker-reachable filesystem (the shared-store
+    assumption every container source documents)."""
     import ray.data as rd
     from ray.data.datasource import FileBasedDatasource
 
@@ -188,15 +203,44 @@ def read_token_shards(paths, *, batch_seqs: int = 1024, **kwargs):
         def _read_stream(self, f, path: str):
             import os
             import re as _re
+            import zlib as _zlib
 
             with open(path.replace(".bin", ".idx.json")) as fh:
                 idx = json.load(fh)
             seq_len = int(idx["seq_len"])
             m = _re.search(r"part-(\d+)\.bin$", os.path.basename(path))
             pid = int(m.group(1)) if m else int(idx["part_id"])
+            row_bytes = seq_len * 4
+            if shuffle_seed is not None:
+                size = os.path.getsize(path)
+                if size % row_bytes:
+                    raise ValueError(f"ragged shard {path}")
+                n = size // row_bytes
+                keys = np.fromiter(
+                    (_zlib.crc32(b"%d:%d:%d" % (shuffle_seed, pid, i))
+                     for i in range(n)),
+                    dtype=np.int64, count=n)
+                perm = np.lexsort((np.arange(n), keys))
+                mm = np.memmap(path, "<i4", mode="r",
+                               shape=(n, seq_len))
+                for start in range(0, n, batch_seqs):
+                    take = perm[start:start + batch_seqs]
+                    mat = np.ascontiguousarray(mm[take])
+                    k = mat.shape[0]
+                    offs = np.arange(k + 1, dtype=np.int32) * seq_len
+                    yield pa.table({
+                        "part_id": pa.array([pid] * k, pa.int64()),
+                        "seq_idx": pa.array(take.astype(np.int64),
+                                            pa.int64()),
+                        "shuffle_pos": pa.array(
+                            np.arange(start, start + k), pa.int64()),
+                        "tokens": pa.ListArray.from_arrays(
+                            pa.array(offs, pa.int32()),
+                            pa.array(mat.reshape(-1), pa.int32())),
+                    })
+                return
             stream = io.BufferedReader(_NativeWrapper(f))
             seq_idx = 0
-            row_bytes = seq_len * 4
             while True:
                 blob = stream.read(row_bytes * batch_seqs)
                 if not blob:

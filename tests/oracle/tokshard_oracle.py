@@ -81,3 +81,12 @@ def oracle_sequences(rows, **kw):
             out.append({"part_id": pid, "seq_idx": s,
                         "tokens_str": " ".join(map(str, chunk))})
     return out
+
+
+def oracle_shuffle_order(seed: int, part_id: int, n: int) -> list:
+    """Restates the frozen shuffled-read permutation: seq indices in
+    ascending ``crc32(b"<seed>:<part_id>:<i>")`` order, ties by i —
+    via the oracle's own CRC table, never zlib."""
+    keyed = sorted(range(n), key=lambda i: (
+        crc32(b"%d:%d:%d" % (seed, part_id, i)), i))
+    return keyed

@@ -140,3 +140,49 @@ def test_batching_independence(tmp_path, ray_session):
         blobs.append({os.path.basename(p): open(p, "rb").read()
                       for p in glob.glob(os.path.join(out, "*.bin"))})
     assert blobs[0] == blobs[1]
+
+
+def test_shuffled_read_deterministic_and_complete(ray_session,
+                                                  tmp_path):
+    import glob
+
+    from rayxt.tokshard import read_token_shards, write_token_shards
+    from tests.oracle.tokshard_oracle import oracle_shuffle_order
+
+    rows = [{"url": f"https://s.example/{i}",
+             "text": f"tok{i} " * (3 + i % 5)} for i in range(120)]
+    out = str(tmp_path / "sh")
+    write_token_shards(
+        rd.from_items(rows), out, seq_len=8, vocab_size=1 << 16,
+        num_partitions=4)
+    paths = sorted(glob.glob(out + "/part-*.bin"))
+
+    plain = read_token_shards(paths).to_pandas()
+    got = read_token_shards(paths, shuffle_seed=7,
+                            batch_seqs=5).to_pandas()
+    # same multiset of sequences, new order + a position column
+    assert len(got) == len(plain)
+    key = ["part_id", "seq_idx"]
+    a = plain.sort_values(key).reset_index(drop=True)
+    b = got.sort_values(key).reset_index(drop=True)
+    assert (a["part_id"] == b["part_id"]).all()
+    assert all(list(x) == list(y)
+               for x, y in zip(a["tokens"], b["tokens"]))
+    # the order is EXACTLY the oracle's permutation, per shard
+    for pid, grp in got.groupby("part_id"):
+        grp = grp.sort_values("shuffle_pos")
+        want = oracle_shuffle_order(7, int(pid), len(grp))
+        assert list(grp["seq_idx"]) == want, pid
+        assert list(grp["shuffle_pos"]) == list(range(len(grp)))
+    # batching-independent: a different batch_seqs gives the same rows
+    again = read_token_shards(paths, shuffle_seed=7,
+                              batch_seqs=64).to_pandas()
+    assert again.sort_values(key).reset_index(drop=True)[
+        ["part_id", "seq_idx", "shuffle_pos"]].equals(
+        got.sort_values(key).reset_index(drop=True)[
+            ["part_id", "seq_idx", "shuffle_pos"]])
+    # a different seed is a different permutation
+    other = read_token_shards(paths, shuffle_seed=8).to_pandas()
+    assert list(other.sort_values(["part_id", "shuffle_pos"])
+                ["seq_idx"]) != list(got.sort_values(
+                    ["part_id", "shuffle_pos"])["seq_idx"])
