@@ -820,6 +820,11 @@ def export_zipnum(ds, out_dir: str, *, num_parts: int = 16,
     at one line per ``lines_per_block`` captures.  Returns the
     per-part summary ``(part_id, rows)``.
 
+    Resume assumes the SAME input and parameters: a re-run into an
+    out_dir written with different ``num_parts`` / ``sample_mod`` /
+    data would mix layouts — start fresh instead (the convention all
+    the exporters share).
+
     The sample and the route are TWO passes over ``ds`` (inherent to
     range partitioning: boundaries must exist before routing) —
     callers whose upstream is expensive (a fresh :func:`build_cdx`
