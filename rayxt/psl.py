@@ -64,7 +64,9 @@ PSL_NORMAL = frozenset([
 PSL_WILDCARD = frozenset(["ck", "np"])      # the label under the *
 PSL_EXCEPTION = frozenset(["www.ck"])
 
-_MAX_RULE_LABELS = 3  # longest normal rule (s3.amazonaws.com)
+# longest normal rule (s3.amazonaws.com); derived so a future table
+# edit cannot silently out-range the tail scan
+_MAX_RULE_LABELS = max(s.count(".") + 1 for s in PSL_NORMAL)
 
 
 def _is_ipv4(host: str) -> bool:
