@@ -201,3 +201,66 @@ def test_zipnum_fetch_parity_and_modes(ray_session, tmp_path):
                         concurrency=(1, 2)).to_pandas()
     assert len(got2) == len(lines)
     assert (got2["probe"] == got2["urlkey"]).all()
+
+
+def test_randomized_lookup_parity_brute_force(tmp_path):
+    """Randomized corpora through write_zipnum_part + a hand-assembled
+    cluster.idx (the documented format), then zipnum_lookup for
+    random prefixes vs a linear scan — exercises the summary bisect
+    arithmetic on ties, block boundaries, absent keys and the empty
+    prefix, with no Ray in the loop."""
+    import random
+    from datetime import datetime, timedelta
+
+    from tests.oracle.zipnum_oracle import verify_zipnum_layout
+
+    rng = random.Random(1234)
+    alphabet = ["com,a)", "com,ab)", "com,abc)", "com,b)", "net,x)",
+                "org,zz)"]
+    for trial in range(40):
+        n = rng.randrange(1, 60)
+        rows = []
+        for i in range(n):
+            key = (rng.choice(alphabet)
+                   + rng.choice(["/", "/p", "/p/q", "/q"]))
+            rows.append({
+                "urlkey": key,
+                "ts": datetime(2026, 1, 1)
+                + timedelta(seconds=rng.randrange(5)),
+                "url": f"https://u/{i}", "mime": "text/html",
+                "status": 200, "digest": None, "length": None,
+                "offset": None, "filename": None})
+        lpb = rng.randrange(1, 6)
+        out = tmp_path / f"t{trial}"
+        out.mkdir()
+        # split the sorted key space into 1-3 range parts by cutting
+        # the sorted row list (any cut preserves global order)
+        rows.sort(key=lambda r: (r["urlkey"],
+                                 r["ts"].strftime("%Y%m%d%H%M%S"),
+                                 r["url"]))
+        cuts = sorted(rng.sample(range(n + 1),
+                                 rng.randrange(0, min(3, n + 1))))
+        pieces = []
+        prev = 0
+        for c in cuts + [n]:
+            pieces.append(rows[prev:c])
+            prev = c
+        seq = 0
+        with open(out / "cluster.idx", "w") as idxf:
+            for pid, piece in enumerate(p for p in pieces if p):
+                name = f"cdx-{pid:05d}.gz"
+                entries = write_zipnum_part(
+                    piece, str(out / name), lines_per_block=lpb)
+                for key, off, length in entries:
+                    seq += 1
+                    idxf.write(f"{key}\t{name}\t{off}\t{length}\t{seq}\n")
+        all_lines = verify_zipnum_layout(str(out), lpb)
+        probes = (["", "com,", "zz", "com,ab)", "com,abc)/p"]
+                  + [rng.choice(all_lines)[:rng.randrange(1, 20)]
+                     for _ in range(5)])
+        for p in probes:
+            got = [f"{r['urlkey']} {r['ts'].strftime('%Y%m%d%H%M%S')}"
+                   for r in zipnum_lookup(str(out), p).to_pylist()]
+            want = [" ".join(ln.split(" ", 2)[:2])
+                    for ln in all_lines if ln.startswith(p)]
+            assert got == want, (trial, p)
