@@ -129,6 +129,24 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_lookup(args) -> int:
+    """Seek-based ZipNum index lookup from the shell: binary-search
+    cluster.idx, decompress only the touched blocks, print one TSV
+    row per capture (no Ray session — the driver-utility path)."""
+    from .cdx import zipnum_lookup
+
+    t = zipnum_lookup(args.index_dir, args.prefix, exact=args.exact)
+    cols = t.column_names
+    out = sys.stdout
+    out.write("\t".join(cols) + "\n")
+    for row in t.to_pylist():
+        out.write("\t".join(
+            "" if row[c] is None else
+            row[c].isoformat() if c == "ts" else str(row[c])
+            for c in cols) + "\n")
+    return 0 if t.num_rows else 1
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="rayxt")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -159,6 +177,17 @@ def main(argv=None) -> int:
                    help="per-row parse deadline in seconds "
                         "(status='timeout' instead of stalling a batch)")
     p.set_defaults(fn=cmd_pipeline)
+
+    lk = sub.add_parser(
+        "index-lookup",
+        help="seek-based capture lookup in a ZipNum index directory")
+    lk.add_argument("index_dir", help="directory with cluster.idx + "
+                                      "cdx-*.gz parts (cdx.export_zipnum)")
+    lk.add_argument("prefix", help="SURT urlkey or prefix")
+    lk.add_argument("--exact", action="store_true",
+                    help="exact-urlkey lookup (appends the field "
+                         "separator) instead of prefix match")
+    lk.set_defaults(fn=cmd_lookup)
 
     args = parser.parse_args(argv)
     return args.fn(args)

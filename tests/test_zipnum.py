@@ -264,3 +264,23 @@ def test_randomized_lookup_parity_brute_force(tmp_path):
             want = [" ".join(ln.split(" ", 2)[:2])
                     for ln in all_lines if ln.startswith(p)]
             assert got == want, (trial, p)
+
+
+def test_cli_index_lookup(ray_session, tmp_path, capsys):
+    from rayxt.cli import main
+
+    out = _export(ray_session, str(tmp_path / "z"), _rows())
+    rc = main(["index-lookup", out, "com,example,h003)"])
+    text = capsys.readouterr().out
+    lines = text.strip().split("\n")
+    assert rc == 0
+    assert lines[0].split("\t")[0] == "urlkey"
+    assert len(lines) - 1 == 10  # h003 carries 10 captures
+    assert all(ln.startswith("com,example,h003)")
+               for ln in lines[1:])
+    # absent prefix: empty result, exit code 1
+    rc = main(["index-lookup", out, "org,absent)"])
+    assert rc == 1
+    assert capsys.readouterr().out.strip().split("\n") == [
+        "urlkey\tts\turl\tmime\tstatus\tdigest\tlength\toffset"
+        "\tfilename"]
