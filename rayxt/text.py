@@ -48,6 +48,9 @@ __all__ = [
     "top_ngrams",
     "repetition_profile",
     "add_repetition_signals",
+    "add_word_stats",
+    "word_stats_sql_exprs",
+    "gopher_filter",
     "compression_ratio_of",
     "add_compression_ratio",
     "keyword_pattern",
@@ -1214,3 +1217,175 @@ def ws_sql(ws: str) -> str:
     return ws.replace("\t", "\\t").replace("\n", "\\n") \
              .replace("\r", "\\r").replace("\f", "\\f") \
              .replace("\v", "\\x0b")
+
+
+# ---------------------------------------------------------------------------
+# Gopher word-level quality signals (vectorized; REAL-SQL restatable)
+# ---------------------------------------------------------------------------
+
+WORD_SPLIT_RE = r"[ \t\r\n\f\v]+"
+ALPHA_WORD_RE = r"[A-Za-z]"
+BULLET_LINE_RE = r"^[ \t]*[-*•]"
+ELLIPSIS_LINE_RE = r"(\.\.\.|…)[ \t]*$"
+
+
+def _word_stats_table(t: pa.Table, col: str) -> pa.Table:
+    c = t[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    n = len(c)
+    valid = pc.is_valid(c).to_numpy(zero_copy_only=False)
+
+    words = pc.split_pattern_regex(c, WORD_SPLIT_RE)
+    flat = pc.list_flatten(words)
+    par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    wlen = pc.cast(pc.utf8_length(flat), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    wp = par[nonempty]
+    n_words = np.bincount(wp, minlength=n).astype(np.float64)
+    len_sum = (np.bincount(wp, weights=wlen[nonempty], minlength=n)
+               if n else np.zeros(0))
+    alpha = pc.match_substring_regex(flat, ALPHA_WORD_RE).to_numpy(
+        zero_copy_only=False) & nonempty
+    n_alpha = np.bincount(par[alpha], minlength=n).astype(np.float64)
+
+    def _cnt(pat):
+        a = pc.count_substring(c, pat).to_numpy(zero_copy_only=False)
+        return np.where(valid, a, 0).astype(np.float64)
+
+    symbols = _cnt("#") + _cnt("...") + _cnt("…")
+
+    lines = pc.split_pattern(c, "\n")
+    lflat = pc.list_flatten(lines)
+    lpar = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    n_lines = np.where(
+        valid,
+        pc.list_value_length(lines).cast(pa.int64()).to_numpy(
+            zero_copy_only=False),
+        0).astype(np.float64)
+    bul = pc.match_substring_regex(lflat, BULLET_LINE_RE).to_numpy(
+        zero_copy_only=False)
+    ell = pc.match_substring_regex(lflat, ELLIPSIS_LINE_RE).to_numpy(
+        zero_copy_only=False)
+    n_bul = np.bincount(lpar[bul], minlength=n).astype(np.float64)
+    n_ell = np.bincount(lpar[ell], minlength=n).astype(np.float64)
+
+    def _ratio(num, den, ok):
+        vals = np.divide(num, den, out=np.zeros_like(num),
+                         where=den > 0)
+        arr = pc.round(pa.array(vals, pa.float64()), ndigits=6)
+        return pc.if_else(pa.array(ok & (den > 0)), arr,
+                          pa.nulls(n, pa.float64()))
+
+    out = t.append_column(
+        "n_words", pc.if_else(pa.array(valid),
+                              pa.array(n_words.astype(np.int64),
+                                       pa.int64()),
+                              pa.nulls(n, pa.int64())))
+    out = out.append_column("mean_word_len",
+                            _ratio(len_sum, n_words, valid))
+    out = out.append_column("alpha_word_ratio",
+                            _ratio(n_alpha, n_words, valid))
+    out = out.append_column("symbol_word_ratio",
+                            _ratio(symbols, n_words, valid))
+    out = out.append_column("bullet_line_frac",
+                            _ratio(n_bul, n_lines, valid))
+    out = out.append_column("ellipsis_line_frac",
+                            _ratio(n_ell, n_lines, valid))
+    return out
+
+
+def add_word_stats(ds, col: str = "text"):
+    """Gopher word-level quality signals, all Arrow/numpy kernels over
+    the flattened word/line arrays (zero Python loops, zero
+    exchanges): ``n_words`` (non-empty whitespace-split words),
+    ``mean_word_len`` (chars, round 6), ``alpha_word_ratio`` (words
+    containing an ASCII letter), ``symbol_word_ratio`` ('#', '...'
+    and U+2026 occurrences per word — the Gopher symbol rule),
+    ``bullet_line_frac`` / ``ellipsis_line_frac`` (lines opening with
+    a bullet / ending in an ellipsis).  Null text -> all null; zero
+    words -> null word ratios.  Every column restates as REAL SQL
+    over the IDENTICAL RE2 patterns (:func:`word_stats_sql_exprs`)."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        return _word_stats_table(t, col)
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def word_stats_sql_exprs(text_expr: str = "text") -> dict:
+    """ANSI-SQL (DuckDB) restatement of :func:`add_word_stats` over
+    the IDENTICAL pattern strings: output column -> SQL expression.
+    (DuckDB single-quoted strings pass backslashes through verbatim —
+    the patterns embed unchanged.)"""
+    def esc(p):
+        return p.replace("'", "''")
+
+    words = (f"list_filter(regexp_split_to_array({text_expr}, "
+             f"'{WORD_SPLIT_RE}'), w -> w <> '')")
+    nw = f"len({words})"
+    nl = f"len(string_split({text_expr}, chr(10)))"
+    sym = (f"(length({text_expr}) - length(replace({text_expr}, '#', '')))"
+           f" + (length({text_expr}) "
+           f"- length(replace({text_expr}, '...', ''))) / 3"
+           f" + (length({text_expr}) "
+           f"- length(replace({text_expr}, '…', '')))")
+    return {
+        "n_words": f"CASE WHEN {text_expr} IS NULL THEN NULL "
+                   f"ELSE {nw} END",
+        "mean_word_len":
+            f"CASE WHEN {nw} > 0 THEN round(list_avg(list_transform("
+            f"{words}, w -> length(w))), 6) END",
+        "alpha_word_ratio":
+            f"CASE WHEN {nw} > 0 THEN round(len(list_filter({words}, "
+            f"w -> regexp_matches(w, '{ALPHA_WORD_RE}'))) "
+            f"/ CAST({nw} AS DOUBLE), 6) END",
+        "symbol_word_ratio":
+            f"CASE WHEN {nw} > 0 THEN round(({sym}) "
+            f"/ CAST({nw} AS DOUBLE), 6) END",
+        "bullet_line_frac":
+            f"CASE WHEN {text_expr} IS NULL THEN NULL ELSE "
+            f"round(len(list_filter(string_split({text_expr}, chr(10)),"
+            f" l -> regexp_matches(l, '{esc(BULLET_LINE_RE)}'))) "
+            f"/ CAST({nl} AS DOUBLE), 6) END",
+        "ellipsis_line_frac":
+            f"CASE WHEN {text_expr} IS NULL THEN NULL ELSE "
+            f"round(len(list_filter(string_split({text_expr}, chr(10)),"
+            f" l -> regexp_matches(l, '{esc(ELLIPSIS_LINE_RE)}'))) "
+            f"/ CAST({nl} AS DOUBLE), 6) END",
+    }
+
+
+def gopher_filter(ds, col: str = "text", *, min_words: int = 50,
+                  max_words: int = 100_000, min_mwl: float = 3.0,
+                  max_mwl: float = 10.0, min_alpha: float = 0.8,
+                  max_symbol: float = 0.1, max_bullet: float = 0.9,
+                  max_ellipsis: float = 0.3):
+    """Composite Gopher keep-filter over the :func:`add_word_stats`
+    signals — a row survives only when EVERY gate holds; null text
+    (or a null signal, i.e. zero words) drops.  One stateless batch
+    map computing the six signals and the mask together; original
+    columns pass through unchanged; zero exchanges."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        s = _word_stats_table(t, col)
+        mask = pc.and_kleene(
+            pc.and_kleene(
+                pc.greater_equal(s["n_words"], min_words),
+                pc.less_equal(s["n_words"], max_words)),
+            pc.and_kleene(
+                pc.greater_equal(s["mean_word_len"], min_mwl),
+                pc.less_equal(s["mean_word_len"], max_mwl)))
+        mask = pc.and_kleene(mask, pc.greater_equal(
+            s["alpha_word_ratio"], min_alpha))
+        mask = pc.and_kleene(mask, pc.less_equal(
+            s["symbol_word_ratio"], max_symbol))
+        mask = pc.and_kleene(mask, pc.less_equal(
+            s["bullet_line_frac"], max_bullet))
+        mask = pc.and_kleene(mask, pc.less_equal(
+            s["ellipsis_line_frac"], max_ellipsis))
+        mask = pc.fill_null(mask, False)
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

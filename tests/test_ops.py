@@ -1878,3 +1878,63 @@ def test_group_keep_keys_empty_input(ray_session):
     got = group_keep_keys(empty, key_col="key", value_col="v",
                           min_count=1)
     assert got.count() == 0
+
+
+def test_word_stats_duckdb_parity_fuzz(ray_session):
+    import random
+
+    import duckdb
+
+    from rayxt.text import (_word_stats_table, add_word_stats,
+                            gopher_filter, word_stats_sql_exprs)
+
+    rng = random.Random(77)
+    pieces = ["hello", "a#b", "...", "…", "•", "- x", "* y",
+              "wor...d", "\t", "\n", " ", "end...", "läñg", "123",
+              "!!!", ""]
+    rows = ["hello world", "", None, "  \t  "]
+    for _ in range(300):
+        rows.append("".join(rng.choice(pieces)
+                            for _ in range(rng.randrange(0, 25))))
+    t = pa.table({"doc_id": list(range(len(rows))),
+                  "text": pa.array(rows, pa.string())})
+    got = _word_stats_table(t, "text").to_pandas()
+    con = duckdb.connect()
+    con.register("d", t)
+    exprs = word_stats_sql_exprs("text")
+    want = con.execute(
+        "SELECT doc_id, " + ", ".join(f"{e} AS {k}"
+                                      for k, e in exprs.items())
+        + " FROM d ORDER BY doc_id").df()
+    for c in exprs:
+        gv = [None if pd.isna(v) else round(float(v), 6)
+              for v in got[c]]
+        wv = [None if pd.isna(v) else round(float(v), 6)
+              for v in want[c]]
+        assert gv == wv, c
+
+    # explicit expectations on handcrafted rows
+    by = {r["doc_id"]: r for _, r in got.iterrows()}
+    assert by[0]["n_words"] == 2 and by[0]["mean_word_len"] == 5.0
+    assert by[1]["n_words"] == 0 and pd.isna(by[1]["mean_word_len"])
+    assert pd.isna(by[2]["n_words"])          # null text
+    assert by[3]["n_words"] == 0              # whitespace only
+
+    # the Dataset stage + the composite filter agree with the SQL gates
+    import ray.data as rd
+
+    ds = rd.from_arrow(t).repartition(3)
+    stats = add_word_stats(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert list(stats["n_words"].fillna(-1)) == \
+        list(got["n_words"].fillna(-1))
+    kept = sorted(gopher_filter(ds, min_words=1, min_mwl=0.0,
+                                max_mwl=100.0, min_alpha=0.0,
+                                max_symbol=10.0)
+                  .to_pandas()["doc_id"])
+    want_kept = sorted(
+        int(r["doc_id"]) for _, r in got.iterrows()
+        if not pd.isna(r["n_words"]) and r["n_words"] >= 1
+        and r["bullet_line_frac"] <= 0.9
+        and r["ellipsis_line_frac"] <= 0.3)
+    assert kept == want_kept
