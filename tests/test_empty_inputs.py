@@ -244,3 +244,44 @@ def test_session3_ops_on_empty(ray_session):
     assert filter_keywords(docs, ["x"]).count() == 0
     assert temperature_mix_sample(docs, "doc_id", "lang",
                                   target_rows=10).count() == 0
+
+
+def test_session4_ops_on_empty(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rayxt.cdx import export_zipnum, zipnum_fetch, zipnum_lookup
+    from rayxt.pipeline import detect_encoding
+    from rayxt.psl import add_registered_domain
+    from rayxt.stats import group_stats_filter
+    from rayxt.text import add_word_stats, gopher_filter
+    from rayxt.warc import read_records_at
+
+    doc = _empty(DOC)
+    assert add_word_stats(doc).count() == 0
+    assert gopher_filter(doc).count() == 0
+    assert group_stats_filter(doc, key_col="lang",
+                              value_col="n_chars",
+                              min_count=1).count() == 0
+
+    pages = _empty({"url": pa.string(), "html": pa.binary()})
+    enc = detect_encoding(pages)
+    assert enc.count() == 0
+
+    hosts = _empty({"host": pa.string()})
+    assert add_registered_domain(hosts).count() == 0
+
+    coords = _empty({"filename": pa.string(), "offset": pa.int64(),
+                     "length": pa.int64()})
+    assert read_records_at(coords, str(tmp_path)).count() == 0
+
+    cdx = _empty({"urlkey": pa.string(), "ts": pa.timestamp("us"),
+                  "url": pa.string(), "mime": pa.string(),
+                  "status": pa.int32(), "digest": pa.string(),
+                  "length": pa.int64(), "offset": pa.int64(),
+                  "filename": pa.string()})
+    zdir = str(tmp_path / "z")
+    export_zipnum(cdx, zdir, num_parts=2, lines_per_block=4,
+                  sample_mod=1)
+    assert zipnum_lookup(zdir, "anything").num_rows == 0
+    probes = _empty({"urlkey": pa.string()})
+    assert zipnum_fetch(probes, zdir).count() == 0
